@@ -1,0 +1,187 @@
+"""PHY framing: payload bytes <-> modulated frame waveform.
+
+Frame layout (all multi-byte fields big-endian):
+
+    [ preamble: config.preamble_symbols alternating tones ]
+    [ magic word        4 B ]  0x2C5DA044 — same magic as the wire protocol
+    [ payload length    2 B ]  uint16, <= MAX_ENCODED_FRAME_SIZE (4096)
+    [ header CRC        2 B ]  low 16 bits of CRC-32 over the 6 bytes above
+    [ payload           N B ]  e.g. a varint-delimited ip.proto message
+    [ payload CRC       4 B ]  CRC-32 over the payload
+
+The data section is Gray-mapped onto MFSK symbols, zero-bit padded up to a
+whole symbol (the tail-pad analog of OpusEncoder.final(),
+OpusEncoder.kt:116-127). The magic-word check mirrors the reference's
+datagram filtering (discovery.kt:87-89); the 4096 cap mirrors
+network.cpp:24. Payload bytes ride unchanged, so a demodulated frame body
+parses with any of the three wire codecs.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from anet import constants
+from anet.dsp.bits import bits_to_bytes, bytes_to_bits, pack_symbols, unpack_symbols
+from anet.dsp.demod import estimate_snr_db, tone_energies, decide_symbols
+from anet.dsp.fec import crc32_device, crc32_host
+from anet.dsp.mod import modulate_symbols, synthesize_tones
+from anet.dsp.params import ModemConfig
+from anet.dsp.sync import preamble_tone_indices
+
+HEADER_BYTES = 8
+TRAILER_BYTES = 4
+OVERHEAD_BYTES = HEADER_BYTES + TRAILER_BYTES
+
+
+def data_section_bytes(payload_len: int) -> int:
+    return OVERHEAD_BYTES + payload_len
+
+
+def data_symbols_for_payload(config: ModemConfig, payload_len: int) -> int:
+    return config.symbols_for_bytes(data_section_bytes(payload_len))
+
+
+def frame_num_symbols(config: ModemConfig, payload_len: int) -> int:
+    """Total symbols including preamble."""
+    return config.preamble_symbols + data_symbols_for_payload(config, payload_len)
+
+
+def frame_num_samples(config: ModemConfig, payload_len: int) -> int:
+    return frame_num_symbols(config, payload_len) * config.samples_per_symbol
+
+
+def _header_np(payload_len: int) -> np.ndarray:
+    """The 8 header bytes — static given payload_len, so built host-side."""
+    if not 0 <= payload_len <= constants.MAX_ENCODED_FRAME_SIZE:
+        raise ValueError(
+            f"payload_len {payload_len} outside [0, {constants.MAX_ENCODED_FRAME_SIZE}]"
+        )
+    head = constants.MAGIC_WORD.to_bytes(4, "big") + payload_len.to_bytes(2, "big")
+    hcrc = crc32_host(head) & 0xFFFF
+    return np.frombuffer(head + hcrc.to_bytes(2, "big"), dtype=np.uint8).copy()
+
+
+def _u32_to_be_bytes(value: jnp.ndarray) -> jnp.ndarray:
+    """uint32[...] -> uint8[..., 4] big-endian."""
+    shifts = jnp.array([24, 16, 8, 0], dtype=jnp.uint32)
+    return ((value[..., None] >> shifts) & jnp.uint32(0xFF)).astype(jnp.uint8)
+
+
+def _be_bytes_to_u32(data: jnp.ndarray) -> jnp.ndarray:
+    """uint8[..., 4] -> uint32[...]."""
+    shifts = jnp.array([24, 16, 8, 0], dtype=jnp.uint32)
+    return jnp.sum(data.astype(jnp.uint32) << shifts, axis=-1, dtype=jnp.uint32)
+
+
+def frame_data_symbols(config: ModemConfig, payload: jnp.ndarray) -> jnp.ndarray:
+    """payload uint8[..., N] -> data-section symbols int32[..., S_data]."""
+    n = payload.shape[-1]
+    header = jnp.broadcast_to(
+        jnp.asarray(_header_np(n)), payload.shape[:-1] + (HEADER_BYTES,)
+    )
+    crc = crc32_device(payload)
+    section = jnp.concatenate(
+        [header, payload.astype(jnp.uint8), _u32_to_be_bytes(crc)], axis=-1
+    )
+    bits = bytes_to_bits(section)
+    pad = (-bits.shape[-1]) % config.bits_per_symbol
+    if pad:
+        bits = jnp.concatenate(
+            [bits, jnp.zeros(bits.shape[:-1] + (pad,), dtype=bits.dtype)], axis=-1
+        )
+    return pack_symbols(bits, config.bits_per_symbol)
+
+
+def modulate_frame(config: ModemConfig, payload: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
+    """payload uint8[..., N] -> frame waveform float[..., frame_num_samples]."""
+    data_syms = frame_data_symbols(config, payload)
+    pre = jnp.broadcast_to(
+        preamble_tone_indices(config), payload.shape[:-1] + (config.preamble_symbols,)
+    )
+    preamble_wave = synthesize_tones(config, pre, dtype=dtype)
+    data_wave = modulate_symbols(config, data_syms, dtype=dtype)
+    return jnp.concatenate([preamble_wave, data_wave], axis=-1)
+
+
+class FrameResult(NamedTuple):
+    """Demodulated frame + integrity verdicts (all batched alike).
+
+    ``ok`` is the conjunction a receiver acts on; the split verdicts feed the
+    quality-feedback loop (the implemented ReceiverError path, ip.proto:56-61).
+    """
+
+    payload: jnp.ndarray  # uint8[..., N]
+    magic_ok: jnp.ndarray  # bool[...]
+    length_ok: jnp.ndarray  # bool[...]
+    header_crc_ok: jnp.ndarray  # bool[...]
+    payload_crc_ok: jnp.ndarray  # bool[...]
+    ok: jnp.ndarray  # bool[...]
+    confidence: jnp.ndarray  # float32[...] mean winning-tone energy ratio
+    snr_db: jnp.ndarray  # float32[...] filterbank SNR estimate
+
+
+def demodulate_frame(
+    config: ModemConfig,
+    samples: jnp.ndarray,
+    payload_len: int,
+    *,
+    compute_dtype=jnp.float32,
+) -> FrameResult:
+    """Symbol-aligned frame waveform -> payload + verdicts.
+
+    ``samples`` must start exactly at the frame start (use
+    anet.dsp.pipeline.receive_frame / anet.stream for unaligned captures)
+    and have length frame_num_samples(config, payload_len).
+    """
+    sps = config.samples_per_symbol
+    data_start = config.preamble_symbols * sps
+    data = samples[..., data_start:]
+    energies = tone_energies(config, data, compute_dtype=compute_dtype)
+    symbols = decide_symbols(config, energies)
+    bits = unpack_symbols(symbols, config.bits_per_symbol)
+    n_bytes = data_section_bytes(payload_len)
+    section = bits_to_bytes(bits[..., : n_bytes * 8])
+
+    header = section[..., :HEADER_BYTES]
+    payload = section[..., HEADER_BYTES : HEADER_BYTES + payload_len]
+    trailer = section[..., HEADER_BYTES + payload_len :]
+
+    magic = _be_bytes_to_u32(header[..., :4])
+    length = jnp.sum(
+        header[..., 4:6].astype(jnp.uint32) << jnp.array([8, 0], dtype=jnp.uint32),
+        axis=-1,
+        dtype=jnp.uint32,
+    )
+    hcrc_rx = jnp.sum(
+        header[..., 6:8].astype(jnp.uint32) << jnp.array([8, 0], dtype=jnp.uint32),
+        axis=-1,
+        dtype=jnp.uint32,
+    )
+    hcrc_calc = crc32_device(header[..., :6]) & jnp.uint32(0xFFFF)
+    crc_rx = _be_bytes_to_u32(trailer)
+    crc_calc = crc32_device(payload)
+
+    magic_ok = magic == jnp.uint32(constants.MAGIC_WORD)
+    length_ok = length == jnp.uint32(payload_len)
+    header_crc_ok = hcrc_calc == hcrc_rx
+    payload_crc_ok = crc_calc == crc_rx
+    ok = magic_ok & length_ok & header_crc_ok & payload_crc_ok
+
+    best = jnp.max(energies, axis=-1)
+    total = jnp.sum(energies, axis=-1)
+    confidence = jnp.mean(best / jnp.maximum(total, 1e-20), axis=-1)
+    snr_db = estimate_snr_db(config, energies)
+    return FrameResult(
+        payload=payload,
+        magic_ok=magic_ok,
+        length_ok=length_ok,
+        header_crc_ok=header_crc_ok,
+        payload_crc_ok=payload_crc_ok,
+        ok=ok,
+        confidence=confidence,
+        snr_db=snr_db,
+    )

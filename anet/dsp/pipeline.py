@@ -1,0 +1,84 @@
+"""End-to-end single-frame modem pipeline: the minimum end-to-end slice
+(SURVEY.md §7.2 step 2 / BASELINE config 1).
+
+transmit(): payload bytes -> frame waveform.
+receive_frame(): unaligned capture -> preamble sync -> aligned demod ->
+payload + verdicts + sync metrics.
+
+Pure functions; wrap in jax.jit with config/payload_len static. Batched via
+leading axes (the reference's 1-to-N receiver fan-out becomes a batch axis,
+SURVEY.md §2.4).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from anet.dsp.frame import (
+    FrameResult,
+    demodulate_frame,
+    frame_num_samples,
+    modulate_frame,
+)
+from anet.dsp.params import ModemConfig
+from anet.dsp.sync import SyncResult, locate_preamble
+
+
+def transmit(config: ModemConfig, payload: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
+    """payload uint8[..., N] -> waveform float[..., frame_num_samples]."""
+    return modulate_frame(config, payload, dtype=dtype)
+
+
+class ReceiveResult(NamedTuple):
+    frame: FrameResult
+    sync: SyncResult
+
+
+def receive_frame(
+    config: ModemConfig,
+    capture: jnp.ndarray,
+    payload_len: int,
+    *,
+    sync_method: str = "fft",
+    compute_dtype=jnp.float32,
+) -> ReceiveResult:
+    """Locate and demodulate one frame inside a longer capture.
+
+    Args:
+      capture: float [..., N] with N >= frame_num_samples(config, payload_len).
+    The preamble may start anywhere such that the whole frame fits; timing is
+    recovered by matched-filter correlation (anet.dsp.sync).
+    """
+    t = frame_num_samples(config, payload_len)
+    n = capture.shape[-1]
+    if n < t:
+        raise ValueError(f"capture of {n} samples cannot hold a {t}-sample frame")
+    sync = locate_preamble(config, capture, method=sync_method)
+    # Clamp so the gathered window stays in bounds even on a bogus lock.
+    start = jnp.clip(sync.offset, 0, n - t)
+    window_idx = start[..., None] + jnp.arange(t)
+    aligned = jnp.take_along_axis(capture, window_idx, axis=-1)
+    frame = demodulate_frame(
+        config, aligned, payload_len, compute_dtype=compute_dtype
+    )
+    return ReceiveResult(frame=frame, sync=sync)
+
+
+def loopback(
+    config: ModemConfig, payload: jnp.ndarray, pad_before: int = 0, pad_after: int = 0
+) -> ReceiveResult:
+    """transmit -> (optional silence padding) -> receive. Debug/test helper."""
+    wave = transmit(config, payload)
+    if pad_before or pad_after:
+        shape = wave.shape[:-1]
+        wave = jnp.concatenate(
+            [
+                jnp.zeros(shape + (pad_before,), wave.dtype),
+                wave,
+                jnp.zeros(shape + (pad_after,), wave.dtype),
+            ],
+            axis=-1,
+        )
+    return receive_frame(config, wave, payload.shape[-1])

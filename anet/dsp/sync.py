@@ -1,0 +1,123 @@
+"""Preamble synchronization: detection + timing estimation.
+
+The PHY-layer analog of the reference's magic-word filtering on discovery
+datagrams (discovery.kt:87-89, network.cpp:474-484): a receiver locks onto
+a frame only after the known preamble correlates above threshold.
+
+The preamble is an alternating lowest/highest-tone pattern — maximally
+distinctive against both noise and the data section. Correlation runs in
+the frequency domain (rfft multiply irfft), O(N log N) and batched; the
+time-domain matched filter is also provided for short captures and as the
+golden model for the Pallas kernel.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from anet.dsp.mod import synthesize_tones
+from anet.dsp.params import ModemConfig
+
+
+def preamble_tone_indices(config: ModemConfig) -> jnp.ndarray:
+    """Alternating [0, M-1, 0, M-1, ...] tone index pattern."""
+    idx = jnp.arange(config.preamble_symbols, dtype=jnp.int32)
+    return jnp.where(idx % 2 == 0, 0, config.num_tones - 1)
+
+
+def preamble_waveform(config: ModemConfig, dtype=jnp.float32) -> jnp.ndarray:
+    """The known preamble template, [preamble_samples]."""
+    return synthesize_tones(config, preamble_tone_indices(config), dtype=dtype)
+
+
+class SyncResult(NamedTuple):
+    """Timing estimate for one stream (all fields batched alike)."""
+
+    offset: jnp.ndarray  # int32 — sample index where the preamble starts
+    frac: jnp.ndarray  # float32 — sub-sample refinement in (-0.5, 0.5)
+    quality: jnp.ndarray  # float32 — normalized correlation in [0, 1]
+
+
+def correlate_template(
+    samples: jnp.ndarray, template: jnp.ndarray, method: str = "fft"
+) -> jnp.ndarray:
+    """Cross-correlate [..., N] samples with a [K] template.
+
+    Returns [..., N - K + 1] valid-mode correlation.
+    """
+    n = samples.shape[-1]
+    k = template.shape[-1]
+    if k > n:
+        raise ValueError(f"template ({k}) longer than capture ({n})")
+    if method == "direct":
+        windows = _sliding_windows(samples, k)  # [..., N-K+1, K]
+        return jnp.einsum("...nk,k->...n", windows, template)
+    # FFT path: correlation = irfft(rfft(x) * conj(rfft(template)))
+    fft_len = _next_pow2(n + k - 1)
+    spec_x = jnp.fft.rfft(samples, n=fft_len, axis=-1)
+    spec_t = jnp.fft.rfft(template, n=fft_len)
+    corr = jnp.fft.irfft(spec_x * jnp.conj(spec_t), n=fft_len, axis=-1)
+    return corr[..., : n - k + 1]
+
+
+def _sliding_windows(samples: jnp.ndarray, k: int) -> jnp.ndarray:
+    n = samples.shape[-1]
+    starts = jnp.arange(n - k + 1)
+    offsets = jnp.arange(k)
+    idx = starts[:, None] + offsets[None, :]
+    return samples[..., idx]
+
+
+def _next_pow2(n: int) -> int:
+    return 1 << (n - 1).bit_length()
+
+
+def locate_preamble(
+    config: ModemConfig, samples: jnp.ndarray, method: str = "fft"
+) -> SyncResult:
+    """Find the preamble start in a capture.
+
+    Args:
+      samples: float [..., N] raw capture (N >= preamble_samples).
+    Returns:
+      SyncResult with integer offset, parabolic sub-sample refinement, and a
+      normalized quality metric (1.0 = perfect match; threshold ~0.5 for
+      detection under moderate noise).
+    """
+    template = preamble_waveform(config)
+    corr = correlate_template(samples, template, method=method)
+    abs_corr = jnp.abs(corr)
+    offset = jnp.argmax(abs_corr, axis=-1).astype(jnp.int32)
+
+    # Parabolic interpolation around the peak for sub-sample timing.
+    n_corr = abs_corr.shape[-1]
+    center = jnp.take_along_axis(abs_corr, offset[..., None], axis=-1)[..., 0]
+    left_i = jnp.clip(offset - 1, 0, n_corr - 1)
+    right_i = jnp.clip(offset + 1, 0, n_corr - 1)
+    left = jnp.take_along_axis(abs_corr, left_i[..., None], axis=-1)[..., 0]
+    right = jnp.take_along_axis(abs_corr, right_i[..., None], axis=-1)[..., 0]
+    denom = left - 2.0 * center + right
+    frac = jnp.where(
+        jnp.abs(denom) > 1e-12, 0.5 * (left - right) / denom, 0.0
+    ).astype(jnp.float32)
+    frac = jnp.clip(frac, -0.5, 0.5)
+
+    # Quality: peak correlation normalized by template and local signal
+    # energy (Cauchy-Schwarz bound makes this <= 1).
+    t_energy = jnp.sum(template * template)
+    windows_energy = _local_energy(samples, template.shape[-1], offset)
+    quality = center / jnp.sqrt(
+        jnp.maximum(t_energy * windows_energy, jnp.float32(1e-20))
+    )
+    return SyncResult(offset=offset, frac=frac, quality=quality)
+
+
+def _local_energy(samples: jnp.ndarray, k: int, offset: jnp.ndarray) -> jnp.ndarray:
+    """Energy of the k-sample window at ``offset`` (batched gather)."""
+    csum = jnp.cumsum(samples * samples, axis=-1)
+    csum = jnp.concatenate([jnp.zeros_like(csum[..., :1]), csum], axis=-1)
+    end = jnp.take_along_axis(csum, (offset + k)[..., None], axis=-1)[..., 0]
+    start = jnp.take_along_axis(csum, offset[..., None], axis=-1)[..., 0]
+    return end - start

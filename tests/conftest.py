@@ -1,17 +1,40 @@
-"""Test configuration.
+"""Test configuration: force the CPU backend with 8 virtual devices.
 
-Tests run on CPU with 8 virtual XLA devices so that all mesh/sharding code
-paths (shard_map over ICI-style meshes) are exercised without TPU hardware.
-Must be set before jax is imported anywhere.
+Tests run on CPU with 8 virtual XLA devices so all mesh/sharding code paths
+(shard_map over ICI-style meshes) are exercised without TPU hardware, and so
+compile times stay in CI territory.
+
+This environment's sitecustomize registers a remote-TPU PJRT plugin and
+overrides the ``jax_platforms`` config to "axon,cpu" in every Python
+process, so the JAX_PLATFORMS env var alone cannot keep tests off the
+(single, shared, sometimes-busy) TPU tunnel. jax is already imported by the
+time any conftest runs, but no backend has been initialized yet — so
+resetting the config here, before the first jax computation, pins all test
+compute to CPU.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+import jax
+
+# Must happen before the first backend initialization anywhere in the test
+# process: 8 virtual CPU devices for mesh/sharding tests.
 xla_flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in xla_flags:
     os.environ["XLA_FLAGS"] = (
         xla_flags + " --xla_force_host_platform_device_count=8"
     ).strip()
-# Keep CI deterministic and quiet.
+
+jax.config.update("jax_platforms", "cpu")
+
 os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+
+def pytest_sessionstart(session):
+    # Fail fast and loudly if something initialized a non-CPU backend.
+    assert jax.default_backend() == "cpu", (
+        f"tests must run on CPU, got {jax.default_backend()}"
+    )
+    assert jax.device_count() == 8, (
+        f"expected 8 virtual CPU devices, got {jax.device_count()}"
+    )
