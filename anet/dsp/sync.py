@@ -22,9 +22,21 @@ from anet.dsp.params import ModemConfig
 
 
 def preamble_tone_indices(config: ModemConfig) -> jnp.ndarray:
-    """Alternating [0, M-1, 0, M-1, ...] tone index pattern."""
-    idx = jnp.arange(config.preamble_symbols, dtype=jnp.int32)
-    return jnp.where(idx % 2 == 0, 0, config.num_tones - 1)
+    """Fixed pseudo-noise tone pattern for the preamble.
+
+    A periodic pattern (e.g. alternating low/high tones) has autocorrelation
+    sidelobes at every pattern-period shift, which cause false locks when a
+    frame is partially inside a correlation window. A fixed PN sequence over
+    the full tone alphabet keeps sidelobes at ~1/sqrt(preamble_samples), so
+    the normalized sync quality is sharply peaked at the true offset. The
+    seed is a protocol constant (derived from the wire magic word) — both
+    ends must generate the identical pattern.
+    """
+    import numpy as np
+
+    rng = np.random.default_rng(0x2C5DA044)
+    pattern = rng.integers(0, config.num_tones, config.preamble_symbols)
+    return jnp.asarray(pattern, dtype=jnp.int32)
 
 
 def preamble_waveform(config: ModemConfig, dtype=jnp.float32) -> jnp.ndarray:

@@ -1,0 +1,291 @@
+"""Multi-device scale-out: mesh construction, sharded demod, BER sweeps.
+
+The reference's "distribution" is sockets: one transmitter fanning frames
+to N receivers over TCP (MulticastAudioOutput.kt:88-96), with discovery on
+UDP. On TPU the data plane never touches sockets (SURVEY.md §5): streams
+become a batch axis laid out over a `jax.sharding.Mesh`, fan-out is a
+broadcast along that axis, cross-stream aggregation (BER counts) is a
+`psum` riding the ICI, and a single long capture can be split along *time*
+across devices with halo exchange — the context-parallel analog, sized to
+the demodulator's memory (one frame length).
+
+Everything here works on any mesh: 8 virtual CPU devices in tests, a v5e
+slice in production; the code is identical.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from anet.channel import ChannelConfig, apply_channel
+from anet.dsp.frame import FrameResult, demodulate_frame, frame_num_samples
+from anet.dsp.params import ModemConfig
+from anet.dsp.pipeline import transmit
+from anet.stream import StreamCarry, StreamStepOutput, init_carry, receive_stream
+
+__all__ = [
+    "make_mesh",
+    "shard_streams",
+    "sharded_demodulate",
+    "BerPoint",
+    "ber_sweep",
+    "sharded_receive_long_capture",
+]
+
+STREAM_AXIS = "streams"
+
+
+def make_mesh(n_devices: Optional[int] = None, axis_name: str = STREAM_AXIS) -> Mesh:
+    """1-D mesh over the first ``n_devices`` (default: all)."""
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), (axis_name,))
+
+
+def shard_streams(mesh: Mesh, arr: jnp.ndarray) -> jnp.ndarray:
+    """Lay an array out with its leading (stream/batch) axis sharded."""
+    spec = P(mesh.axis_names[0], *([None] * (arr.ndim - 1)))
+    return jax.device_put(arr, NamedSharding(mesh, spec))
+
+
+def sharded_demodulate(
+    config: ModemConfig,
+    mesh: Mesh,
+    waves: jnp.ndarray,
+    payload_len: int,
+    compute_dtype=jnp.float32,
+) -> FrameResult:
+    """Demodulate a batch of aligned frames, batch axis sharded over the mesh.
+
+    The per-device computation has no cross-stream dependencies, so this is
+    pure SPMD: XLA inserts no collectives; each device demodulates its
+    shard's streams on its own MXU.
+    """
+    axis = mesh.axis_names[0]
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        check_vma=False,
+        in_specs=P(axis, None),
+        out_specs=jax.tree_util.tree_map(lambda _: P(axis), _frame_result_proto()),
+    )
+    def _demod(w):
+        return demodulate_frame(config, w, payload_len, compute_dtype=compute_dtype)
+
+    return jax.jit(_demod)(waves)
+
+
+def _frame_result_proto() -> FrameResult:
+    # A pytree with the same structure as FrameResult, for out_specs mapping.
+    z = 0
+    return FrameResult(z, z, z, z, z, z, z, z)
+
+
+class BerPoint(NamedTuple):
+    """Aggregated error statistics for one sweep grid point."""
+
+    snr_db: jnp.ndarray  # float32 [G]
+    bit_errors: jnp.ndarray  # int32 [G] — across all frames/devices
+    total_bits: jnp.ndarray  # int32 [G]
+    frame_errors: jnp.ndarray  # int32 [G] — integrity-failed frames
+    total_frames: jnp.ndarray  # int32 [G]
+
+    @property
+    def ber(self) -> jnp.ndarray:
+        return self.bit_errors / jnp.maximum(self.total_bits, 1)
+
+    @property
+    def fer(self) -> jnp.ndarray:
+        return self.frame_errors / jnp.maximum(self.total_frames, 1)
+
+
+def ber_sweep(
+    config: ModemConfig,
+    mesh: Mesh,
+    key: jax.Array,
+    snr_grid_db: Sequence[float],
+    frames_per_point: int,
+    payload_len: int = 64,
+    channel: ChannelConfig = ChannelConfig(),
+    compute_dtype=jnp.float32,
+) -> BerPoint:
+    """TX -> channel -> RX error-rate sweep, sharded over the mesh.
+
+    Layout: a [G * frames_per_point] stream axis sharded over devices; each
+    stream draws its own payload and noise, runs the full modulate ->
+    impair -> demodulate chain, and global error counts per grid point come
+    back via an in-shard-map `psum` over the stream axis — the TPU-native
+    replacement for the reference's "collect stats from N receivers over
+    sockets" pattern (BASELINE config 5).
+
+    ``frames_per_point`` must be a multiple of the mesh size.
+    """
+    axis = mesh.axis_names[0]
+    n_dev = mesh.devices.size
+    g = len(snr_grid_db)
+    if frames_per_point % n_dev:
+        raise ValueError(
+            f"frames_per_point={frames_per_point} must be a multiple of mesh size {n_dev}"
+        )
+
+    snrs = jnp.asarray(snr_grid_db, jnp.float32)  # [G]
+    # Stream layout: [n_dev, per_dev, G] — sharded on the device axis.
+    per_dev = frames_per_point // n_dev
+    keys = jax.random.split(key, n_dev)
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        check_vma=False,
+        in_specs=(P(axis), None),
+        out_specs=(P(), P(), P()),
+    )
+    def _point(dev_keys, snrs_rep):
+        dev_key = dev_keys[0]
+        k_payload, k_chan = jax.random.split(dev_key)
+        payloads = jax.random.randint(
+            k_payload, (per_dev, g, payload_len), 0, 256, dtype=jnp.int32
+        ).astype(jnp.uint8)
+        waves = transmit(config, payloads)  # [per_dev, G, T]
+        chan_keys = jax.random.split(k_chan, per_dev)
+
+        def impair(ck, w):
+            return apply_channel(ck, w, channel, snr_db=snrs_rep)
+
+        dirty = jax.vmap(impair)(chan_keys, waves)
+        res = demodulate_frame(config, dirty, payload_len, compute_dtype=compute_dtype)
+        # bit errors: popcount of byte XOR
+        xor = jnp.bitwise_xor(res.payload, payloads)
+        bit_err = jnp.sum(
+            _popcount8(xor), axis=(0, 2), dtype=jnp.int32
+        )  # [G]
+        frame_err = jnp.sum(~res.ok, axis=0, dtype=jnp.int32)  # [G]
+        # Global totals: psum across devices rides the ICI.
+        bit_err = jax.lax.psum(bit_err, axis)
+        frame_err = jax.lax.psum(frame_err, axis)
+        frames = jax.lax.psum(jnp.full((g,), per_dev, jnp.int32), axis)
+        return bit_err, frame_err, frames
+
+    bit_errors, frame_errors, total_frames = jax.jit(_point)(keys, snrs)
+    total_bits = total_frames * (payload_len * 8)
+    return BerPoint(
+        snr_db=snrs,
+        bit_errors=bit_errors,
+        total_bits=total_bits,
+        frame_errors=frame_errors,
+        total_frames=total_frames,
+    )
+
+
+def _popcount8(x: jnp.ndarray) -> jnp.ndarray:
+    """Per-byte popcount of a uint8 array."""
+    x = x.astype(jnp.int32)
+    x = x - ((x >> 1) & 0x55)
+    x = (x & 0x33) + ((x >> 2) & 0x33)
+    return (x + (x >> 4)) & 0x0F
+
+
+class ShardedStreamResult(NamedTuple):
+    steps: StreamStepOutput  # per-chunk outputs, chunk axis global-ordered
+    frames_detected: jnp.ndarray  # int32 scalar — global
+    frames_ok: jnp.ndarray  # int32 scalar — global
+    decode_errors: jnp.ndarray  # int32 scalar — global
+
+
+def sharded_receive_long_capture(
+    config: ModemConfig,
+    mesh: Mesh,
+    capture: jnp.ndarray,
+    chunk_size: int,
+    payload_len: int,
+    detect_threshold: float = 0.55,
+) -> ShardedStreamResult:
+    """Split ONE long capture along time across devices (the CP analog).
+
+    Each device scans a contiguous time segment; the left halo — the last
+    `frame_samples` of the previous device's segment, i.e. exactly the
+    demodulator's memory — arrives via `jax.lax.ppermute` over the ring
+    (SURVEY.md §5 long-context story). A frame is attributed to the device
+    where its *end* falls, so boundary frames are found exactly once.
+
+    ``capture``: float [N]; N must divide evenly into mesh_size segments of
+    whole chunks.
+    """
+    axis = mesh.axis_names[0]
+    n_dev = mesh.devices.size
+    n = capture.shape[-1]
+    t_frame = frame_num_samples(config, payload_len)
+    seg = n // n_dev
+    if n % n_dev or seg % chunk_size:
+        raise ValueError(
+            f"capture length {n} must split into {n_dev} segments of whole "
+            f"{chunk_size}-sample chunks"
+        )
+    halo = t_frame + chunk_size  # stream buffer length
+    if seg < halo:
+        raise ValueError(
+            f"per-device segment of {seg} samples is shorter than the "
+            f"demodulator memory ({halo}); use fewer devices or a longer capture"
+        )
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        check_vma=False,
+        in_specs=P(axis),
+        out_specs=(
+            jax.tree_util.tree_map(lambda _: P(axis), _stream_step_proto()),
+            P(),
+            P(),
+            P(),
+        ),
+    )
+    def _scan_segment(cap_shard):
+        cap_local = cap_shard.reshape(-1)  # [seg]
+        idx = jax.lax.axis_index(axis)
+        # Left halo: last `halo` samples of the left neighbor's segment.
+        tail = cap_local[-halo:]
+        left_tail = jax.lax.ppermute(
+            tail, axis, [(i, (i + 1) % n_dev) for i in range(n_dev)]
+        )
+        # Device 0 has no left context: zero it.
+        left_tail = jnp.where(idx == 0, jnp.zeros_like(left_tail), left_tail)
+
+        carry = init_carry(config, chunk_size, payload_len)
+        carry = carry._replace(
+            buffer=left_tail.astype(jnp.float32),
+            samples_seen=(idx * seg).astype(jnp.int32),
+        )
+        res = receive_stream(
+            config, cap_local, chunk_size, payload_len, detect_threshold, carry
+        )
+        det = jax.lax.psum(res.carry.frames_detected, axis)
+        ok = jax.lax.psum(res.carry.frames_ok, axis)
+        err = jax.lax.psum(res.carry.decode_errors, axis)
+        # steps currently [chunks_local, ...]; emit with a leading singleton
+        # shard axis so out_specs P(axis) concatenates devices in ring order.
+        steps = jax.tree_util.tree_map(lambda x: x[None], res.steps)
+        return steps, det, ok, err
+
+    steps, det, ok, err = jax.jit(_scan_segment)(capture)
+    # steps: [n_dev, chunks_local, ...] -> flatten to global chunk order
+    steps = jax.tree_util.tree_map(
+        lambda x: x.reshape((-1,) + x.shape[2:]), steps
+    )
+    return ShardedStreamResult(
+        steps=steps, frames_detected=det, frames_ok=ok, decode_errors=err
+    )
+
+
+def _stream_step_proto() -> StreamStepOutput:
+    z = 0
+    return StreamStepOutput(frame=_frame_result_proto(), detected=z, quality=z, frame_start=z)

@@ -1,0 +1,244 @@
+"""Streaming runtime: chunked `lax.scan` demodulation with explicit carry.
+
+This is the TPU-native equivalent of the reference receiver's streaming
+pipeline (SURVEY.md §2.4, §5): where the firmware runs a FreeRTOS task that
+pulls frames off a socket into a bounded queue and decodes them one at a
+time (network.cpp:409-430 -> playback.cpp:80-143), anet processes an
+unbounded capture as fixed-size chunks threaded through a scan whose carry
+holds everything the demodulator remembers between chunks:
+
+- a sliding sample buffer (the ring-buffer analog, ByteRingBuffer.kt),
+- frame-lock bookkeeping (dedupe of re-detections),
+- cumulative counters: frames detected / frames ok / decode errors — the
+  implemented version of the reference's designed-but-unsent
+  ReceiverError feedback (ip.proto:56-61, TODO at playback.cpp:94).
+
+Because carry state is explicit, resume is trivial (checkpoint the carry,
+SURVEY.md §5 checkpoint/resume) and per-stream reset is just reinitializing
+the carry (playback_start_new_stream analog, playback.cpp:67-74).
+
+Detection model: each scan step appends one chunk to the buffer and
+examines the "just completed" window — frame start positions whose frame
+end arrived within the new chunk — so every frame is considered exactly
+once, at the earliest step where it is fully buffered. At most one frame is
+detected per chunk; choose chunk_size <= one frame length to guarantee no
+frame is skipped when frames do not overlap.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from anet.dsp.demod import demod_basis
+from anet.dsp.frame import (
+    FrameResult,
+    demodulate_frame,
+    frame_num_samples,
+)
+from anet.dsp.params import ModemConfig
+from anet.dsp.sync import preamble_waveform
+
+__all__ = [
+    "StreamCarry",
+    "StreamStepOutput",
+    "StreamResult",
+    "init_carry",
+    "stream_step",
+    "receive_stream",
+]
+
+DEFAULT_DETECT_THRESHOLD = 0.55
+
+
+class StreamCarry(NamedTuple):
+    """Everything the streaming receiver remembers between chunks."""
+
+    buffer: jnp.ndarray  # float32 [L] sliding sample window
+    samples_seen: jnp.ndarray  # int32 — absolute sample count consumed
+    last_frame_end: jnp.ndarray  # int32 — absolute end of last accepted frame
+    frames_detected: jnp.ndarray  # int32
+    frames_ok: jnp.ndarray  # int32
+    decode_errors: jnp.ndarray  # int32 — preamble locked but integrity failed
+
+
+class StreamStepOutput(NamedTuple):
+    """Per-chunk emission (stacked by scan over the chunk axis)."""
+
+    frame: FrameResult
+    detected: jnp.ndarray  # bool — a frame completed in this chunk
+    quality: jnp.ndarray  # float32 — best sync quality in the window
+    frame_start: jnp.ndarray  # int32 — absolute sample index of frame start
+
+
+class StreamResult(NamedTuple):
+    carry: StreamCarry
+    steps: StreamStepOutput
+
+
+def _buffer_len(config: ModemConfig, chunk_size: int, payload_len: int) -> int:
+    return frame_num_samples(config, payload_len) + chunk_size
+
+
+def init_carry(
+    config: ModemConfig, chunk_size: int, payload_len: int, batch_shape: Tuple[int, ...] = ()
+) -> StreamCarry:
+    """Fresh stream state (the playback_start_new_stream analog)."""
+    length = _buffer_len(config, chunk_size, payload_len)
+    zi = jnp.zeros(batch_shape, jnp.int32)
+    return StreamCarry(
+        buffer=jnp.zeros(batch_shape + (length,), jnp.float32),
+        samples_seen=zi,
+        last_frame_end=zi,
+        frames_detected=zi,
+        frames_ok=zi,
+        decode_errors=zi,
+    )
+
+
+def stream_step(
+    config: ModemConfig,
+    carry: StreamCarry,
+    chunk: jnp.ndarray,
+    payload_len: int,
+    detect_threshold: float = DEFAULT_DETECT_THRESHOLD,
+    compute_dtype=jnp.float32,
+) -> Tuple[StreamCarry, StreamStepOutput]:
+    """Consume one chunk; maybe emit one frame.
+
+    ``chunk``: float [..., chunk_size]; batch axes must match the carry's.
+    """
+    chunk_size = chunk.shape[-1]
+    t_frame = frame_num_samples(config, payload_len)
+    template = preamble_waveform(config).astype(jnp.float32)
+    k = template.shape[-1]
+    length = carry.buffer.shape[-1]
+    if length != t_frame + chunk_size:
+        raise ValueError(
+            f"carry buffer {length} != frame {t_frame} + chunk {chunk_size};"
+            " init_carry with the same chunk_size/payload_len"
+        )
+
+    buffer = jnp.concatenate([carry.buffer[..., chunk_size:], chunk], axis=-1)
+    samples_seen = carry.samples_seen + chunk_size
+    # Absolute index of buffer[0]:
+    buffer_abs0 = samples_seen - length
+
+    # Candidate frame starts: the window of positions whose frame END lies in
+    # the new chunk: start in (L - T - chunk, L - T] — exactly chunk_size wide.
+    w0 = length - t_frame - chunk_size + 1
+    # Correlate template against starts [w0, w0 + chunk_size).
+    seg = jax.lax.dynamic_slice_in_dim(buffer, w0, chunk_size + k - 1, axis=-1)
+    corr = _windowed_corr(seg, template)  # [..., chunk_size]
+    t_energy = jnp.sum(template * template)
+    local_e = _sliding_energy(seg, k)  # [..., chunk_size]
+    quality = jnp.abs(corr) / jnp.sqrt(jnp.maximum(t_energy * local_e, 1e-20))
+
+    best_rel = jnp.argmax(quality, axis=-1).astype(jnp.int32)
+    best_q = jnp.take_along_axis(quality, best_rel[..., None], axis=-1)[..., 0]
+    start_idx = w0 + best_rel  # buffer index of candidate frame start
+    start_abs = buffer_abs0 + start_idx
+
+    # Candidate if quality clears the threshold and the frame does not overlap
+    # the previously accepted frame (dedupe against double-detection).
+    no_overlap = start_abs >= carry.last_frame_end
+    candidate = (best_q >= detect_threshold) & no_overlap
+
+    # Fixed-cost demod at the candidate position. A lock counts as a real
+    # detection only if the demodulated header validates (magic word +
+    # header CRC, 48 bits of check) — correlation sidelobes from partial
+    # frame overlap can clear the quality threshold, but they essentially
+    # never produce a valid header. This mirrors the reference's layering:
+    # framing-level garbage resets silently (network.cpp:432-434); only
+    # in-frame payload corruption counts as a decode error.
+    aligned = _batched_dynamic_slice(buffer, start_idx, t_frame)
+    frame = demodulate_frame(config, aligned, payload_len, compute_dtype=compute_dtype)
+    detected = candidate & frame.magic_ok & frame.header_crc_ok
+    frame = frame._replace(ok=frame.ok & detected)
+
+    new_carry = StreamCarry(
+        buffer=buffer,
+        samples_seen=samples_seen,
+        last_frame_end=jnp.where(detected, start_abs + t_frame, carry.last_frame_end),
+        frames_detected=carry.frames_detected + detected.astype(jnp.int32),
+        frames_ok=carry.frames_ok + frame.ok.astype(jnp.int32),
+        decode_errors=carry.decode_errors
+        + (detected & ~frame.ok).astype(jnp.int32),
+    )
+    out = StreamStepOutput(
+        frame=frame, detected=detected, quality=best_q, frame_start=start_abs
+    )
+    return new_carry, out
+
+
+def _windowed_corr(seg: jnp.ndarray, template: jnp.ndarray) -> jnp.ndarray:
+    """Correlation of [..., W+K-1] segment with [K] template -> [..., W].
+
+    FFT-based (O(n log n)); W and K are static so the FFT size constant-folds.
+    """
+    n = seg.shape[-1]
+    k = template.shape[-1]
+    fft_len = 1 << (n - 1).bit_length()
+    spec_x = jnp.fft.rfft(seg, n=fft_len, axis=-1)
+    spec_t = jnp.fft.rfft(template, n=fft_len)
+    corr = jnp.fft.irfft(spec_x * jnp.conj(spec_t), n=fft_len, axis=-1)
+    return corr[..., : n - k + 1]
+
+
+def _sliding_energy(seg: jnp.ndarray, k: int) -> jnp.ndarray:
+    sq = seg * seg
+    csum = jnp.cumsum(sq, axis=-1)
+    csum = jnp.concatenate([jnp.zeros_like(csum[..., :1]), csum], axis=-1)
+    return csum[..., k:] - csum[..., : csum.shape[-1] - k]
+
+
+def _batched_dynamic_slice(buffer: jnp.ndarray, start: jnp.ndarray, size: int) -> jnp.ndarray:
+    """dynamic_slice along the last axis with batched start indices."""
+    if start.ndim == 0:
+        return jax.lax.dynamic_slice_in_dim(buffer, start, size, axis=-1)
+    idx = start[..., None] + jnp.arange(size)
+    return jnp.take_along_axis(buffer, idx, axis=-1)
+
+
+def receive_stream(
+    config: ModemConfig,
+    capture: jnp.ndarray,
+    chunk_size: int,
+    payload_len: int,
+    detect_threshold: float = DEFAULT_DETECT_THRESHOLD,
+    carry: StreamCarry | None = None,
+    compute_dtype=jnp.float32,
+) -> StreamResult:
+    """Scan a capture chunk-by-chunk, emitting every frame found.
+
+    Args:
+      capture: float [..., N]; N must be a multiple of chunk_size (pad with
+        zeros host-side — the final() analog).
+      carry: resume state from a previous call (checkpoint/resume); fresh
+        state if None.
+    Returns:
+      StreamResult(final carry, per-chunk outputs stacked along a leading
+      chunk axis of the `steps` field).
+    """
+    n = capture.shape[-1]
+    if n % chunk_size:
+        raise ValueError(f"capture length {n} not a multiple of chunk_size {chunk_size}")
+    batch_shape = capture.shape[:-1]
+    if carry is None:
+        carry = init_carry(config, chunk_size, payload_len, batch_shape)
+
+    # time-major chunks for scan: [num_chunks, ..., chunk_size]
+    num_chunks = n // chunk_size
+    chunks = jnp.moveaxis(
+        capture.reshape(batch_shape + (num_chunks, chunk_size)), -2, 0
+    )
+
+    def step(c, chunk):
+        return stream_step(
+            config, c, chunk, payload_len, detect_threshold, compute_dtype
+        )
+
+    final_carry, outs = jax.lax.scan(step, carry, chunks)
+    return StreamResult(carry=final_carry, steps=outs)

@@ -1,0 +1,196 @@
+"""Streaming-runtime and multi-device tests.
+
+Covers BASELINE configs 3-5: batched streams through the channel, chunked-
+scan streaming demod with preamble sync on long captures, and the sharded
+BER sweep — all on the 8-virtual-device CPU mesh from conftest.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from anet.channel import ChannelConfig, awgn
+from anet.dsp import ModemConfig
+from anet.dsp.frame import frame_num_samples
+from anet.dsp.pipeline import transmit
+from anet.parallel import (
+    ber_sweep,
+    make_mesh,
+    shard_streams,
+    sharded_demodulate,
+    sharded_receive_long_capture,
+)
+from anet.stream import init_carry, receive_stream
+
+CFG = ModemConfig(symbol_rate_hz=1500, num_tones=4, preamble_symbols=16)
+PAYLOAD_LEN = 32
+CHUNK = 512
+
+
+def _make_capture(gaps, payload_seed=1, snr_db=12.0, align=CHUNK):
+    rng = np.random.default_rng(payload_seed)
+    payloads = [rng.integers(0, 256, PAYLOAD_LEN, dtype=np.uint8) for _ in gaps]
+    waves = [np.asarray(transmit(CFG, jnp.asarray(p))) for p in payloads]
+    parts = []
+    starts = []
+    pos = 0
+    for g, w in zip(gaps, waves):
+        parts.append(np.zeros(g, np.float32))
+        pos += g
+        starts.append(pos)
+        parts.append(w)
+        pos += len(w)
+    parts.append(np.zeros(4000, np.float32))
+    cap = np.concatenate(parts)
+    cap = np.concatenate([cap, np.zeros((-len(cap)) % align, np.float32)])
+    cap = np.asarray(awgn(jax.random.PRNGKey(7), jnp.asarray(cap), snr_db))
+    return jnp.asarray(cap), payloads, starts
+
+
+# --- chunked-scan streaming --------------------------------------------------
+
+def test_stream_finds_all_frames_exact_offsets():
+    cap, payloads, starts = _make_capture([700, 1300, 451])
+    res = receive_stream(CFG, cap, CHUNK, PAYLOAD_LEN)
+    assert int(res.carry.frames_detected) == 3
+    assert int(res.carry.frames_ok) == 3
+    assert int(res.carry.decode_errors) == 0
+    det = np.asarray(res.steps.detected)
+    idx = np.nonzero(det)[0]
+    assert np.asarray(res.steps.frame_start)[idx].tolist() == starts
+    for j, i in enumerate(idx):
+        assert np.array_equal(np.asarray(res.steps.frame.payload)[i], payloads[j])
+
+
+def test_stream_checkpoint_resume_matches_single_pass():
+    """Explicit carry state makes resume exact (SURVEY.md §5 checkpoint)."""
+    cap, _, _ = _make_capture([900, 2000])
+    full = receive_stream(CFG, cap, CHUNK, PAYLOAD_LEN)
+    half = (cap.shape[-1] // 2) // CHUNK * CHUNK
+    r1 = receive_stream(CFG, cap[:half], CHUNK, PAYLOAD_LEN)
+    r2 = receive_stream(CFG, cap[half:], CHUNK, PAYLOAD_LEN, carry=r1.carry)
+    assert int(r2.carry.frames_ok) == int(full.carry.frames_ok) == 2
+    assert int(r2.carry.samples_seen) == int(full.carry.samples_seen)
+
+
+def test_stream_counts_decode_errors():
+    """A frame with a corrupted payload is a decode error, not a miss."""
+    cap, payloads, starts = _make_capture([800], snr_db=60.0)
+    cap = np.array(cap)
+    sps = CFG.samples_per_symbol
+    # Zero out payload symbols mid-frame (past header) of the only frame.
+    s = starts[0] + (CFG.preamble_symbols + 40) * sps
+    cap[s : s + 5 * sps] = 0.0
+    res = receive_stream(CFG, jnp.asarray(cap), CHUNK, PAYLOAD_LEN)
+    assert int(res.carry.frames_detected) == 1
+    assert int(res.carry.frames_ok) == 0
+    assert int(res.carry.decode_errors) == 1
+
+
+def test_stream_silence_finds_nothing():
+    silence = awgn(jax.random.PRNGKey(0), jnp.zeros(40 * CHUNK), -20.0)
+    res = receive_stream(CFG, silence, CHUNK, PAYLOAD_LEN)
+    assert int(res.carry.frames_detected) == 0
+
+
+def test_stream_partial_frame_overlap_no_false_lock():
+    """Frame tail + silence windows must not fire (header gate)."""
+    cap, _, _ = _make_capture([1000])
+    res = receive_stream(CFG, cap, CHUNK, PAYLOAD_LEN)
+    assert int(res.carry.frames_detected) == 1  # exactly once
+
+
+def test_stream_batched_streams():
+    caps = []
+    for seed in range(3):
+        cap, _, _ = _make_capture([600 + 37 * seed], payload_seed=seed)
+        caps.append(np.asarray(cap))
+    n = min(c.shape[-1] for c in caps) // CHUNK * CHUNK
+    batch = jnp.asarray(np.stack([c[:n] for c in caps]))
+    res = receive_stream(CFG, batch, CHUNK, PAYLOAD_LEN)
+    assert np.asarray(res.carry.frames_ok).tolist() == [1, 1, 1]
+
+
+def test_stream_rejects_bad_geometry():
+    with pytest.raises(ValueError, match="multiple of chunk_size"):
+        receive_stream(CFG, jnp.zeros(1000), 512, PAYLOAD_LEN)
+    carry = init_carry(CFG, 256, PAYLOAD_LEN)
+    with pytest.raises(ValueError, match="carry buffer"):
+        receive_stream(CFG, jnp.zeros(1024), 512, PAYLOAD_LEN, carry=carry)
+
+
+# --- mesh / sharding ---------------------------------------------------------
+
+def test_mesh_has_8_devices():
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+
+
+def test_sharded_demodulate_matches_local():
+    mesh = make_mesh()
+    payloads = jnp.asarray(
+        np.random.default_rng(0).integers(0, 256, (16, PAYLOAD_LEN), np.uint8)
+    )
+    waves = transmit(CFG, payloads)
+    waves_sharded = shard_streams(mesh, waves)
+    res = sharded_demodulate(CFG, mesh, waves_sharded, PAYLOAD_LEN)
+    assert np.all(np.asarray(res.ok))
+    assert np.array_equal(np.asarray(res.payload), np.asarray(payloads))
+
+
+def test_ber_sweep_monotone_and_aggregated():
+    mesh = make_mesh()
+    pt = ber_sweep(
+        CFG,
+        mesh,
+        jax.random.PRNGKey(0),
+        snr_grid_db=[-14.0, -8.0, -2.0],
+        frames_per_point=32,
+        payload_len=PAYLOAD_LEN,
+    )
+    ber = np.asarray(pt.ber)
+    assert np.asarray(pt.total_bits).tolist() == [32 * PAYLOAD_LEN * 8] * 3
+    # BER decreases with SNR; extremes sane
+    assert ber[0] > ber[1] > ber[2]
+    assert ber[0] > 0.2 and ber[2] < 0.05
+
+
+def test_ber_sweep_validates_divisibility():
+    mesh = make_mesh()
+    with pytest.raises(ValueError, match="multiple of mesh size"):
+        ber_sweep(CFG, mesh, jax.random.PRNGKey(0), [0.0], frames_per_point=3)
+
+
+def test_sharded_long_capture_boundary_frames():
+    """Frames crossing device boundaries are found exactly once (halo via
+    ppermute, attribution by frame end)."""
+    mesh = make_mesh()
+    cap, payloads, starts = _make_capture(
+        [9000, 8200, 7900, 9500, 8700], align=8 * CHUNK
+    )
+    res = sharded_receive_long_capture(CFG, mesh, cap, CHUNK, PAYLOAD_LEN)
+    assert int(res.frames_detected) == 5
+    assert int(res.frames_ok) == 5
+    assert int(res.decode_errors) == 0
+    det = np.asarray(res.steps.detected)
+    idx = np.nonzero(det)[0]
+    assert np.asarray(res.steps.frame_start)[idx].tolist() == starts
+    for j, i in enumerate(idx):
+        assert np.array_equal(np.asarray(res.steps.frame.payload)[i], payloads[j])
+
+
+def test_sharded_long_capture_matches_single_device_counts():
+    mesh = make_mesh()
+    cap, _, _ = _make_capture([9000, 9100, 9200], align=8 * CHUNK)
+    sharded = sharded_receive_long_capture(CFG, mesh, cap, CHUNK, PAYLOAD_LEN)
+    local = receive_stream(CFG, cap, CHUNK, PAYLOAD_LEN)
+    assert int(sharded.frames_ok) == int(local.carry.frames_ok) == 3
+
+
+def test_sharded_long_capture_rejects_short_segments():
+    mesh = make_mesh()
+    with pytest.raises(ValueError, match="demodulator memory"):
+        sharded_receive_long_capture(
+            CFG, mesh, jnp.zeros(8 * CHUNK), CHUNK, PAYLOAD_LEN
+        )
