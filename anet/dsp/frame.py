@@ -130,17 +130,26 @@ def demodulate_frame(
     payload_len: int,
     *,
     compute_dtype=jnp.float32,
+    use_pallas: bool = False,
 ) -> FrameResult:
     """Symbol-aligned frame waveform -> payload + verdicts.
 
     ``samples`` must start exactly at the frame start (use
     anet.dsp.pipeline.receive_frame / anet.stream for unaligned captures)
     and have length frame_num_samples(config, payload_len).
+
+    ``use_pallas`` routes the filterbank through the fused TPU kernel
+    (anet.kernels); the jnp path is the golden model.
     """
     sps = config.samples_per_symbol
     data_start = config.preamble_symbols * sps
     data = samples[..., data_start:]
-    energies = tone_energies(config, data, compute_dtype=compute_dtype)
+    if use_pallas:
+        from anet.kernels import tone_energies_fused
+
+        energies = tone_energies_fused(config, data, compute_dtype=compute_dtype)
+    else:
+        energies = tone_energies(config, data, compute_dtype=compute_dtype)
     symbols = decide_symbols(config, energies)
     bits = unpack_symbols(symbols, config.bits_per_symbol)
     n_bytes = data_section_bytes(payload_len)

@@ -117,12 +117,13 @@ def locate_preamble(
     frac = jnp.clip(frac, -0.5, 0.5)
 
     # Quality: peak correlation normalized by template and local signal
-    # energy (Cauchy-Schwarz bound makes this <= 1).
+    # energy (Cauchy-Schwarz bound makes this <= 1). The window energy is
+    # floored at -40 dB of the template energy so near-silent captures
+    # cannot divide FFT roundoff by ~zero and report spurious quality.
     t_energy = jnp.sum(template * template)
     windows_energy = _local_energy(samples, template.shape[-1], offset)
-    quality = center / jnp.sqrt(
-        jnp.maximum(t_energy * windows_energy, jnp.float32(1e-20))
-    )
+    windows_energy = jnp.maximum(windows_energy, 1e-4 * t_energy)
+    quality = center / jnp.sqrt(t_energy * windows_energy)
     return SyncResult(offset=offset, frac=frac, quality=quality)
 
 

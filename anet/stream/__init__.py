@@ -134,7 +134,11 @@ def stream_step(
     corr = _windowed_corr(seg, template)  # [..., chunk_size]
     t_energy = jnp.sum(template * template)
     local_e = _sliding_energy(seg, k)  # [..., chunk_size]
-    quality = jnp.abs(corr) / jnp.sqrt(jnp.maximum(t_energy * local_e, 1e-20))
+    # Floor the window energy at -40 dB of the template energy: otherwise
+    # near-silent windows divide FFT roundoff by ~zero and the "quality"
+    # explodes. A real preamble at any receivable level clears the floor.
+    local_e = jnp.maximum(local_e, 1e-4 * t_energy)
+    quality = jnp.abs(corr) / jnp.sqrt(t_energy * local_e)
 
     best_rel = jnp.argmax(quality, axis=-1).astype(jnp.int32)
     best_q = jnp.take_along_axis(quality, best_rel[..., None], axis=-1)[..., 0]

@@ -1,0 +1,100 @@
+"""anet benchmark: aggregate demod throughput per chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "Msamples/s", "vs_baseline": N, ...}
+
+Headline: Msamples/s of audio demodulated through the full frame receiver
+(tone-energy filterbank -> symbol decisions -> Gray decode -> byte packing
+-> magic/length/CRC verification) on one chip, batched over independent
+streams. On TPU the filterbank runs as the fused Pallas kernel
+(anet.kernels); set ANET_BENCH_NO_PALLAS=1 to benchmark the plain XLA path.
+
+Baseline: the reference system's steady-state throughput is its real-time
+operating point — 96 ksamples/s (48 kHz stereo, playback.cpp:9) per
+receiver, paced to 1x real time by design (MulticastAudioOutput.kt:79-86).
+vs_baseline is the speedup over that 0.096 Msamples/s envelope.
+
+Usage: python bench.py                   (default backend — TPU)
+       ANET_BENCH_CPU=1 python bench.py  (force CPU, for debugging)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+BASELINE_MSAMPLES_S = 0.096  # reference steady-state, derived in BASELINE.md
+
+
+def main() -> None:
+    import jax
+
+    if os.environ.get("ANET_BENCH_CPU"):
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    import numpy as np
+
+    from anet.dsp import ModemConfig
+    from anet.dsp.frame import demodulate_frame, frame_num_samples
+    from anet.dsp.pipeline import transmit
+
+    backend = jax.default_backend()
+    use_pallas = backend == "tpu" and not os.environ.get("ANET_BENCH_NO_PALLAS")
+
+    cfg = ModemConfig()  # 48 kHz, 750 baud, 16-FSK — the flagship modem
+    payload_len = int(os.environ.get("ANET_BENCH_PAYLOAD", "256"))
+    batch = int(os.environ.get("ANET_BENCH_BATCH", "256"))
+    t_frame = frame_num_samples(cfg, payload_len)
+
+    # Build one batch of frames host-side (not timed).
+    rng = np.random.default_rng(0)
+    payloads = jnp.asarray(rng.integers(0, 256, (batch, payload_len), dtype=np.uint8))
+    waves = jax.jit(lambda p: transmit(cfg, p))(payloads).block_until_ready()
+
+    step = jax.jit(
+        lambda w: demodulate_frame(
+            cfg, w, payload_len, compute_dtype=jnp.bfloat16, use_pallas=use_pallas
+        )
+    )
+
+    # Warmup / compile.
+    out = step(waves)
+    jax.block_until_ready(out)
+
+    iters = int(os.environ.get("ANET_BENCH_ITERS", "20"))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = step(waves)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+
+    ok_frac = float(jnp.mean(out.ok.astype(jnp.float32)))
+    samples = batch * t_frame * iters
+    msamples_s = samples / dt / 1e6
+
+    print(
+        json.dumps(
+            {
+                "metric": "demod_throughput_per_chip",
+                "value": round(msamples_s, 2),
+                "unit": "Msamples/s",
+                "vs_baseline": round(msamples_s / BASELINE_MSAMPLES_S, 1),
+                "details": {
+                    "backend": backend,
+                    "pallas": use_pallas,
+                    "batch_streams": batch,
+                    "payload_bytes": payload_len,
+                    "frame_samples": t_frame,
+                    "iters": iters,
+                    "seconds": round(dt, 4),
+                    "frames_ok_fraction": ok_frac,
+                    "modem": f"{cfg.num_tones}-FSK@{cfg.symbol_rate_hz}baud/{cfg.sample_rate_hz}Hz",
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
