@@ -40,36 +40,43 @@ def main() -> None:
     from anet.dsp.pipeline import transmit
 
     backend = jax.default_backend()
-    use_pallas = backend == "tpu" and not os.environ.get("ANET_BENCH_NO_PALLAS")
+    # The plain XLA path currently outperforms the Pallas kernel on this
+    # pipeline (XLA fuses the epilogue bit-ops across the matmul better);
+    # opt in to the kernel with ANET_BENCH_PALLAS=1.
+    use_pallas = bool(os.environ.get("ANET_BENCH_PALLAS"))
 
     cfg = ModemConfig()  # 48 kHz, 750 baud, 16-FSK — the flagship modem
     payload_len = int(os.environ.get("ANET_BENCH_PAYLOAD", "256"))
-    batch = int(os.environ.get("ANET_BENCH_BATCH", "256"))
+    batch = int(os.environ.get("ANET_BENCH_BATCH", "4096"))
     t_frame = frame_num_samples(cfg, payload_len)
 
     # Build one batch of frames host-side (not timed).
     rng = np.random.default_rng(0)
     payloads = jnp.asarray(rng.integers(0, 256, (batch, payload_len), dtype=np.uint8))
-    waves = jax.jit(lambda p: transmit(cfg, p))(payloads).block_until_ready()
+    waves = jax.jit(lambda p: transmit(cfg, p, dtype=jnp.bfloat16))(payloads).block_until_ready()
 
-    step = jax.jit(
-        lambda w: demodulate_frame(
+    @jax.jit
+    def step(w):
+        r = demodulate_frame(
             cfg, w, payload_len, compute_dtype=jnp.bfloat16, use_pallas=use_pallas
         )
-    )
+        # Reduce on-device: returning bulk results would time the host
+        # transfer, not the demodulator.
+        return jnp.sum(r.ok.astype(jnp.int32))
 
     # Warmup / compile.
-    out = step(waves)
-    jax.block_until_ready(out)
+    int(step(waves))
 
-    iters = int(os.environ.get("ANET_BENCH_ITERS", "20"))
+    iters = int(os.environ.get("ANET_BENCH_ITERS", "30"))
     t0 = time.perf_counter()
     for _ in range(iters):
         out = step(waves)
-    jax.block_until_ready(out)
+    # Force a device->host read of the result: block_until_ready alone can
+    # under-report on remote-proxy backends where dispatch is fully async.
+    ok_count = int(out)
     dt = time.perf_counter() - t0
 
-    ok_frac = float(jnp.mean(out.ok.astype(jnp.float32)))
+    ok_frac = ok_count / batch
     samples = batch * t_frame * iters
     msamples_s = samples / dt / 1e6
 
