@@ -1,0 +1,295 @@
+"""anet command-line interface.
+
+The Main.kt analog (Main.kt:9-24 is `discover receivers; stream file`),
+widened to the full framework:
+
+  anet discover                      find receivers on the LAN
+  anet tx FILE [HOST...]             stream a WAV to receivers (discover if none given)
+  anet rx [--name N] [--out out.wav] run a receiver (discovery + audio + playback)
+  anet modem-tx FILE --out cap.f32   modulate a file's bytes into a modem capture
+  anet modem-rx CAP --len N          demodulate a capture back to bytes
+  anet sweep [--model M]             BER/FER sweep over an SNR grid (JSON out)
+  anet models                        list modem model presets
+  anet bench                         run the throughput benchmark
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def _cmd_discover(args) -> int:
+    from anet.net import discover_receivers
+
+    found = discover_receivers(timeout_s=args.timeout)
+    for r in found:
+        d = r.response
+        print(
+            f"{r.address:15s}  {d.device_name:24s} mac={d.mac_address:012x} "
+            f"v{d.protocol_version} streaming={d.currently_streaming} [{d.opus_version}]"
+        )
+    if not found:
+        print("no receivers found", file=sys.stderr)
+        return 1
+    return 0
+
+
+def _cmd_tx(args) -> int:
+    import numpy as np
+
+    from anet.codec import AudioFormat
+    from anet.net import discover_receivers
+    from anet.tx import MulticastAudioOutput, normalize_for_opus, pcm_bytes, read_wav
+
+    hosts = args.hosts
+    if not hosts:
+        found = discover_receivers(timeout_s=args.timeout)
+        if not found:
+            print("no receivers found", file=sys.stderr)
+            return 1
+        hosts = [r.address for r in found]
+        print(f"discovered {len(hosts)} receiver(s): {', '.join(hosts)}")
+
+    samples, fmt = read_wav(args.file)
+    samples, fmt = normalize_for_opus(samples, fmt)
+    out = MulticastAudioOutput(fmt, paced=not args.unpaced)
+    for host in hosts:
+        out.add_receiver(host, args.port)
+        print(f"connected to {host}: frame={out.encoder.frame_duration_ms} ms, "
+              f"max_encoded={out.encoder.max_encoded_frame_size} B")
+    stream = out.as_output_stream()
+    chunk_frames = fmt.sample_rate_hz // 10  # 100 ms chunks
+    for start in range(0, len(samples), chunk_frames):
+        stream.write(pcm_bytes(samples[start : start + chunk_frames]))
+    stream.close()
+    for r in out.receivers:
+        s = out.stats(r)
+        print(f"{r.host}: sent={s.frames_sent} underflows={s.underflows_reported} "
+              f"decode_errors={s.decode_errors_reported}")
+    out.close()
+    return 0
+
+
+def _cmd_rx(args) -> int:
+    from anet.config import ReceiverConfig, await_and_load
+    from anet.obs.status import StatusIndicator, SystemState
+    from anet.rx.playback import BufferSink, PacedSink, WavSink
+    from anet.rx.receiver import AnetReceiver
+
+    if args.config:
+        config = await_and_load(args.config, timeout_s=args.config_timeout)
+    else:
+        config = ReceiverConfig(device_name=args.name)
+    raw_sink = WavSink(args.out) if args.out else BufferSink()
+    # real-time DAC drain model, matching the device's I2S pacing
+    sink = PacedSink(raw_sink)
+    receiver = AnetReceiver(sink, config).start()
+
+    def state() -> SystemState:
+        st = receiver.status()
+        if st["panicked"]:
+            return SystemState.PANIC
+        if st["modules"]["network"]["streaming"]:
+            return SystemState.STREAMING
+        return SystemState.CONNECTED
+
+    indicator = StatusIndicator(
+        state, on_change=lambda s, p: print(f"[{s.value}] {p}")
+    ).start()
+    print(
+        f"receiver '{config.device_name}' up: "
+        f"udp:{config.udp_discovery_port} tcp:{receiver.network.server.bound_port}"
+    )
+    try:
+        while True:
+            time.sleep(args.status_interval)
+            print(json.dumps(receiver.status()["modules"]))
+    except KeyboardInterrupt:
+        pass
+    finally:
+        indicator.stop()
+        receiver.stop()
+        if args.out:
+            raw_sink.close()
+            print(f"wrote {args.out}")
+    return 0
+
+
+def _cmd_modem_tx(args) -> int:
+    import numpy as np
+
+    from anet.dsp.pipeline import transmit
+    from anet.models import get_model
+
+    cfg = get_model(args.model).config
+    with open(args.file, "rb") as fh:
+        payload = fh.read()
+    if len(payload) > 4096:
+        print("payload capped at 4096 bytes (wire frame cap)", file=sys.stderr)
+        return 1
+    import jax.numpy as jnp
+
+    wave = transmit(cfg, jnp.asarray(np.frombuffer(payload, np.uint8)))
+    np.asarray(wave, dtype=np.float32).tofile(args.out)
+    print(
+        f"{len(payload)} bytes -> {wave.shape[-1]} samples "
+        f"({wave.shape[-1]/cfg.sample_rate_hz:.2f} s @ {cfg.sample_rate_hz} Hz) -> {args.out}"
+    )
+    return 0
+
+
+def _cmd_modem_rx(args) -> int:
+    import numpy as np
+
+    from anet.dsp.pipeline import receive_frame
+    from anet.models import get_model
+
+    cfg = get_model(args.model).config
+    capture = np.fromfile(args.capture, dtype=np.float32)
+    import jax.numpy as jnp
+
+    res = receive_frame(cfg, jnp.asarray(capture), args.len)
+    f = res.frame
+    print(
+        f"sync offset={int(res.sync.offset)} quality={float(res.sync.quality):.3f} "
+        f"| ok={bool(f.ok)} magic={bool(f.magic_ok)} crc={bool(f.payload_crc_ok)} "
+        f"snr={float(f.snr_db):.1f} dB"
+    )
+    if args.out:
+        with open(args.out, "wb") as fh:
+            fh.write(bytes(np.asarray(f.payload)))
+        print(f"payload -> {args.out}")
+    return 0 if bool(f.ok) else 2
+
+
+def _cmd_sweep(args) -> int:
+    import jax
+
+    from anet.channel import ChannelConfig
+    from anet.models import get_model
+    from anet.parallel import ber_sweep, make_mesh
+
+    cfg = get_model(args.model).config
+    mesh = make_mesh()
+    snrs = [args.snr_min + i * args.snr_step for i in range(args.snr_points)]
+    frames = args.frames - (args.frames % mesh.devices.size) or mesh.devices.size
+    pt = ber_sweep(
+        cfg,
+        mesh,
+        jax.random.PRNGKey(args.seed),
+        snr_grid_db=snrs,
+        frames_per_point=frames,
+        payload_len=args.payload,
+        channel=ChannelConfig(),
+    )
+    import numpy as np
+
+    for i, snr in enumerate(snrs):
+        print(
+            json.dumps(
+                {
+                    "model": args.model,
+                    "snr_db": snr,
+                    "ber": float(np.asarray(pt.ber)[i]),
+                    "fer": float(np.asarray(pt.fer)[i]),
+                    "bits": int(np.asarray(pt.total_bits)[i]),
+                }
+            )
+        )
+    return 0
+
+
+def _cmd_models(args) -> int:
+    from anet.models import list_models
+
+    for m in list_models():
+        c = m.config
+        print(f"{m.name:15s} {c.num_tones:3d}-FSK @{c.symbol_rate_hz:5d} baud "
+              f"{c.bit_rate_bps:7.0f} bps  {m.description}")
+    return 0
+
+
+def _cmd_bench(args) -> int:
+    import bench
+
+    bench.main()
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(prog="anet", description=__doc__)
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    p = sub.add_parser("discover", help="find receivers on the LAN")
+    p.add_argument("--timeout", type=float, default=2.0)
+    p.set_defaults(fn=_cmd_discover)
+
+    p = sub.add_parser("tx", help="stream a WAV file to receivers")
+    p.add_argument("file")
+    p.add_argument("hosts", nargs="*")
+    p.add_argument("--port", type=int, default=58764)
+    p.add_argument("--timeout", type=float, default=2.0)
+    p.add_argument("--unpaced", action="store_true", help="no real-time pacing")
+    p.set_defaults(fn=_cmd_tx)
+
+    p = sub.add_parser("rx", help="run a receiver")
+    p.add_argument("--name", default="anet-receiver")
+    p.add_argument("--out", help="write received audio to this WAV file")
+    p.add_argument("--config", help="JSON config file (awaited if absent)")
+    p.add_argument("--config-timeout", type=float, default=None)
+    p.add_argument("--status-interval", type=float, default=5.0)
+    p.set_defaults(fn=_cmd_rx)
+
+    p = sub.add_parser("modem-tx", help="modulate bytes into a modem capture")
+    p.add_argument("file")
+    p.add_argument("--out", required=True)
+    p.add_argument("--model", default="mfsk16-fast")
+    p.set_defaults(fn=_cmd_modem_tx)
+
+    p = sub.add_parser("modem-rx", help="demodulate a capture")
+    p.add_argument("capture")
+    p.add_argument("--len", type=int, required=True, help="payload length in bytes")
+    p.add_argument("--out", help="write payload bytes here")
+    p.add_argument("--model", default="mfsk16-fast")
+    p.set_defaults(fn=_cmd_modem_rx)
+
+    p = sub.add_parser("sweep", help="BER/FER sweep (one JSON line per point)")
+    p.add_argument("--model", default="mfsk16-fast")
+    p.add_argument("--snr-min", type=float, default=-14.0)
+    p.add_argument("--snr-step", type=float, default=2.0)
+    p.add_argument("--snr-points", type=int, default=8)
+    p.add_argument("--frames", type=int, default=64)
+    p.add_argument("--payload", type=int, default=64)
+    p.add_argument("--seed", type=int, default=0)
+    p.set_defaults(fn=_cmd_sweep)
+
+    p = sub.add_parser("models", help="list modem model presets")
+    p.set_defaults(fn=_cmd_models)
+
+    p = sub.add_parser("bench", help="run the throughput benchmark")
+    p.set_defaults(fn=_cmd_bench)
+    return parser
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    try:
+        return args.fn(args)
+    except KeyboardInterrupt:
+        return 130
+    except (FileNotFoundError, IsADirectoryError) as e:
+        print(f"anet: error: {e}", file=sys.stderr)
+        return 1
+    except (ConnectionError, TimeoutError, OSError) as e:
+        print(f"anet: connection error: {e}", file=sys.stderr)
+        return 1
+    except ValueError as e:
+        print(f"anet: error: {e}", file=sys.stderr)
+        return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

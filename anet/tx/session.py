@@ -1,0 +1,188 @@
+"""Transmitter session orchestrator: one encoder, many receivers.
+
+Parity with MulticastAudioOutput.kt:18-159:
+- owns the Opus encoder and the receiver set;
+- on every receiver-set change, renegotiates (MulticastAudioOutput.kt:
+  123-131): frame duration = the LARGEST supported duration whose decoded
+  bytes fit the SMALLEST receiver decode buffer; max encoded frame size =
+  the minimum across receivers;
+- paces sends with the leaky bucket modeling receiver queue occupancy in
+  ms of audio (capacity 1200 ms, drain 1000 ms/s — :79-86);
+- fans each encoded frame to every receiver (:88-96), aggregating per-
+  receiver failures so one dead sink doesn't stall the rest;
+- exposes a blocking file-like adapter whose flush() emits the final
+  padded frame (:133-155).
+
+Beyond the reference: receivers deliver ReceiverError feedback (underflow/
+decode error) into per-receiver counters the application can read.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import io
+import logging
+import threading
+from typing import Dict, List, Optional
+
+from anet import constants
+from anet.codec import AudioFormat, OpusEncoder
+from anet.net.session import RemoteAudioReceiver, SessionError
+from anet.proto import ReceiverError
+from anet.utils import LeakyBucket
+from anet.utils.errors import CombinedError
+
+logger = logging.getLogger("anet.tx")
+
+
+@dataclasses.dataclass
+class ReceiverStats:
+    frames_sent: int = 0
+    underflows_reported: int = 0
+    decode_errors_reported: int = 0
+
+
+class MulticastAudioOutput:
+    def __init__(
+        self,
+        fmt: AudioFormat = AudioFormat(),
+        bitrate_bps: int = constants.DEFAULT_OPUS_BITRATE_BPS,
+        pacing: Optional[LeakyBucket] = None,
+        paced: bool = True,
+    ) -> None:
+        self.encoder = OpusEncoder(fmt, bitrate_bps=bitrate_bps)
+        self._pacing = pacing if pacing is not None else (LeakyBucket() if paced else None)
+        self._receivers: List[RemoteAudioReceiver] = []
+        self._stats: Dict[RemoteAudioReceiver, ReceiverStats] = {}
+        self._lock = threading.Lock()
+
+    # --- receiver management -------------------------------------------------
+
+    def add_receiver(self, host: str, port: int = constants.TCP_AUDIO_PORT) -> RemoteAudioReceiver:
+        """Connect + negotiate + join the fan-out set
+        (MulticastAudioOutput.kt:58-70)."""
+        stats = ReceiverStats()
+
+        def on_feedback(err: ReceiverError) -> None:
+            if err.audio_underflow:
+                stats.underflows_reported += 1
+            if err.audio_decode_error:
+                stats.decode_errors_reported += 1
+            logger.warning("receiver %s reported %s", host, err)
+
+        receiver = RemoteAudioReceiver(host, port, on_feedback=on_feedback).connect()
+        with self._lock:
+            self._receivers.append(receiver)
+            self._stats[receiver] = stats
+            self._on_receivers_changed()
+        return receiver
+
+    def remove_receiver(self, receiver: RemoteAudioReceiver) -> None:
+        with self._lock:
+            if receiver in self._receivers:
+                self._receivers.remove(receiver)
+                receiver.close()
+                if self._receivers:
+                    self._on_receivers_changed()
+
+    @property
+    def receivers(self) -> List[RemoteAudioReceiver]:
+        with self._lock:
+            return list(self._receivers)
+
+    def stats(self, receiver: RemoteAudioReceiver) -> ReceiverStats:
+        return self._stats[receiver]
+
+    def _on_receivers_changed(self) -> None:
+        """Renegotiate frame geometry (MulticastAudioOutput.kt:123-131)."""
+        if not self._receivers:
+            return
+        min_decode_buf = min(r.max_decoded_frame_size for r in self._receivers)
+        chosen = None
+        for duration in sorted(constants.SUPPORTED_FRAME_DURATIONS_MS, reverse=True):
+            decoded = int(48_000 * duration / 1000) * 4  # 48k 16-bit stereo
+            if decoded <= min_decode_buf:
+                chosen = duration
+                break
+        if chosen is None:
+            raise ValueError(
+                f"no supported frame duration fits the smallest receiver "
+                f"buffer of {min_decode_buf} bytes"
+            )
+        self.encoder.frame_duration_ms = chosen
+        self.encoder.max_encoded_frame_size = min(
+            r.max_encoded_frame_size for r in self._receivers
+        )
+        logger.info(
+            "negotiated frame=%.1f ms, max_encoded=%d B across %d receivers",
+            chosen,
+            self.encoder.max_encoded_frame_size,
+            len(self._receivers),
+        )
+
+    # --- data plane ----------------------------------------------------------
+
+    def write(self, pcm: bytes) -> None:
+        """Encode + pace + fan out (writeAudio, MulticastAudioOutput.kt:72)."""
+        self._send_frames(self.encoder.submit(pcm))
+
+    def flush(self) -> None:
+        """Emit the zero-padded final frame (:150-153)."""
+        self._send_frames(self.encoder.final())
+
+    def _send_frames(self, frames: List[bytes]) -> None:
+        for frame in frames:
+            if self._pacing is not None:
+                self._pacing.wait_for_capacity(self.encoder.frame_duration_ms)
+            self._fan_out(frame)
+
+    def _fan_out(self, frame: bytes) -> None:
+        """Send one frame to every receiver; drop the dead, keep going."""
+        dead: List[RemoteAudioReceiver] = []
+        errors: List[BaseException] = []
+        for receiver in self.receivers:
+            try:
+                receiver.send_frame(frame)
+                self._stats[receiver].frames_sent += 1
+            except (SessionError, OSError) as e:
+                errors.append(e)
+                dead.append(receiver)
+        for receiver in dead:
+            logger.warning("dropping dead receiver %s", receiver.host)
+            self.remove_receiver(receiver)
+        if errors and not self.receivers:
+            raise CombinedError(errors)  # nobody left to hear us
+
+    def close(self) -> None:
+        for receiver in self.receivers:
+            receiver.close()
+        with self._lock:
+            self._receivers.clear()
+        self.encoder.close()
+
+    # --- OutputStream adapter (:133-155) -------------------------------------
+
+    def as_output_stream(self) -> "MulticastOutputStream":
+        return MulticastOutputStream(self)
+
+
+class MulticastOutputStream(io.RawIOBase):
+    """Blocking file-like adapter; flush() emits the final padded frame."""
+
+    def __init__(self, output: MulticastAudioOutput) -> None:
+        self._output = output
+
+    def writable(self) -> bool:
+        return True
+
+    def write(self, data) -> int:
+        self._output.write(bytes(data))
+        return len(data)
+
+    def flush(self) -> None:
+        self._output.flush()
+
+    def close(self) -> None:
+        if not self.closed:
+            self.flush()
+        super().close()

@@ -1,0 +1,273 @@
+"""Receiver runtime / playback pipeline / transmitter session tests."""
+
+import os
+import threading
+import time
+
+import numpy as np
+import pytest
+
+from anet import constants
+from anet.codec import AudioFormat, opus_available
+from anet.config import ConfigTimeout, ReceiverConfig, await_and_load
+from anet.obs.metrics import MetricsRegistry
+from anet.obs.status import StatusIndicator, SystemState
+from anet.rx.playback import BufferSink, PlaybackPipeline
+from anet.rx.runtime import Module, PanicError, ReceiverRuntime, format_hex
+
+needs_opus = pytest.mark.skipif(not opus_available(), reason="libopus not present")
+
+
+class FakeDecoder:
+    """Deterministic decoder: frame bytes -> frame bytes doubled."""
+
+    def __init__(self):
+        self.closed = False
+
+    def decode(self, frame: bytes) -> bytes:
+        if frame == b"BAD":
+            raise RuntimeError("synthetic decode failure")
+        return frame * 2
+
+    def close(self):
+        self.closed = True
+
+
+def make_pipeline(sink=None, **kw):
+    sink = sink or BufferSink(buffered_seconds=0.05)
+    return PlaybackPipeline(sink, decoder_factory=FakeDecoder, **kw), sink
+
+
+# --- playback ---------------------------------------------------------------
+
+def test_playback_decodes_in_order():
+    pipe, sink = make_pipeline()
+    pipe.start()
+    for i in range(10):
+        assert pipe.queue_frame(bytes([i]) * 4)
+    deadline = time.monotonic() + 2
+    while pipe.frames_played < 10 and time.monotonic() < deadline:
+        time.sleep(0.01)
+    pipe.stop()
+    assert sink.data == b"".join(bytes([i]) * 8 for i in range(10))
+    assert pipe.status()["frames_played"] == 10
+
+
+def test_playback_underflow_detected_and_fed_back():
+    events = []
+    pipe, sink = make_pipeline(feedback=lambda u, d: events.append((u, d)))
+    pipe.start()
+    pipe.queue_frame(b"x")
+    deadline = time.monotonic() + 2
+    while pipe.underflows < 1 and time.monotonic() < deadline:
+        time.sleep(0.01)
+    pipe.stop()
+    assert pipe.underflows == 1
+    assert sink.paused_count == 1
+    assert (True, False) in events
+    # resumed counting after recovery is possible: playing flag off
+    assert pipe.status()["playing"] is False
+
+
+def test_playback_decode_error_skips_frame():
+    events = []
+    pipe, sink = make_pipeline(feedback=lambda u, d: events.append((u, d)))
+    pipe.start()
+    pipe.queue_frame(b"ok1")
+    pipe.queue_frame(b"BAD")
+    pipe.queue_frame(b"ok2")
+    deadline = time.monotonic() + 2
+    while pipe.frames_played < 2 and time.monotonic() < deadline:
+        time.sleep(0.01)
+    pipe.stop()
+    assert pipe.decode_errors == 1
+    assert (False, True) in events
+    assert sink.data == b"ok1ok1ok2ok2"
+
+
+def test_playback_queue_overflow_drops():
+    pipe, _ = make_pipeline(queue_depth=4)
+    # consumer not started: queue fills
+    for _ in range(4):
+        assert pipe.queue_frame(b"f", timeout_s=0.01)
+    assert not pipe.queue_frame(b"f", timeout_s=0.01)
+    assert pipe.frames_dropped == 1
+
+
+def test_playback_mute_gates_output():
+    pipe, sink = make_pipeline()
+    pipe.mute()
+    pipe.start()
+    pipe.queue_frame(b"quiet")
+    time.sleep(0.2)
+    pipe.unmute()
+    pipe.queue_frame(b"loud")
+    deadline = time.monotonic() + 2
+    while pipe.frames_played < 2 and time.monotonic() < deadline:
+        time.sleep(0.01)
+    pipe.stop()
+    assert sink.data == b"loudloud"
+
+
+def test_start_new_stream_recreates_decoder():
+    pipe, _ = make_pipeline()
+    pipe.start_new_stream()
+    first = pipe._decoder
+    pipe.start_new_stream()
+    assert pipe._decoder is not first
+    assert first.closed
+
+
+# --- runtime ----------------------------------------------------------------
+
+class Recorder(Module):
+    def __init__(self, name, log, fail=False):
+        self.name = name
+        self._log = log
+        self._fail = fail
+
+    def initialize(self, runtime):
+        if self._fail:
+            raise RuntimeError("boom")
+        self._log.append(f"init:{self.name}")
+
+    def shutdown(self):
+        self._log.append(f"down:{self.name}")
+
+    def status(self):
+        return {"up": True}
+
+
+def test_runtime_init_order_and_shutdown_reverse():
+    log = []
+    rt = ReceiverRuntime().register(Recorder("a", log)).register(Recorder("b", log))
+    rt.start()
+    assert rt.status()["modules"] == {"a": {"up": True}, "b": {"up": True}}
+    rt.stop()
+    assert log == ["init:a", "init:b", "down:b", "down:a"]
+
+
+def test_runtime_panic_on_module_failure():
+    log = []
+    rt = (
+        ReceiverRuntime()
+        .register(Recorder("good", log))
+        .register(Recorder("bad", log, fail=True))
+    )
+    with pytest.raises(PanicError, match="bad"):
+        rt.start()
+    assert "down:good" in log  # teardown ran
+
+
+def test_format_hex():
+    assert format_hex(b"\x01\xff") == "01 ff"
+    assert "+4B" in format_hex(bytes(8), max_bytes=4)
+
+
+# --- config -----------------------------------------------------------------
+
+def test_config_roundtrip_and_mac(tmp_path):
+    cfg = ReceiverConfig(device_name="kitchen", mac_address=0xAABB)
+    path = tmp_path / "rx.json"
+    path.write_text(cfg.to_json())
+    loaded = await_and_load(str(path), timeout_s=1)
+    assert loaded == cfg
+    assert loaded.resolved_mac() == 0xAABB
+    # derived MAC is stable and has the locally-administered bit
+    derived = ReceiverConfig().resolved_mac()
+    assert derived == ReceiverConfig().resolved_mac()
+    assert derived >> 40 == 0x02
+
+
+def test_config_await_blocks_until_present(tmp_path):
+    path = tmp_path / "late.json"
+
+    def write_later():
+        time.sleep(0.3)
+        path.write_text(ReceiverConfig(device_name="late").to_json())
+
+    threading.Thread(target=write_later, daemon=True).start()
+    cfg = await_and_load(str(path), timeout_s=3)
+    assert cfg.device_name == "late"
+
+
+def test_config_await_timeout(tmp_path):
+    with pytest.raises(ConfigTimeout):
+        await_and_load(str(tmp_path / "never.json"), timeout_s=0.2)
+
+
+# --- obs --------------------------------------------------------------------
+
+def test_status_indicator_transitions():
+    states = iter(
+        [SystemState.DISCONNECTED, SystemState.DISCONNECTED, SystemState.STREAMING]
+    )
+    changes = []
+    ind = StatusIndicator(lambda: next(states), on_change=lambda s, p: changes.append((s, p)))
+    ind.poll_once()
+    ind.poll_once()
+    ind.poll_once()
+    assert [s for s, _ in changes] == [SystemState.DISCONNECTED, SystemState.STREAMING]
+    assert changes[0][1] == "(R) _ (R) _"
+    assert changes[1][1] == "(G)(G)(G)"
+
+
+def test_metrics_registry():
+    m = MetricsRegistry()
+    m.count("frames")
+    m.count("frames", 2)
+    m.gauge("snr_db", 12.5)
+    snap = m.snapshot()
+    assert snap["counters"] == {"frames": 3}
+    assert snap["gauges"] == {"snr_db": 12.5}
+
+
+# --- full tx -> rx over localhost -------------------------------------------
+
+@needs_opus
+def test_end_to_end_transmit_receive_with_feedback():
+    from anet.rx.receiver import AnetReceiver
+    from anet.tx import MulticastAudioOutput, pcm_bytes
+
+    sink = BufferSink(buffered_seconds=0.05)
+    cfg = ReceiverConfig(device_name="e2e-rx", tcp_audio_port=0, udp_discovery_port=48766)
+    with AnetReceiver(sink, cfg) as rx:
+        port = rx.network.server.bound_port
+        out = MulticastAudioOutput(AudioFormat(48_000, 2), paced=False)
+        out.add_receiver("127.0.0.1", port)
+        # negotiation picked 60 ms frames (default caps)
+        assert out.encoder.frame_duration_ms == 60.0
+        t = np.arange(24_000)
+        pcm = (0.3 * 32767 * np.sin(2 * np.pi * 440 * t / 48_000)).astype(np.int16)
+        stereo = np.repeat(pcm, 2).reshape(-1, 2)
+        stream = out.as_output_stream()
+        stream.write(pcm_bytes(stereo))
+        stream.close()  # flush -> final padded frame
+        deadline = time.monotonic() + 3
+        while rx.pipeline.frames_played < 9 and time.monotonic() < deadline:
+            time.sleep(0.02)
+        stats = out.stats(out.receivers[0])
+        assert stats.frames_sent == 9  # 0.5 s + pad at 60 ms frames
+        # end-of-stream starvation must surface as underflow feedback
+        while stats.underflows_reported < 1 and time.monotonic() < deadline:
+            time.sleep(0.02)
+        assert stats.underflows_reported >= 1
+        out.close()
+    assert len(sink.data) == 9 * constants.MAX_DECODED_FRAME_SIZE
+
+
+@needs_opus
+def test_negotiation_shrinks_frame_for_small_receiver():
+    from anet.net.server import AudioStreamServer
+    from anet.proto import DiscoveryResponse
+    from anet.tx import MulticastAudioOutput
+
+    ident = DiscoveryResponse(1, 1, "tiny", False, "libopus")
+    # decode buffer fits only 20 ms @ 48k stereo (3840 B)
+    with AudioStreamServer(
+        ident, frame_sink=lambda f: None, port=0, max_decoded_frame_size=4000
+    ) as server:
+        out = MulticastAudioOutput(AudioFormat(48_000, 2), paced=False)
+        out.add_receiver("127.0.0.1", server.bound_port)
+        assert out.encoder.frame_duration_ms == 20.0
+        out.close()
