@@ -27,6 +27,7 @@ __all__ = [
     "clip",
     "dropout",
     "multipath",
+    "sample_rate_drift",
     "snr_scale",
 ]
 
@@ -97,6 +98,23 @@ def clip(samples: jnp.ndarray, level: float) -> jnp.ndarray:
     return jnp.clip(samples, -level, level)
 
 
+def sample_rate_drift(samples: jnp.ndarray, ppm: float) -> jnp.ndarray:
+    """Resample by a tiny rate offset (RX clock running ``ppm`` fast).
+
+    Models the TX/RX crystal mismatch every real modem faces (~±100 ppm):
+    the receiver effectively samples at positions i*(1+ppm*1e-6). Linear
+    interpolation; same output length (tail clamps to the last sample).
+    Recovered by the timing tracker in anet.dsp.clock.
+    """
+    n = samples.shape[-1]
+    pos = jnp.arange(n, dtype=jnp.float32) * (1.0 + ppm * 1e-6)
+    base = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, n - 2)
+    frac = pos - base
+    s0 = samples[..., base]
+    s1 = samples[..., base + 1]
+    return s0 * (1.0 - frac) + s1 * frac
+
+
 @dataclasses.dataclass(frozen=True)
 class ChannelConfig:
     """Composite channel; JSON round-trip like all anet configs.
@@ -111,6 +129,7 @@ class ChannelConfig:
     drop_rate: float = 0.0
     drop_burst_samples: int = 256
     clip_level: Optional[float] = None
+    drift_ppm: float = 0.0
 
     def to_json(self) -> str:
         return json.dumps(dataclasses.asdict(self), indent=2, sort_keys=True)
@@ -132,6 +151,8 @@ def apply_channel(
     """Run the full impairment chain. ``snr_db`` overrides config.snr_db
     (possibly batched, for sweeps)."""
     out = samples
+    if config.drift_ppm:
+        out = sample_rate_drift(out, config.drift_ppm)
     if config.multipath_taps is not None:
         out = multipath(out, jnp.asarray(config.multipath_taps))
     if config.gain != 1.0:

@@ -133,7 +133,17 @@ def _cmd_modem_tx(args) -> int:
     import jax.numpy as jnp
 
     wave = transmit(cfg, jnp.asarray(np.frombuffer(payload, np.uint8)))
-    np.asarray(wave, dtype=np.float32).tofile(args.out)
+    if args.out.endswith(".wav"):
+        import wave as wavmod
+
+        pcm = (np.clip(np.asarray(wave), -1, 1) * 32767).astype("<i2")
+        with wavmod.open(args.out, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(cfg.sample_rate_hz)
+            w.writeframes(pcm.tobytes())
+    else:
+        np.asarray(wave, dtype=np.float32).tofile(args.out)
     print(
         f"{len(payload)} bytes -> {wave.shape[-1]} samples "
         f"({wave.shape[-1]/cfg.sample_rate_hz:.2f} s @ {cfg.sample_rate_hz} Hz) -> {args.out}"
@@ -144,19 +154,37 @@ def _cmd_modem_tx(args) -> int:
 def _cmd_modem_rx(args) -> int:
     import numpy as np
 
-    from anet.dsp.pipeline import receive_frame
+    from anet.dsp.pipeline import receive_frame, receive_frame_tracked
     from anet.models import get_model
 
     cfg = get_model(args.model).config
-    capture = np.fromfile(args.capture, dtype=np.float32)
+    if args.capture.endswith(".wav"):
+        from anet.tx.audio import read_wav
+
+        samples, fmt = read_wav(args.capture)
+        capture = samples.mean(axis=1).astype(np.float32) / 32768.0
+        if fmt.sample_rate_hz != cfg.sample_rate_hz:
+            print(
+                f"warning: capture rate {fmt.sample_rate_hz} != modem rate "
+                f"{cfg.sample_rate_hz}; pick a matching --model",
+                file=sys.stderr,
+            )
+    else:
+        capture = np.fromfile(args.capture, dtype=np.float32)
     import jax.numpy as jnp
 
-    res = receive_frame(cfg, jnp.asarray(capture), args.len)
+    if args.track:
+        res = receive_frame_tracked(cfg, jnp.asarray(capture), args.len)
+        extra = (f" drift={float(res.drift_ppm):+.0f}ppm "
+                 f"timing_rms={float(res.timing_error_rms):.3f}")
+    else:
+        res = receive_frame(cfg, jnp.asarray(capture), args.len)
+        extra = ""
     f = res.frame
     print(
         f"sync offset={int(res.sync.offset)} quality={float(res.sync.quality):.3f} "
         f"| ok={bool(f.ok)} magic={bool(f.magic_ok)} crc={bool(f.payload_crc_ok)} "
-        f"snr={float(f.snr_db):.1f} dB"
+        f"snr={float(f.snr_db):.1f} dB" + extra
     )
     if args.out:
         with open(args.out, "wb") as fh:
@@ -254,6 +282,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--len", type=int, required=True, help="payload length in bytes")
     p.add_argument("--out", help="write payload bytes here")
     p.add_argument("--model", default="mfsk16-fast")
+    p.add_argument("--track", action="store_true",
+                   help="symbol-clock recovery (tolerates sample-rate drift)")
     p.set_defaults(fn=_cmd_modem_rx)
 
     p = sub.add_parser("sweep", help="BER/FER sweep (one JSON line per point)")

@@ -151,6 +151,21 @@ def demodulate_frame(
     else:
         energies = tone_energies(config, data, compute_dtype=compute_dtype)
     symbols = decide_symbols(config, energies)
+    return frame_result_from_decisions(config, symbols, energies, payload_len)
+
+
+def frame_result_from_decisions(
+    config: ModemConfig,
+    symbols: jnp.ndarray,
+    energies: jnp.ndarray,
+    payload_len: int,
+) -> FrameResult:
+    """Parse + verify the data section from already-decided symbols.
+
+    Shared tail of the block demodulator above and the clock-tracked
+    demodulator (anet.dsp.clock): symbols/energies in, payload + verdicts
+    out.
+    """
     bits = unpack_symbols(symbols, config.bits_per_symbol)
     n_bytes = data_section_bytes(payload_len)
     section = bits_to_bytes(bits[..., : n_bytes * 8])

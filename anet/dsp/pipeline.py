@@ -66,6 +66,69 @@ def receive_frame(
     return ReceiveResult(frame=frame, sync=sync)
 
 
+class TrackedReceiveResult(NamedTuple):
+    frame: FrameResult
+    sync: SyncResult
+    drift_ppm: jnp.ndarray  # estimated RX clock drift
+    timing_error_rms: jnp.ndarray  # residual tracker error
+
+
+def receive_frame_tracked(
+    config: ModemConfig,
+    capture: jnp.ndarray,
+    payload_len: int,
+    *,
+    sync_method: str = "fft",
+    loop_gain: float = 0.35,
+    compute_dtype=jnp.float32,
+) -> TrackedReceiveResult:
+    """receive_frame with symbol-clock recovery (anet.dsp.clock).
+
+    Locates the preamble (integer + sub-sample), then demodulates the data
+    section with the decision-directed timing tracker, so frames survive
+    TX/RX sample-clock drift that breaks the block demodulator. Also
+    returns the estimated drift in ppm — a quality metric the receiver can
+    report upstream.
+    """
+    from anet.dsp.clock import (
+        demodulate_symbols_tracked,
+        estimate_drift_ppm,
+    )
+    from anet.dsp.frame import (
+        data_symbols_for_payload,
+        frame_result_from_decisions,
+    )
+
+    t = frame_num_samples(config, payload_len)
+    n = capture.shape[-1]
+    if n < t:
+        raise ValueError(f"capture of {n} samples cannot hold a {t}-sample frame")
+    sync = locate_preamble(config, capture, method=sync_method)
+    start = (
+        jnp.clip(sync.offset, 0, n - t).astype(jnp.float32)
+        + sync.frac
+        + config.preamble_samples
+    )
+    s_data = data_symbols_for_payload(config, payload_len)
+    tracked = demodulate_symbols_tracked(
+        config,
+        capture,
+        s_data,
+        start_pos=start,
+        loop_gain=loop_gain,
+        compute_dtype=compute_dtype,
+    )
+    frame = frame_result_from_decisions(
+        config, tracked.symbols, tracked.energies, payload_len
+    )
+    return TrackedReceiveResult(
+        frame=frame,
+        sync=sync,
+        drift_ppm=estimate_drift_ppm(config, tracked),
+        timing_error_rms=jnp.sqrt(jnp.mean(tracked.timing_error**2, axis=-1)),
+    )
+
+
 def loopback(
     config: ModemConfig, payload: jnp.ndarray, pad_before: int = 0, pad_after: int = 0
 ) -> ReceiveResult:
