@@ -171,6 +171,7 @@ class OpusEncoder:
         )
         check(err.value, "opus_encoder_create")
         self._lib = lib
+        self.bitrate_bps = bitrate_bps
         self._ctl(_OPUS_SET_BITRATE, bitrate_bps)
         self._ctl(_OPUS_SET_COMPLEXITY, complexity)
         self._ctl(_OPUS_SET_SIGNAL, _OPUS_SIGNAL_MUSIC)
@@ -270,6 +271,13 @@ class OpusEncoder:
         fn.restype = ctypes.c_int
         check(fn(ctypes.c_void_p(self._enc), request, ctypes.c_int32(value)),
               f"opus_encoder_ctl({request})")
+
+    def set_bitrate(self, bitrate_bps: int) -> None:
+        """Live bitrate change (quality downgrade/upgrade between frames)."""
+        if not 500 <= bitrate_bps <= 512_000:
+            raise ValueError(f"bitrate {bitrate_bps} out of Opus range")
+        self._ctl(_OPUS_SET_BITRATE, bitrate_bps)
+        self.bitrate_bps = bitrate_bps
 
     @property
     def lookahead_samples(self) -> int:

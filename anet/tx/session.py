@@ -42,6 +42,11 @@ class ReceiverStats:
     decode_errors_reported: int = 0
 
 
+# Bitrate ladder for the quality-downgrade reaction: each repeated underflow
+# report steps one rung down; sustained clean streaming steps back up.
+QUALITY_LADDER_BPS = (92_000, 64_000, 48_000, 32_000, 24_000)
+
+
 class MulticastAudioOutput:
     def __init__(
         self,
@@ -49,12 +54,21 @@ class MulticastAudioOutput:
         bitrate_bps: int = constants.DEFAULT_OPUS_BITRATE_BPS,
         pacing: Optional[LeakyBucket] = None,
         paced: bool = True,
+        adaptive_quality: bool = True,
+        upgrade_after_clean_frames: int = 500,
     ) -> None:
         self.encoder = OpusEncoder(fmt, bitrate_bps=bitrate_bps)
         self._pacing = pacing if pacing is not None else (LeakyBucket() if paced else None)
         self._receivers: List[RemoteAudioReceiver] = []
         self._stats: Dict[RemoteAudioReceiver, ReceiverStats] = {}
         self._lock = threading.Lock()
+        # quality-downgrade reaction (hardware/README.md:35 promised this;
+        # the reference never built either end of the loop — anet does)
+        self._adaptive = adaptive_quality
+        self._ladder_pos = 0
+        self._clean_frames = 0
+        self._upgrade_after = upgrade_after_clean_frames
+        self._quality_lock = threading.Lock()
 
     # --- receiver management -------------------------------------------------
 
@@ -69,6 +83,8 @@ class MulticastAudioOutput:
             if err.audio_decode_error:
                 stats.decode_errors_reported += 1
             logger.warning("receiver %s reported %s", host, err)
+            if err.audio_underflow or err.audio_decode_error:
+                self._degrade_quality()
 
         receiver = RemoteAudioReceiver(host, port, on_feedback=on_feedback).connect()
         with self._lock:
@@ -135,6 +151,37 @@ class MulticastAudioOutput:
             if self._pacing is not None:
                 self._pacing.wait_for_capacity(self.encoder.frame_duration_ms)
             self._fan_out(frame)
+            self._maybe_upgrade_quality()
+
+    # --- adaptive quality (the reaction the reference promised but never
+    # built: receiver trouble -> lower bitrate; sustained health -> restore)
+
+    @property
+    def bitrate_bps(self) -> int:
+        return self.encoder.bitrate_bps
+
+    def _degrade_quality(self) -> None:
+        if not self._adaptive:
+            return
+        with self._quality_lock:
+            self._clean_frames = 0
+            if self._ladder_pos + 1 < len(QUALITY_LADDER_BPS):
+                self._ladder_pos += 1
+                new_rate = QUALITY_LADDER_BPS[self._ladder_pos]
+                self.encoder.set_bitrate(new_rate)
+                logger.warning("quality downgraded to %d bps", new_rate)
+
+    def _maybe_upgrade_quality(self) -> None:
+        if not self._adaptive:
+            return
+        with self._quality_lock:
+            self._clean_frames += 1
+            if self._ladder_pos > 0 and self._clean_frames >= self._upgrade_after:
+                self._clean_frames = 0
+                self._ladder_pos -= 1
+                new_rate = QUALITY_LADDER_BPS[self._ladder_pos]
+                self.encoder.set_bitrate(new_rate)
+                logger.info("quality restored to %d bps", new_rate)
 
     def _fan_out(self, frame: bytes) -> None:
         """Send one frame to every receiver; drop the dead, keep going."""

@@ -271,3 +271,28 @@ def test_negotiation_shrinks_frame_for_small_receiver():
         out.add_receiver("127.0.0.1", server.bound_port)
         assert out.encoder.frame_duration_ms == 20.0
         out.close()
+
+
+@needs_opus
+def test_adaptive_quality_downgrade_and_restore():
+    """Underflow feedback lowers the bitrate; sustained clean frames restore
+    it — the reaction the reference promised (hardware/README.md:35) but
+    never built."""
+    from anet.tx.session import QUALITY_LADDER_BPS, MulticastAudioOutput
+
+    out = MulticastAudioOutput(
+        AudioFormat(48_000, 1), paced=False, upgrade_after_clean_frames=3
+    )
+    assert out.bitrate_bps == QUALITY_LADDER_BPS[0]
+    out._degrade_quality()
+    out._degrade_quality()
+    assert out.bitrate_bps == QUALITY_LADDER_BPS[2]
+    # three clean fan-outs step back one rung
+    for _ in range(3):
+        out._maybe_upgrade_quality()
+    assert out.bitrate_bps == QUALITY_LADDER_BPS[1]
+    # the ladder floors at the bottom rung
+    for _ in range(10):
+        out._degrade_quality()
+    assert out.bitrate_bps == QUALITY_LADDER_BPS[-1]
+    out.encoder.close()
