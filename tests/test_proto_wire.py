@@ -264,3 +264,65 @@ def test_decoder_rejects_oversized_frame():
 def test_iter_delimited():
     data = encode_delimited(b"a") + encode_delimited(b"bc")
     assert list(iter_delimited(data)) == [b"a", b"bc"]
+
+
+# --- asyncio framing ---------------------------------------------------------
+
+def test_asyncio_delimited_roundtrip():
+    """The protobuf_async.kt analog: coroutine read/write of delimited
+    messages over an in-memory asyncio transport (the fake-channel test
+    pattern from AsyncProtobufTest.kt:53)."""
+    import asyncio
+
+    from anet.proto.framing import (
+        read_delimited_async,
+        read_delimited_message,
+        write_delimited_async,
+    )
+
+    async def scenario():
+        reader = asyncio.StreamReader()
+        # loop the bytes straight back into the reader
+        class Loopback:
+            def write(self, data):
+                reader.feed_data(data)
+
+        writer = Loopback()
+        hello = ToTransmitter(
+            receiver_information=ReceiverInformation(
+                discovery_data=ref_discovery(),
+                max_encoded_frame_size=4096,
+                max_decoded_frame_size=11520,
+            )
+        )
+        write_delimited_async(writer, hello.encode())
+        for i in range(5):
+            write_delimited_async(
+                writer, ToReceiver(audio_data=AudioData(bytes([i]) * 99)).encode()
+            )
+        reader.feed_eof()
+        first = await read_delimited_message(reader, ToTransmitter.decode)
+        assert first.receiver_information.max_encoded_frame_size == 4096
+        frames = []
+        while (raw := await read_delimited_async(reader)) is not None:
+            frames.append(ToReceiver.decode(raw).audio_data.opus_encoded_frame)
+        assert frames == [bytes([i]) * 99 for i in range(5)]
+        # clean EOF at a boundary -> None
+        assert await read_delimited_async(reader) is None
+
+    asyncio.run(scenario())
+
+
+def test_asyncio_truncated_stream_raises():
+    import asyncio
+
+    from anet.proto.framing import read_delimited_async
+
+    async def scenario():
+        reader = asyncio.StreamReader()
+        reader.feed_data(encode_delimited(b"hello world")[:-3])
+        reader.feed_eof()
+        with pytest.raises(WireError, match="EOF inside"):
+            await read_delimited_async(reader)
+
+    asyncio.run(scenario())

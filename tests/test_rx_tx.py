@@ -296,3 +296,20 @@ def test_adaptive_quality_downgrade_and_restore():
         out._degrade_quality()
     assert out.bitrate_bps == QUALITY_LADDER_BPS[-1]
     out.encoder.close()
+
+
+def test_stage_timer_and_device_trace(tmp_path):
+    from anet.obs.profiling import StageTimer, device_trace
+
+    timer = StageTimer()
+    with timer.stage("demod"):
+        time.sleep(0.01)
+    with timer.stage("demod"):
+        time.sleep(0.01)
+    s = timer.summary()["demod"]
+    assert s["count"] == 2 and s["mean_ms"] >= 9
+    # trace context must not blow up on CPU
+    import jax.numpy as jnp
+
+    with device_trace(str(tmp_path / "trace")):
+        _ = jnp.ones(8).sum()
