@@ -1,4 +1,10 @@
-"""Frame integrity: CRC-32 on host and on device.
+"""Forward error correction: CRC-32 + rate-1/2 convolutional code.
+
+CRC-32 (integrity) on host and on device; an optional K=7 rate-1/2
+convolutional code (polynomials 0o171/0o133 — the classic CCSDS/Voyager
+code) with a fully batched Viterbi decoder for ~5 dB of coding gain on
+noisy acoustic channels. The reference has no FEC (Opus tolerates loss;
+the PHY was WiFi) — this is a designed-in capability of the modem.
 
 Polynomial/parameters match zlib's CRC-32 (reflected 0xEDB88320, init and
 xor-out 0xFFFFFFFF) so host-side checks can use the stdlib and golden tests
@@ -114,6 +120,132 @@ def _crc32_bit_table(n_bytes: int) -> tuple[np.ndarray, int]:
     p = ((flat[:, None] >> bitpos[None, :]) & 1).astype(np.float32)  # [8N, 32]
     const = zlib.crc32(b"\x00" * n_bytes) & 0xFFFFFFFF
     return p, const
+
+
+# --- rate-1/2 K=7 convolutional code -----------------------------------------
+
+CONV_K = 7
+CONV_POLY1 = 0o171  # 1111001
+CONV_POLY2 = 0o133  # 1011011
+CONV_STATES = 1 << (CONV_K - 1)  # 64
+CONV_TAIL_BITS = CONV_K - 1  # zero-flush so the trellis ends in state 0
+
+
+def conv_encoded_bits(n_data_bits: int) -> int:
+    """Coded length for a data-bit count (tail-flushed, rate 1/2)."""
+    return 2 * (n_data_bits + CONV_TAIL_BITS)
+
+
+@lru_cache(maxsize=1)
+def _conv_tables():
+    """(outputs[64, 2, 2], predecessors[64, 2]) transition tables.
+
+    outputs[s, b] = the two coded bits emitted when input bit ``b`` enters
+    with shift-register state ``s`` (the last K-1 input bits, newest in the
+    LSB). predecessors[ns, j] = the two states that can transition into
+    ``ns`` (its input bit is ns & 1 by construction).
+    """
+    outputs = np.zeros((CONV_STATES, 2, 2), np.int32)
+    for s in range(CONV_STATES):
+        for b in range(2):
+            reg = (s << 1) | b  # K bits: state history + new bit
+            outputs[s, b, 0] = bin(reg & CONV_POLY1).count("1") & 1
+            outputs[s, b, 1] = bin(reg & CONV_POLY2).count("1") & 1
+    preds = np.zeros((CONV_STATES, 2), np.int32)
+    for ns in range(CONV_STATES):
+        # ns = ((s << 1) | b) & 63  =>  s = (ns >> 1) | (h << 5), h in {0,1}
+        preds[ns, 0] = ns >> 1
+        preds[ns, 1] = (ns >> 1) | (1 << (CONV_K - 2))
+    return outputs, preds
+
+
+def conv_encode(bits: jnp.ndarray) -> jnp.ndarray:
+    """0/1 uint8 [..., n] -> coded 0/1 uint8 [..., 2*(n + 6)].
+
+    Vectorized (no scan): each output bit is the parity of a 7-bit sliding
+    window AND'ed with the polynomial — seven shifted adds mod 2.
+    """
+    n = bits.shape[-1]
+    padded = jnp.concatenate(
+        [
+            jnp.zeros(bits.shape[:-1] + (CONV_K - 1,), bits.dtype),
+            bits,
+            jnp.zeros(bits.shape[:-1] + (CONV_TAIL_BITS,), bits.dtype),
+        ],
+        axis=-1,
+    ).astype(jnp.int32)
+    total = n + CONV_TAIL_BITS
+    # window[i, k] = padded[i + k], k = 0..6 (oldest..newest)
+    idx = jnp.arange(total)[:, None] + jnp.arange(CONV_K)[None, :]
+    windows = padded[..., idx]  # [..., total, 7]
+    # polynomial taps, MSB of the register = oldest bit
+    taps1 = jnp.asarray(
+        [(CONV_POLY1 >> (CONV_K - 1 - k)) & 1 for k in range(CONV_K)], jnp.int32
+    )
+    taps2 = jnp.asarray(
+        [(CONV_POLY2 >> (CONV_K - 1 - k)) & 1 for k in range(CONV_K)], jnp.int32
+    )
+    c1 = jnp.sum(windows * taps1, axis=-1) & 1
+    c2 = jnp.sum(windows * taps2, axis=-1) & 1
+    out = jnp.stack([c1, c2], axis=-1)  # [..., total, 2]
+    return out.reshape(*bits.shape[:-1], 2 * total).astype(jnp.uint8)
+
+
+def viterbi_decode(coded: jnp.ndarray, n_data_bits: int) -> jnp.ndarray:
+    """Hard-decision Viterbi: coded 0/1 [..., 2*(n+6)] -> 0/1 [..., n].
+
+    Batched add-compare-select over the 64-state trellis as a `lax.scan`
+    (forward) plus a reverse scan for traceback — each step is pure gather
+    + min over the batch, so thousands of streams decode concurrently.
+    """
+    outputs_np, preds_np = _conv_tables()
+    outputs = jnp.asarray(outputs_np)  # [64, 2, 2]
+    preds = jnp.asarray(preds_np)  # [64, 2]
+    # branch metric table: expected coded bits for the transition INTO ns
+    # from preds[ns, j]: input bit is ns & 1... careful: ns = ((s<<1)|b)&63,
+    # so b = (s_full := (s<<1)|b) ... b equals the LSB of the *unmasked*
+    # register, which IS ns & 1 only when... ns&1 == b by construction.
+    ns_arr = np.arange(CONV_STATES)
+    b_of_ns = ns_arr & 1
+    exp = np.zeros((CONV_STATES, 2, 2), np.int32)  # [ns, j, coded pair]
+    for ns in ns_arr:
+        for j in range(2):
+            exp[ns, j] = outputs_np[preds_np[ns, j], b_of_ns[ns]]
+    exp_j = jnp.asarray(exp)
+
+    batch_shape = coded.shape[:-1]
+    total = n_data_bits + CONV_TAIL_BITS
+    pairs = coded[..., : 2 * total].reshape(*batch_shape, total, 2).astype(jnp.int32)
+    pairs_tm = jnp.moveaxis(pairs, -2, 0)  # [total, ..., 2]
+
+    big = jnp.float32(1e9)
+    pm0 = jnp.full(batch_shape + (CONV_STATES,), big, jnp.float32)
+    pm0 = pm0.at[..., 0].set(0.0)  # encoder starts zero-filled
+
+    def forward(pm, rx):
+        # rx: [..., 2] received pair; hamming distance to every
+        # transition's expected pair -> [..., 64, 2]
+        diff = jnp.sum(jnp.abs(rx[..., None, None, :] - exp_j), axis=-1)
+        cand = pm[..., preds] + diff.astype(jnp.float32)  # [..., 64, 2]
+        take = jnp.argmin(cand, axis=-1).astype(jnp.uint8)  # [..., 64]
+        pm_next = jnp.min(cand, axis=-1)
+        pm_next = pm_next - jnp.min(pm_next, axis=-1, keepdims=True)
+        return pm_next, take
+
+    _, decisions = jax.lax.scan(forward, pm0, pairs_tm)  # [total, ..., 64]
+
+    # traceback from state 0 (tail-flushed)
+    s0 = jnp.zeros(batch_shape, jnp.int32)
+
+    def backward(s, take_t):
+        bit = (s & 1).astype(jnp.uint8)
+        j = jnp.take_along_axis(take_t, s[..., None], axis=-1)[..., 0].astype(jnp.int32)
+        prev = preds[s, j]
+        return prev, bit
+
+    _, bits_rev = jax.lax.scan(backward, s0, decisions, reverse=True)
+    bits = jnp.moveaxis(bits_rev, 0, len(batch_shape))  # [..., total]
+    return bits[..., :n_data_bits]
 
 
 def _crc32_matmul(data: jnp.ndarray) -> jnp.ndarray:

@@ -41,8 +41,13 @@ def data_section_bytes(payload_len: int) -> int:
     return OVERHEAD_BYTES + payload_len
 
 
+def data_section_coded_bits(config: ModemConfig, payload_len: int) -> int:
+    """Bits on the air for the data section (after optional FEC)."""
+    return config.coded_bits_for_data_bits(8 * data_section_bytes(payload_len))
+
+
 def data_symbols_for_payload(config: ModemConfig, payload_len: int) -> int:
-    return config.symbols_for_bytes(data_section_bytes(payload_len))
+    return config.symbols_for_bits(data_section_coded_bits(config, payload_len))
 
 
 def frame_num_symbols(config: ModemConfig, payload_len: int) -> int:
@@ -88,6 +93,10 @@ def frame_data_symbols(config: ModemConfig, payload: jnp.ndarray) -> jnp.ndarray
         [header, payload.astype(jnp.uint8), _u32_to_be_bytes(crc)], axis=-1
     )
     bits = bytes_to_bits(section)
+    if config.fec == "conv":
+        from anet.dsp.fec import conv_encode
+
+        bits = conv_encode(bits)
     pad = (-bits.shape[-1]) % config.bits_per_symbol
     if pad:
         bits = jnp.concatenate(
@@ -164,10 +173,15 @@ def frame_result_from_decisions(
 
     Shared tail of the block demodulator above and the clock-tracked
     demodulator (anet.dsp.clock): symbols/energies in, payload + verdicts
-    out.
+    out. Runs the Viterbi decoder first when the config carries FEC.
     """
     bits = unpack_symbols(symbols, config.bits_per_symbol)
     n_bytes = data_section_bytes(payload_len)
+    if config.fec == "conv":
+        from anet.dsp.fec import viterbi_decode
+
+        coded = bits[..., : data_section_coded_bits(config, payload_len)]
+        bits = viterbi_decode(coded, 8 * n_bytes)
     section = bits_to_bytes(bits[..., : n_bytes * 8])
 
     header = section[..., :HEADER_BYTES]

@@ -45,8 +45,15 @@ class ModemConfig:
     preamble_symbols: int = 32
     amplitude: float = 0.8
     phase_continuous: bool = False
+    # Forward error correction for the frame data section:
+    #   "none" — raw Gray-coded MFSK (the default; integrity via CRC only)
+    #   "conv" — rate-1/2 K=7 convolutional code with Viterbi decoding
+    #            (~5 dB coding gain, half the net bit rate)
+    fec: str = "none"
 
     def __post_init__(self) -> None:
+        if self.fec not in ("none", "conv"):
+            raise ValueError(f"fec must be 'none' or 'conv', got {self.fec!r}")
         if self.sample_rate_hz % self.symbol_rate_hz != 0:
             raise ValueError(
                 f"symbol_rate_hz={self.symbol_rate_hz} must divide "
@@ -88,7 +95,15 @@ class ModemConfig:
 
     @property
     def bit_rate_bps(self) -> float:
+        """Channel (coded) bit rate; halve for net rate under fec='conv'."""
         return self.symbol_rate_hz * self.bits_per_symbol
+
+    def coded_bits_for_data_bits(self, n_bits: int) -> int:
+        if self.fec == "conv":
+            from anet.dsp.fec import conv_encoded_bits
+
+            return conv_encoded_bits(n_bits)
+        return n_bits
 
     @property
     def preamble_samples(self) -> int:

@@ -122,6 +122,22 @@ register(
 
 register(
     ModemModel(
+        "mfsk4-coded",
+        ModemConfig(
+            sample_rate_hz=48_000,
+            symbol_rate_hz=1_500,
+            num_tones=4,
+            base_freq_hz=3_000.0,
+            preamble_symbols=32,
+            fec="conv",
+        ),
+        "4-FSK with rate-1/2 K=7 convolutional coding (Viterbi decode); "
+        "1.5 kbps net with ~4 dB coding gain at the frame-error cliff.",
+    )
+)
+
+register(
+    ModemModel(
         "mfsk32-dense",
         ModemConfig(
             symbol_rate_hz=600,

@@ -16,15 +16,23 @@ vs_baseline is the speedup over that 0.096 Msamples/s envelope.
 
 Usage: python bench.py                   (default backend — TPU)
        ANET_BENCH_CPU=1 python bench.py  (force CPU, for debugging)
+
+Robustness: the TPU here sits behind a remote tunnel that can wedge; the
+top-level entry runs the measurement in a watchdogged subprocess and falls
+back to a CPU measurement (flagged in `details.backend`) rather than
+hanging the caller.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import subprocess
+import sys
 import time
 
 BASELINE_MSAMPLES_S = 0.096  # reference steady-state, derived in BASELINE.md
+WATCHDOG_S = float(os.environ.get("ANET_BENCH_WATCHDOG_S", "600"))
 
 
 def main() -> None:
@@ -103,5 +111,49 @@ def main() -> None:
     )
 
 
+def main_with_watchdog() -> None:
+    """Run the measurement in a subprocess; on hang/crash, fall back to CPU."""
+    env = dict(os.environ, ANET_BENCH_INNER="1")
+    for attempt_env, label in ((env, "primary"), ({**env, "ANET_BENCH_CPU": "1"}, "cpu-fallback")):
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=attempt_env,
+                capture_output=True,
+                text=True,
+                timeout=WATCHDOG_S,
+            )
+        except subprocess.TimeoutExpired:
+            print(
+                f"bench {label} attempt exceeded {WATCHDOG_S}s watchdog",
+                file=sys.stderr,
+            )
+            continue
+        for line in proc.stdout.splitlines():
+            if line.startswith("{"):
+                print(line)
+                return
+        print(
+            f"bench {label} attempt produced no result "
+            f"(rc={proc.returncode}): {proc.stderr[-400:]}",
+            file=sys.stderr,
+        )
+    # Both attempts failed: emit a parseable failure record.
+    print(
+        json.dumps(
+            {
+                "metric": "demod_throughput_per_chip",
+                "value": 0.0,
+                "unit": "Msamples/s",
+                "vs_baseline": 0.0,
+                "details": {"error": "benchmark could not run (TPU and CPU attempts failed)"},
+            }
+        )
+    )
+
+
 if __name__ == "__main__":
-    main()
+    if os.environ.get("ANET_BENCH_INNER"):
+        main()
+    else:
+        main_with_watchdog()
