@@ -125,6 +125,10 @@ def _cmd_modem_tx(args) -> int:
     from anet.models import get_model
 
     cfg = get_model(args.model).config
+    if args.fec is not None:
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, fec=args.fec)
     with open(args.file, "rb") as fh:
         payload = fh.read()
     if len(payload) > 4096:
@@ -158,6 +162,10 @@ def _cmd_modem_rx(args) -> int:
     from anet.models import get_model
 
     cfg = get_model(args.model).config
+    if args.fec is not None:
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, fec=args.fec)
     if args.capture.endswith(".wav"):
         from anet.tx.audio import read_wav
 
@@ -275,6 +283,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("file")
     p.add_argument("--out", required=True)
     p.add_argument("--model", default="mfsk16-fast")
+    p.add_argument("--fec", choices=["none", "conv"],
+                   help="override the model's FEC setting")
     p.set_defaults(fn=_cmd_modem_tx)
 
     p = sub.add_parser("modem-rx", help="demodulate a capture")
@@ -284,6 +294,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--model", default="mfsk16-fast")
     p.add_argument("--track", action="store_true",
                    help="symbol-clock recovery (tolerates sample-rate drift)")
+    p.add_argument("--fec", choices=["none", "conv"],
+                   help="override the model's FEC setting")
     p.set_defaults(fn=_cmd_modem_rx)
 
     p = sub.add_parser("sweep", help="BER/FER sweep (one JSON line per point)")

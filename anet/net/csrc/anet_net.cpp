@@ -69,6 +69,9 @@ int anet_varint_decode(const uint8_t* buf, int len, uint64_t* value) {
 
 struct AnetFramer {
   std::vector<uint8_t> buf;
+  size_t pos = 0;  // read offset: frames are consumed by advancing this,
+                   // compacting lazily — per-frame front-erasure would be
+                   // quadratic in the buffered byte count
   size_t max_frame;
   bool corrupt = false;
 };
@@ -96,23 +99,67 @@ int anet_framer_feed(void* h, const uint8_t* data, int len) {
 int anet_framer_next(void* h, uint8_t* out, int out_cap) {
   AnetFramer* f = (AnetFramer*)h;
   if (f->corrupt) return -2;
+  const uint8_t* base = f->buf.data() + f->pos;
+  size_t avail = f->buf.size() - f->pos;
   uint64_t flen;
-  int consumed =
-      anet_varint_decode(f->buf.data(), (int)f->buf.size(), &flen);
+  int consumed = anet_varint_decode(base, (int)avail, &flen);
   if (consumed == 0) return -1;
   if (consumed < 0 || flen > f->max_frame) {
     f->corrupt = true;
     return -2;
   }
-  if (f->buf.size() < (size_t)consumed + flen) return -1;
+  if (avail < (size_t)consumed + flen) return -1;
   if ((int)flen > out_cap) return -3;
-  memcpy(out, f->buf.data() + consumed, flen);
-  f->buf.erase(f->buf.begin(), f->buf.begin() + consumed + flen);
+  memcpy(out, base + consumed, flen);
+  f->pos += (size_t)consumed + flen;
+  // Compact once the consumed prefix dominates the buffer.
+  if (f->pos > 4096 && f->pos * 2 > f->buf.size()) {
+    f->buf.erase(f->buf.begin(), f->buf.begin() + f->pos);
+    f->pos = 0;
+  }
   return (int)flen;
 }
 
+// Batch extraction: pull every complete frame in one call (amortizes the
+// FFI boundary). Frames are written back-to-back into out; lens[i] receives
+// each frame's length. Returns the frame count, -2 on corrupt stream.
+// Stops early when out_cap or max_frames is reached (remaining frames stay
+// buffered for the next call).
+int anet_framer_drain(void* h, uint8_t* out, int out_cap, int32_t* lens,
+                      int max_frames) {
+  AnetFramer* f = (AnetFramer*)h;
+  if (f->corrupt) return -2;
+  int count = 0;
+  int used = 0;
+  while (count < max_frames) {
+    const uint8_t* base = f->buf.data() + f->pos;
+    size_t avail = f->buf.size() - f->pos;
+    uint64_t flen;
+    int consumed = anet_varint_decode(base, (int)avail, &flen);
+    if (consumed == 0) break;
+    if (consumed < 0 || flen > f->max_frame) {
+      f->corrupt = true;
+      return count ? count : -2;  // surface already-extracted frames first
+    }
+    if (avail < (size_t)consumed + flen) break;
+    if (used + (int)flen > out_cap) break;
+    memcpy(out + used, base + consumed, flen);
+    lens[count++] = (int32_t)flen;
+    used += (int)flen;
+    f->pos += (size_t)consumed + flen;
+  }
+  if (f->pos > 4096 && f->pos * 2 > f->buf.size()) {
+    f->buf.erase(f->buf.begin(), f->buf.begin() + f->pos);
+    f->pos = 0;
+  }
+  return count;
+}
+
 // Bytes buffered but not yet forming a complete frame.
-int anet_framer_pending(void* h) { return (int)((AnetFramer*)h)->buf.size(); }
+int anet_framer_pending(void* h) {
+  AnetFramer* f = (AnetFramer*)h;
+  return (int)(f->buf.size() - f->pos);
+}
 
 // Encode payload as a delimited frame. Returns total length or -1 if cap
 // is too small.

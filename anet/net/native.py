@@ -42,6 +42,14 @@ def load() -> Optional[ctypes.CDLL]:
     lib.anet_framer_next.argtypes = [ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int]
     lib.anet_framer_pending.restype = ctypes.c_int
     lib.anet_framer_pending.argtypes = [ctypes.c_void_p]
+    lib.anet_framer_drain.restype = ctypes.c_int
+    lib.anet_framer_drain.argtypes = [
+        ctypes.c_void_p,
+        ctypes.c_char_p,
+        ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_int,
+    ]
     lib.anet_encode_delimited.restype = ctypes.c_int
     lib.anet_encode_delimited.argtypes = [
         ctypes.c_char_p, ctypes.c_int, ctypes.c_char_p, ctypes.c_int,
@@ -71,13 +79,16 @@ class NativeFramer:
     Same contract as anet.proto.framing.DelimitedDecoder.feed().
     """
 
+    MAX_FRAMES_PER_DRAIN = 4096
+
     def __init__(self, max_frame: int = 1 << 20) -> None:
         lib = load()
         if lib is None:
             raise RuntimeError("libanet_net.so not available; build with make -C anet/net/csrc")
         self._lib = lib
         self._h = lib.anet_framer_new(max_frame)
-        self._out = ctypes.create_string_buffer(max_frame)
+        self._out = ctypes.create_string_buffer(max(max_frame, 1 << 20))
+        self._lens = (ctypes.c_int32 * self.MAX_FRAMES_PER_DRAIN)()
         self._max = max_frame
 
     def feed(self, data: bytes) -> List[bytes]:
@@ -87,14 +98,27 @@ class NativeFramer:
             raise WireError("framer poisoned by earlier corrupt stream")
         frames: List[bytes] = []
         while True:
-            n = self._lib.anet_framer_next(self._h, self._out, self._max)
-            if n == -1:
-                return frames
+            # One FFI call extracts a whole batch of frames, packed
+            # back-to-back — per-frame calls would dominate the cost.
+            n = self._lib.anet_framer_drain(
+                self._h,
+                self._out,
+                len(self._out),
+                self._lens,
+                self.MAX_FRAMES_PER_DRAIN,
+            )
             if n == -2:
                 raise WireError("corrupt delimited stream (bad varint or oversized frame)")
-            if n == -3:
-                raise WireError("frame exceeds framer output capacity")
-            frames.append(self._out.raw[:n])
+            if n <= 0:
+                return frames
+            view = memoryview(self._out)
+            offset = 0
+            for i in range(n):
+                length = self._lens[i]
+                frames.append(bytes(view[offset : offset + length]))
+                offset += length
+            if n < self.MAX_FRAMES_PER_DRAIN:
+                return frames
 
     @property
     def pending_bytes(self) -> int:

@@ -180,6 +180,10 @@ class AudioStreamServer:
         with self._client_lock:
             if self._client is not None:
                 try:
+                    self._client.shutdown(socket.SHUT_RDWR)
+                except OSError:
+                    pass
+                try:
                     self._client.close()
                 except OSError:
                     pass

@@ -168,6 +168,14 @@ class RemoteAudioReceiver:
         self._closed.set()
         if self._sock is not None:
             try:
+                # shutdown (not just close) so the FIN goes out immediately
+                # even while the feedback thread blocks in recv on this
+                # socket — a bare close defers while the fd is in use and
+                # the receiver would never see the stream end.
+                self._sock.shutdown(socket.SHUT_RDWR)
+            except OSError:
+                pass
+            try:
                 self._sock.close()
             finally:
                 self._sock = None

@@ -13,6 +13,7 @@ from anet.net.reconnect import ReconnectPolicy
 from anet.net.server import AudioStreamServer
 from anet.net.session import RemoteAudioReceiver, SessionError
 from anet.proto import (
+    ToTransmitter,
     AudioData,
     BroadcastMessage,
     DiscoveryResponse,
@@ -236,3 +237,26 @@ def test_reconnect_bounded_gives_up():
     with pytest.raises(ConnectionError, match="always down"):
         policy.run(connect, max_cooldowns=3)
     assert policy.attempts == 8  # 2 x (3 cooldowns + 1)
+
+
+def test_server_serves_one_client_at_a_time():
+    """Serial accept semantics (network.cpp:496-516): while one transmitter
+    streams, a second connection gets no hello until the first leaves."""
+    got = []
+    with make_server(got.append) as server:
+        first = RemoteAudioReceiver("127.0.0.1", server.bound_port).connect()
+        second_sock = socket.create_connection(("127.0.0.1", server.bound_port))
+        second_sock.settimeout(0.4)
+        with pytest.raises(socket.timeout):
+            second_sock.recv(1)  # no hello while the first client is served
+        first.close()
+        # after the first leaves, the queued client gets its hello
+        second_sock.settimeout(2.0)
+        data = second_sock.recv(4096)
+        assert data, "second client never got a hello"
+        from anet.proto.framing import DelimitedDecoder as _DD
+
+        frames = _DD().feed(data)
+        assert frames and ToTransmitter.decode(frames[0]).receiver_information
+        second_sock.close()
+    assert server.streams_served == 2
