@@ -95,6 +95,35 @@ def demodulate_symbols(
     return symbols, confidence
 
 
+def bit_llrs(config: ModemConfig, energies: jnp.ndarray) -> jnp.ndarray:
+    """Per-bit soft decisions from tone energies (max-log approximation).
+
+    For data bit k of a symbol (MSB-first, matching unpack_symbols), the
+    LLR is max(E over tones whose Gray-decoded value has bit k = 1) minus
+    max(E over tones with bit k = 0). Positive = bit 1. Unnormalized —
+    Viterbi branch metrics only need relative scale.
+
+    Args:
+      energies: float [..., S, M].
+    Returns:
+      float32 [..., S * bits_per_symbol] in transmitted bit order.
+    """
+    m = config.num_tones
+    bps = config.bits_per_symbol
+    tones = jnp.arange(m)
+    data_vals = gray_decode(tones, bps)  # data symbol carried by each tone
+    shifts = jnp.arange(bps - 1, -1, -1)
+    bit_of_tone = ((data_vals[:, None] >> shifts[None, :]) & 1).astype(bool)  # [M, bps]
+
+    neg_inf = jnp.float32(-jnp.inf)
+    # mask per bit: [..., S, M, bps]
+    e_b = jnp.broadcast_to(energies[..., None], energies.shape + (bps,))
+    max_one = jnp.max(jnp.where(bit_of_tone, e_b, neg_inf), axis=-2)  # [..., S, bps]
+    max_zero = jnp.max(jnp.where(~bit_of_tone, e_b, neg_inf), axis=-2)
+    llrs = (max_one - max_zero).astype(jnp.float32)
+    return llrs.reshape(*energies.shape[:-2], energies.shape[-2] * bps)
+
+
 def estimate_snr_db(config: ModemConfig, energies: jnp.ndarray) -> jnp.ndarray:
     """Per-stream SNR estimate from the filterbank output.
 

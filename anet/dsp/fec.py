@@ -198,6 +198,20 @@ def viterbi_decode(coded: jnp.ndarray, n_data_bits: int) -> jnp.ndarray:
     (forward) plus a reverse scan for traceback — each step is pure gather
     + min over the batch, so thousands of streams decode concurrently.
     """
+    return _viterbi(coded.astype(jnp.float32) * 2.0 - 1.0, n_data_bits)
+
+
+def viterbi_decode_soft(llrs: jnp.ndarray, n_data_bits: int) -> jnp.ndarray:
+    """Soft-decision Viterbi: per-coded-bit LLRs [..., 2*(n+6)] -> bits.
+
+    ``llrs`` positive = bit 1 (anet.dsp.demod.bit_llrs convention). Soft
+    metrics buy ~1.5-2 dB over hard decisions on this channel.
+    """
+    return _viterbi(llrs.astype(jnp.float32), n_data_bits)
+
+
+def _viterbi(soft: jnp.ndarray, n_data_bits: int) -> jnp.ndarray:
+    """Shared trellis search; ``soft`` is signed (+ = bit 1) per coded bit."""
     outputs_np, preds_np = _conv_tables()
     outputs = jnp.asarray(outputs_np)  # [64, 2, 2]
     preds = jnp.asarray(preds_np)  # [64, 2]
@@ -211,11 +225,12 @@ def viterbi_decode(coded: jnp.ndarray, n_data_bits: int) -> jnp.ndarray:
     for ns in ns_arr:
         for j in range(2):
             exp[ns, j] = outputs_np[preds_np[ns, j], b_of_ns[ns]]
-    exp_j = jnp.asarray(exp)
+    # signed expectation (+1 for coded bit 1) for correlation metrics
+    exp_pm = jnp.asarray(2 * exp - 1, jnp.float32)
 
-    batch_shape = coded.shape[:-1]
+    batch_shape = soft.shape[:-1]
     total = n_data_bits + CONV_TAIL_BITS
-    pairs = coded[..., : 2 * total].reshape(*batch_shape, total, 2).astype(jnp.int32)
+    pairs = soft[..., : 2 * total].reshape(*batch_shape, total, 2)
     pairs_tm = jnp.moveaxis(pairs, -2, 0)  # [total, ..., 2]
 
     big = jnp.float32(1e9)
@@ -223,10 +238,10 @@ def viterbi_decode(coded: jnp.ndarray, n_data_bits: int) -> jnp.ndarray:
     pm0 = pm0.at[..., 0].set(0.0)  # encoder starts zero-filled
 
     def forward(pm, rx):
-        # rx: [..., 2] received pair; hamming distance to every
-        # transition's expected pair -> [..., 64, 2]
-        diff = jnp.sum(jnp.abs(rx[..., None, None, :] - exp_j), axis=-1)
-        cand = pm[..., preds] + diff.astype(jnp.float32)  # [..., 64, 2]
+        # rx: [..., 2] signed soft pair; branch metric = negative
+        # correlation with each transition's expected +-1 pair
+        bm = -jnp.sum(rx[..., None, None, :] * exp_pm, axis=-1)  # [..., 64, 2]
+        cand = pm[..., preds] + bm
         take = jnp.argmin(cand, axis=-1).astype(jnp.uint8)  # [..., 64]
         pm_next = jnp.min(cand, axis=-1)
         pm_next = pm_next - jnp.min(pm_next, axis=-1, keepdims=True)

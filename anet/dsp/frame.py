@@ -178,10 +178,14 @@ def frame_result_from_decisions(
     bits = unpack_symbols(symbols, config.bits_per_symbol)
     n_bytes = data_section_bytes(payload_len)
     if config.fec == "conv":
-        from anet.dsp.fec import viterbi_decode
+        from anet.dsp.demod import bit_llrs
+        from anet.dsp.fec import viterbi_decode_soft
 
-        coded = bits[..., : data_section_coded_bits(config, payload_len)]
-        bits = viterbi_decode(coded, 8 * n_bytes)
+        # soft decisions straight from the filterbank energies (~1.5-2 dB
+        # over hard-decision decoding)
+        llrs = bit_llrs(config, energies)
+        coded = llrs[..., : data_section_coded_bits(config, payload_len)]
+        bits = viterbi_decode_soft(coded, 8 * n_bytes)
     section = bits_to_bytes(bits[..., : n_bytes * 8])
 
     header = section[..., :HEADER_BYTES]

@@ -99,3 +99,40 @@ def test_fec_with_clock_tracking():
     res = receive_frame_tracked(CFG_FEC, cap, 48)
     assert bool(res.frame.ok)
     assert np.array_equal(np.asarray(res.frame.payload), np.asarray(payload))
+
+
+def test_bit_llr_signs_match_clean_bits():
+    from anet.dsp.bits import unpack_symbols
+    from anet.dsp.demod import bit_llrs, tone_energies
+    from anet.dsp.mod import modulate_symbols
+
+    rng = np.random.default_rng(7)
+    syms = jnp.asarray(rng.integers(0, CFG_RAW.num_tones, 150))
+    e = tone_energies(CFG_RAW, modulate_symbols(CFG_RAW, syms))
+    llr = np.asarray(bit_llrs(CFG_RAW, e))
+    true_bits = np.asarray(unpack_symbols(syms, CFG_RAW.bits_per_symbol))
+    assert np.array_equal(llr > 0, true_bits == 1)
+
+
+def test_soft_viterbi_beats_hard():
+    from anet.dsp.fec import viterbi_decode_soft
+
+    rng = np.random.default_rng(8)
+    bits = jnp.asarray(rng.integers(0, 2, 500, np.uint8))
+    coded = np.asarray(conv_encode(bits), np.float32)
+    soft_rx = (2 * coded - 1) + rng.normal(0, 0.9, coded.shape).astype(np.float32)
+    hard_rx = (soft_rx > 0).astype(np.uint8)
+    hard_err = int((viterbi_decode(jnp.asarray(hard_rx), 500) != bits).sum())
+    soft_err = int((viterbi_decode_soft(jnp.asarray(soft_rx), 500) != bits).sum())
+    assert soft_err < hard_err
+    assert soft_err <= 15
+
+
+def test_soft_fec_frame_gain_below_hard_threshold():
+    """-4 dB: hard-decision FEC left residual frame errors here; soft
+    decisions from the filterbank energies decode cleanly."""
+    payloads = jnp.asarray(np.random.default_rng(1).integers(0, 256, (16, 64), np.uint8))
+    waves = transmit(CFG_FEC, payloads)
+    noisy = awgn(jax.random.PRNGKey(46), waves, -4.0)
+    r = demodulate_frame(CFG_FEC, noisy, 64)
+    assert float(jnp.mean(r.ok.astype(jnp.float32))) >= 0.9
