@@ -207,7 +207,7 @@ def sharded_receive_long_capture(
     capture: jnp.ndarray,
     chunk_size: int,
     payload_len: int,
-    detect_threshold: float = 0.55,
+    detect_threshold: float = 0.45,
 ) -> ShardedStreamResult:
     """Split ONE long capture along time across devices (the CP analog).
 

@@ -50,7 +50,12 @@ __all__ = [
     "receive_stream",
 ]
 
-DEFAULT_DETECT_THRESHOLD = 0.55
+# Candidate threshold for the normalized preamble correlation. Kept low:
+# the demodulated-header gate (magic + CRC, 48 bits) rejects false locks,
+# so the threshold only needs to beat the noise floor (~0.1-0.25) — and
+# coded (FEC) frames remain detectable at SNRs where sync quality drops
+# well below 0.5.
+DEFAULT_DETECT_THRESHOLD = 0.45
 
 
 class StreamCarry(NamedTuple):
