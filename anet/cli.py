@@ -322,6 +322,8 @@ def main(argv=None) -> int:
         return args.fn(args)
     except KeyboardInterrupt:
         return 130
+    except BrokenPipeError:
+        return 0  # stdout closed early (e.g. piped into head) — not an error
     except (FileNotFoundError, IsADirectoryError) as e:
         print(f"anet: error: {e}", file=sys.stderr)
         return 1

@@ -67,8 +67,6 @@ def crc32_device(data: jnp.ndarray, length: jnp.ndarray | None = None) -> jnp.nd
     n = data.shape[-1]
     batch_shape = data.shape[:-1]
     init = jnp.full(batch_shape, 0xFFFFFFFF, dtype=jnp.uint32)
-    if length is None:
-        length = jnp.full(batch_shape, n, dtype=jnp.int32)
 
     def step(state, inputs):
         byte, idx = inputs

@@ -82,6 +82,28 @@ def _sliding_windows(samples: jnp.ndarray, k: int) -> jnp.ndarray:
     return samples[..., idx]
 
 
+def sliding_window_energy(samples: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Energy of every k-sample window: [..., N] -> [..., N - k + 1]."""
+    sq = samples * samples
+    csum = jnp.cumsum(sq, axis=-1)
+    csum = jnp.concatenate([jnp.zeros_like(csum[..., :1]), csum], axis=-1)
+    return csum[..., k:] - csum[..., : csum.shape[-1] - k]
+
+
+def normalized_match_quality(
+    corr: jnp.ndarray, window_energy: jnp.ndarray, template_energy: jnp.ndarray
+) -> jnp.ndarray:
+    """Cauchy-Schwarz-normalized correlation quality in [0, 1].
+
+    The window energy is floored at -40 dB of the template energy so
+    near-silent windows cannot divide FFT roundoff by ~zero and report
+    spurious quality; a real preamble at any receivable level clears the
+    floor. Shared by the one-shot locator and the streaming receiver.
+    """
+    floored = jnp.maximum(window_energy, 1e-4 * template_energy)
+    return jnp.abs(corr) / jnp.sqrt(template_energy * floored)
+
+
 def _next_pow2(n: int) -> int:
     return 1 << (n - 1).bit_length()
 
@@ -116,14 +138,9 @@ def locate_preamble(
     ).astype(jnp.float32)
     frac = jnp.clip(frac, -0.5, 0.5)
 
-    # Quality: peak correlation normalized by template and local signal
-    # energy (Cauchy-Schwarz bound makes this <= 1). The window energy is
-    # floored at -40 dB of the template energy so near-silent captures
-    # cannot divide FFT roundoff by ~zero and report spurious quality.
     t_energy = jnp.sum(template * template)
     windows_energy = _local_energy(samples, template.shape[-1], offset)
-    windows_energy = jnp.maximum(windows_energy, 1e-4 * t_energy)
-    quality = center / jnp.sqrt(t_energy * windows_energy)
+    quality = normalized_match_quality(center, windows_energy, t_energy)
     return SyncResult(offset=offset, frac=frac, quality=quality)
 
 

@@ -130,24 +130,44 @@ class DiscoveryResponder:
             use_native = native.available()
         self._use_native = use_native
         self._thread: Optional[threading.Thread] = None
-        self._stop_flag = None
+        # Created here (not in the thread) so a stop() racing a fresh
+        # start() can always signal the native loop.
+        import ctypes
+
+        self._stop_flag = ctypes.c_int32(0)
         self._py_stop = threading.Event()
         self._error: Optional[int] = None
 
     def start(self) -> "DiscoveryResponder":
         if self._thread is not None:
             raise RuntimeError("responder already started")
+        self._stop_flag.value = 0
+        self._py_stop.clear()
         self._thread = threading.Thread(target=self._run, daemon=True, name="anet-discovery")
         self._thread.start()
         time.sleep(0.05)  # let the socket bind before callers broadcast
         return self
+
+    def update_identity(self, identity: DiscoveryResponse) -> None:
+        """Refresh the advertised identity (e.g. currently_streaming flips).
+
+        The Python loop re-reads the encoded response per datagram; the
+        native loop captured its response buffer at start, so it is
+        restarted with the new bytes.
+        """
+        self.identity = identity
+        self._response = BroadcastMessage(
+            constants.MAGIC_WORD, discovery_response=identity
+        ).encode()
+        if self._use_native and self._thread is not None:
+            self.stop()
+            self.start()
 
     def _run(self) -> None:
         if self._use_native:
             import ctypes
 
             lib = native.load()
-            self._stop_flag = ctypes.c_int32(0)
             rc = lib.anet_discovery_responder_run(
                 self.port,
                 constants.MAGIC_WORD,

@@ -117,8 +117,9 @@ class NativeFramer:
                 length = self._lens[i]
                 frames.append(bytes(view[offset : offset + length]))
                 offset += length
-            if n < self.MAX_FRAMES_PER_DRAIN:
-                return frames
+            # Loop until a drain returns 0: a partial batch can also mean
+            # the output buffer filled (large frames), with more complete
+            # frames still buffered — returning early would strand them.
 
     @property
     def pending_bytes(self) -> int:

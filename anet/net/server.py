@@ -39,6 +39,7 @@ class AudioStreamServer:
         identity: DiscoveryResponse,
         frame_sink: FrameSink,
         on_new_stream: Optional[Callable[[], None]] = None,
+        on_stream_end: Optional[Callable[[], None]] = None,
         port: int = constants.TCP_AUDIO_PORT,
         max_encoded_frame_size: int = constants.MAX_ENCODED_FRAME_SIZE,
         max_decoded_frame_size: int = constants.MAX_DECODED_FRAME_SIZE,
@@ -47,6 +48,7 @@ class AudioStreamServer:
         self.identity = identity
         self.frame_sink = frame_sink
         self.on_new_stream = on_new_stream
+        self.on_stream_end = on_stream_end
         self.port = port
         self.max_encoded_frame_size = max_encoded_frame_size
         self.max_decoded_frame_size = max_decoded_frame_size
@@ -100,6 +102,8 @@ class AudioStreamServer:
                     client.close()
                 except OSError:
                     pass
+                if self.on_stream_end is not None:
+                    self.on_stream_end()
 
     def _serve_client(self, client: socket.socket) -> None:
         """Hello + stream loop for one transmitter (network.cpp:380-434)."""

@@ -28,7 +28,13 @@ from anet.channel import ChannelConfig, apply_channel
 from anet.dsp.frame import FrameResult, demodulate_frame, frame_num_samples
 from anet.dsp.params import ModemConfig
 from anet.dsp.pipeline import transmit
-from anet.stream import StreamCarry, StreamStepOutput, init_carry, receive_stream
+from anet.stream import (
+    DEFAULT_DETECT_THRESHOLD,
+    StreamCarry,
+    StreamStepOutput,
+    init_carry,
+    receive_stream,
+)
 
 __all__ = [
     "make_mesh",
@@ -207,7 +213,7 @@ def sharded_receive_long_capture(
     capture: jnp.ndarray,
     chunk_size: int,
     payload_len: int,
-    detect_threshold: float = 0.45,
+    detect_threshold: float = DEFAULT_DETECT_THRESHOLD,
 ) -> ShardedStreamResult:
     """Split ONE long capture along time across devices (the CP analog).
 

@@ -88,6 +88,11 @@ class DelimitedDecoder:
 
     def __init__(self, max_bytes: int = MAX_DELIMITED_FRAME_BYTES) -> None:
         self._buf = bytearray()
+        # Frames are consumed by advancing a read offset with lazy
+        # compaction — deleting the buffer front per frame would memmove
+        # the whole remainder once per frame (quadratic when many frames
+        # are buffered). Same scheme as the native framer.
+        self._pos = 0
         self._max_bytes = max_bytes
 
     def feed(self, data: bytes) -> List[bytes]:
@@ -96,18 +101,23 @@ class DelimitedDecoder:
         while True:
             frame = self._try_pop()
             if frame is None:
-                return frames
+                break
             frames.append(frame)
+        # compact the consumed prefix once per feed
+        if self._pos:
+            del self._buf[: self._pos]
+            self._pos = 0
+        return frames
 
     def _try_pop(self) -> Optional[bytes]:
         buf = self._buf
         length = 0
         shift = 0
-        pos = 0
+        pos = self._pos
         while True:
             if pos >= len(buf):
                 return None  # need more bytes for the length prefix
-            if pos >= 10:
+            if pos - self._pos >= 10:
                 raise WireError("length prefix varint exceeds 10 bytes")
             b = buf[pos]
             length |= (b & 0x7F) << shift
@@ -121,13 +131,13 @@ class DelimitedDecoder:
         if len(buf) < end:
             return None  # need more payload bytes
         frame = bytes(buf[pos:end])
-        del self._buf[:end]
+        self._pos = end
         return frame
 
     @property
     def pending_bytes(self) -> int:
         """Bytes buffered but not yet forming a complete frame."""
-        return len(self._buf)
+        return len(self._buf) - self._pos
 
 
 def iter_delimited(data: bytes) -> Iterator[bytes]:

@@ -43,6 +43,16 @@ def _as_bytes(value: object, message: str, field: str) -> bytes:
     return value
 
 
+def _as_utf8(value: object, message: str, field: str) -> str:
+    """Decode a string field; bad UTF-8 is a wire error, not a crash —
+    discovery must survive arbitrary LAN datagrams."""
+    raw = _as_bytes(value, message, field)
+    try:
+        return raw.decode("utf-8")
+    except UnicodeDecodeError as e:
+        raise WireError(f"{message}.{field}: invalid UTF-8: {e}") from None
+
+
 def _check_string(text: str, limit: int, message: str, field: str) -> bytes:
     raw = text.encode("utf-8")
     if len(raw) > limit:
@@ -102,11 +112,11 @@ class DiscoveryResponse:
             elif field == 2 and wtype == WT_VARINT:
                 mac_address = _as_varint(value, "DiscoveryResponse", "mac_address")
             elif field == 3 and wtype == WT_LEN:
-                device_name = _as_bytes(value, "DiscoveryResponse", "device_name").decode("utf-8")
+                device_name = _as_utf8(value, "DiscoveryResponse", "device_name")
             elif field == 4 and wtype == WT_VARINT:
                 currently_streaming = bool(value)
             elif field == 5 and wtype == WT_LEN:
-                opus_version = _as_bytes(value, "DiscoveryResponse", "opus_version").decode("utf-8")
+                opus_version = _as_utf8(value, "DiscoveryResponse", "opus_version")
         _require(protocol_version is not None, "DiscoveryResponse", "protocol_version")
         _require(mac_address is not None, "DiscoveryResponse", "mac_address")
         _require(device_name is not None, "DiscoveryResponse", "device_name")

@@ -164,9 +164,11 @@ class PacedSink:
 
     def resume(self) -> None:
         if self._paused_at is not None:
-            # drop what would have drained while paused... the DAC was
-            # stopped, so nothing drained: shift the epoch instead.
-            self._epoch += time.monotonic() - self._paused_at
+            # the DAC was stopped, so nothing drained while paused: shift
+            # the epoch instead. A pause before the first write leaves
+            # _epoch unset — there is nothing to shift yet.
+            if self._epoch is not None:
+                self._epoch += time.monotonic() - self._paused_at
             self._paused_at = None
         self.inner.resume()
 

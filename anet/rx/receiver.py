@@ -74,6 +74,7 @@ class NetworkModule(Module):
             identity=self.identity(),
             frame_sink=self.pipeline.queue_frame,
             on_new_stream=self._on_new_stream,
+            on_stream_end=self._on_stream_end,
             port=self.config.tcp_audio_port,
             max_encoded_frame_size=self.config.max_encoded_frame_size,
             max_decoded_frame_size=self.config.max_decoded_frame_size,
@@ -85,6 +86,13 @@ class NetworkModule(Module):
     def _on_new_stream(self) -> None:
         self._streaming = True
         self.pipeline.start_new_stream()
+        if self.responder is not None:
+            self.responder.update_identity(self.identity())
+
+    def _on_stream_end(self) -> None:
+        self._streaming = False
+        if self.responder is not None:
+            self.responder.update_identity(self.identity())
 
     def send_feedback(self, underflow: bool, decode_error: bool) -> None:
         if self.server is not None:

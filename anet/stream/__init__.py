@@ -39,7 +39,12 @@ from anet.dsp.frame import (
     frame_num_samples,
 )
 from anet.dsp.params import ModemConfig
-from anet.dsp.sync import preamble_waveform
+from anet.dsp.sync import (
+    correlate_template,
+    normalized_match_quality,
+    preamble_waveform,
+    sliding_window_energy,
+)
 
 __all__ = [
     "StreamCarry",
@@ -136,14 +141,10 @@ def stream_step(
     w0 = length - t_frame - chunk_size + 1
     # Correlate template against starts [w0, w0 + chunk_size).
     seg = jax.lax.dynamic_slice_in_dim(buffer, w0, chunk_size + k - 1, axis=-1)
-    corr = _windowed_corr(seg, template)  # [..., chunk_size]
+    corr = correlate_template(seg, template)  # [..., chunk_size]
     t_energy = jnp.sum(template * template)
-    local_e = _sliding_energy(seg, k)  # [..., chunk_size]
-    # Floor the window energy at -40 dB of the template energy: otherwise
-    # near-silent windows divide FFT roundoff by ~zero and the "quality"
-    # explodes. A real preamble at any receivable level clears the floor.
-    local_e = jnp.maximum(local_e, 1e-4 * t_energy)
-    quality = jnp.abs(corr) / jnp.sqrt(t_energy * local_e)
+    local_e = sliding_window_energy(seg, k)  # [..., chunk_size]
+    quality = normalized_match_quality(corr, local_e, t_energy)
 
     best_rel = jnp.argmax(quality, axis=-1).astype(jnp.int32)
     best_q = jnp.take_along_axis(quality, best_rel[..., None], axis=-1)[..., 0]
@@ -182,25 +183,6 @@ def stream_step(
     return new_carry, out
 
 
-def _windowed_corr(seg: jnp.ndarray, template: jnp.ndarray) -> jnp.ndarray:
-    """Correlation of [..., W+K-1] segment with [K] template -> [..., W].
-
-    FFT-based (O(n log n)); W and K are static so the FFT size constant-folds.
-    """
-    n = seg.shape[-1]
-    k = template.shape[-1]
-    fft_len = 1 << (n - 1).bit_length()
-    spec_x = jnp.fft.rfft(seg, n=fft_len, axis=-1)
-    spec_t = jnp.fft.rfft(template, n=fft_len)
-    corr = jnp.fft.irfft(spec_x * jnp.conj(spec_t), n=fft_len, axis=-1)
-    return corr[..., : n - k + 1]
-
-
-def _sliding_energy(seg: jnp.ndarray, k: int) -> jnp.ndarray:
-    sq = seg * seg
-    csum = jnp.cumsum(sq, axis=-1)
-    csum = jnp.concatenate([jnp.zeros_like(csum[..., :1]), csum], axis=-1)
-    return csum[..., k:] - csum[..., : csum.shape[-1] - k]
 
 
 def _batched_dynamic_slice(buffer: jnp.ndarray, start: jnp.ndarray, size: int) -> jnp.ndarray:

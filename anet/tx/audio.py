@@ -61,8 +61,11 @@ def convert(
     """Convert int16 [n, ch] PCM between formats (rate + channel count)."""
     out = samples
     if fmt.channels != target.channels:
-        if target.channels == 1:
-            out = out.mean(axis=1, dtype=np.int32).astype(np.int16)[:, None]
+        if target.channels < fmt.channels:
+            # Downmix: average every source channel (dropping channels
+            # would silently discard content), then spread across targets.
+            mono = out.mean(axis=1, dtype=np.int32).astype(np.int16)[:, None]
+            out = np.repeat(mono, target.channels, axis=1)
         else:
             out = np.repeat(out[:, :1], target.channels, axis=1)
     if fmt.sample_rate_hz != target.sample_rate_hz:

@@ -69,6 +69,10 @@ class MulticastAudioOutput:
         self._clean_frames = 0
         self._upgrade_after = upgrade_after_clean_frames
         self._quality_lock = threading.Lock()
+        # Serializes every libopus call on this encoder: feedback threads
+        # change the bitrate (opus_encoder_ctl) while the send thread may be
+        # inside opus_encode, and libopus encoders are not thread-safe.
+        self._encoder_lock = threading.Lock()
 
     # --- receiver management -------------------------------------------------
 
@@ -140,11 +144,15 @@ class MulticastAudioOutput:
 
     def write(self, pcm: bytes) -> None:
         """Encode + pace + fan out (writeAudio, MulticastAudioOutput.kt:72)."""
-        self._send_frames(self.encoder.submit(pcm))
+        with self._encoder_lock:
+            frames = self.encoder.submit(pcm)
+        self._send_frames(frames)
 
     def flush(self) -> None:
         """Emit the zero-padded final frame (:150-153)."""
-        self._send_frames(self.encoder.final())
+        with self._encoder_lock:
+            frames = self.encoder.final()
+        self._send_frames(frames)
 
     def _send_frames(self, frames: List[bytes]) -> None:
         for frame in frames:
@@ -168,7 +176,8 @@ class MulticastAudioOutput:
             if self._ladder_pos + 1 < len(QUALITY_LADDER_BPS):
                 self._ladder_pos += 1
                 new_rate = QUALITY_LADDER_BPS[self._ladder_pos]
-                self.encoder.set_bitrate(new_rate)
+                with self._encoder_lock:
+                    self.encoder.set_bitrate(new_rate)
                 logger.warning("quality downgraded to %d bps", new_rate)
 
     def _maybe_upgrade_quality(self) -> None:
@@ -180,7 +189,8 @@ class MulticastAudioOutput:
                 self._clean_frames = 0
                 self._ladder_pos -= 1
                 new_rate = QUALITY_LADDER_BPS[self._ladder_pos]
-                self.encoder.set_bitrate(new_rate)
+                with self._encoder_lock:
+                    self.encoder.set_bitrate(new_rate)
                 logger.info("quality restored to %d bps", new_rate)
 
     def _fan_out(self, frame: bytes) -> None:

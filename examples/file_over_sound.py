@@ -41,6 +41,9 @@ def main() -> int:
 
     cfg = get_model(args.model).config
     data = open(args.path, "rb").read()
+    if not data:
+        print("input file is empty; nothing to send")
+        return 0
     chunks = [data[i : i + CHUNK_PAYLOAD] for i in range(0, len(data), CHUNK_PAYLOAD)]
     # Wire-frame each chunk exactly like the reference transport would.
     payloads = [
@@ -85,10 +88,11 @@ def main() -> int:
         print("FAILED: not all frames recovered", file=sys.stderr)
         return 1
 
-    det = np.asarray(res.steps.detected)
+    ok_mask = np.asarray(res.steps.frame.ok)  # only integrity-verified frames
+    all_payloads = np.asarray(res.steps.frame.payload)
     recovered = bytearray()
-    for i in np.nonzero(det)[0]:
-        raw = bytes(np.asarray(res.steps.frame.payload)[i])
+    for i in np.nonzero(ok_mask)[0]:
+        raw = bytes(all_payloads[i])
         inner = next(iter_delimited(raw))  # strips the length prefix + pad
         recovered += ToReceiver.decode(inner).audio_data.opus_encoded_frame
     ok = bytes(recovered) == data

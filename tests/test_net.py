@@ -260,3 +260,61 @@ def test_server_serves_one_client_at_a_time():
         assert frames and ToTransmitter.decode(frames[0]).receiver_information
         second_sock.close()
     assert server.streams_served == 2
+
+
+def test_discovery_reports_live_streaming_flag():
+    """currently_streaming in discovery responses tracks the actual stream
+    state (the firmware hardcodes false with a TODO, network.cpp:372)."""
+    from anet.config import ReceiverConfig
+    from anet.rx.playback import BufferSink
+    from anet.rx.receiver import AnetReceiver
+
+    cfg = ReceiverConfig(
+        device_name="live-flag", tcp_audio_port=0, udp_discovery_port=48768
+    )
+    with AnetReceiver(BufferSink(), cfg) as rx:
+        port = rx.network.server.bound_port
+
+        def query():
+            found = discover_receivers(
+                timeout_s=0.6, port=48768, targets=["127.0.0.1"]
+            )
+            assert found, "responder did not answer"
+            return found[0].response.currently_streaming
+
+        assert query() is False
+        session = RemoteAudioReceiver("127.0.0.1", port).connect()
+        deadline = time.monotonic() + 2
+        while not query() and time.monotonic() < deadline:
+            time.sleep(0.05)
+        assert query() is True
+        session.close()
+        deadline = time.monotonic() + 2
+        while query() and time.monotonic() < deadline:
+            time.sleep(0.05)
+        assert query() is False
+
+
+@needs_native
+def test_native_framer_large_frames_beyond_drain_buffer():
+    """Frames larger than one drain batch must all surface from a single
+    feed (regression: early exit stranded buffered frames)."""
+    big = [bytes([i]) * 700_000 for i in range(3)]  # 2.1 MB > 1 MiB out buf
+    stream = b"".join(encode_delimited(f) for f in big)
+    nf = native.NativeFramer(max_frame=1 << 21)
+    got = nf.feed(stream)
+    assert [len(f) for f in got] == [700_000] * 3
+    assert nf.pending_bytes == 0
+
+
+def test_paced_sink_pause_before_first_write():
+    """pause()/resume() before any write must not raise (regression: killed
+    the playback consumer thread)."""
+    from anet.rx.playback import BufferSink, PacedSink
+
+    sink = PacedSink(BufferSink())
+    sink.pause()
+    sink.resume()
+    assert sink.buffered_seconds == 0.0
+    sink.write(b"\x00" * 19200)  # 0.1 s
+    assert sink.buffered_seconds > 0.05
