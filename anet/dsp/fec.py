@@ -120,6 +120,53 @@ def _crc32_bit_table(n_bytes: int) -> tuple[np.ndarray, int]:
     return p, const
 
 
+# --- block interleaver --------------------------------------------------------
+
+
+def interleaved_bits(n_bits: int, depth: int) -> int:
+    """On-air bit count after padding to a whole depth x rows block."""
+    if depth <= 1:
+        return n_bits
+    rows = -(-n_bits // depth)
+    return rows * depth
+
+
+def interleave(bits: jnp.ndarray, depth: int) -> jnp.ndarray:
+    """Rectangular block interleaver: [..., n] -> [..., rows*depth].
+
+    Written row-major, read column-major, zero-padded to a full block.
+    Consecutive on-air bits end up >= rows apart after deinterleaving, so a
+    channel burst of up to `rows` coded bits turns into isolated single
+    errors — exactly what the convolutional decoder can fix (plain
+    convolutional codes die on bursts longer than a constraint length).
+    """
+    if depth <= 1:
+        return bits
+    n = bits.shape[-1]
+    rows = -(-n // depth)
+    pad = rows * depth - n
+    if pad:
+        bits = jnp.concatenate(
+            [bits, jnp.zeros(bits.shape[:-1] + (pad,), bits.dtype)], axis=-1
+        )
+    block = bits.reshape(*bits.shape[:-1], rows, depth)
+    return jnp.swapaxes(block, -1, -2).reshape(*bits.shape[:-1], rows * depth)
+
+
+def deinterleave(bits: jnp.ndarray, depth: int, n_bits: int) -> jnp.ndarray:
+    """Inverse of interleave; returns the first ``n_bits`` (pad dropped).
+
+    Works on hard bits and on float LLRs alike (pure permutation).
+    """
+    if depth <= 1:
+        return bits[..., :n_bits]
+    total = bits.shape[-1]
+    rows = total // depth
+    block = bits.reshape(*bits.shape[:-1], depth, rows)
+    out = jnp.swapaxes(block, -1, -2).reshape(*bits.shape[:-1], total)
+    return out[..., :n_bits]
+
+
 # --- rate-1/2 K=7 convolutional code -----------------------------------------
 
 CONV_K = 7

@@ -94,9 +94,9 @@ def frame_data_symbols(config: ModemConfig, payload: jnp.ndarray) -> jnp.ndarray
     )
     bits = bytes_to_bits(section)
     if config.fec == "conv":
-        from anet.dsp.fec import conv_encode
+        from anet.dsp.fec import conv_encode, interleave
 
-        bits = conv_encode(bits)
+        bits = interleave(conv_encode(bits), config.fec_interleave)
     pad = (-bits.shape[-1]) % config.bits_per_symbol
     if pad:
         bits = jnp.concatenate(
@@ -179,12 +179,14 @@ def frame_result_from_decisions(
     n_bytes = data_section_bytes(payload_len)
     if config.fec == "conv":
         from anet.dsp.demod import bit_llrs
-        from anet.dsp.fec import viterbi_decode_soft
+        from anet.dsp.fec import conv_encoded_bits, deinterleave, viterbi_decode_soft
 
         # soft decisions straight from the filterbank energies (~1.5-2 dB
-        # over hard-decision decoding)
+        # over hard-decision decoding); the deinterleaver permutes LLRs
+        # identically to hard bits
         llrs = bit_llrs(config, energies)
-        coded = llrs[..., : data_section_coded_bits(config, payload_len)]
+        air = llrs[..., : data_section_coded_bits(config, payload_len)]
+        coded = deinterleave(air, config.fec_interleave, conv_encoded_bits(8 * n_bytes))
         bits = viterbi_decode_soft(coded, 8 * n_bytes)
     section = bits_to_bytes(bits[..., : n_bytes * 8])
 

@@ -50,10 +50,15 @@ class ModemConfig:
     #   "conv" — rate-1/2 K=7 convolutional code with Viterbi decoding
     #            (~5 dB coding gain, half the net bit rate)
     fec: str = "none"
+    # Block-interleaver depth for coded frames (0/1 = off). Spreads channel
+    # bursts into isolated errors the convolutional decoder can fix.
+    fec_interleave: int = 0
 
     def __post_init__(self) -> None:
         if self.fec not in ("none", "conv"):
             raise ValueError(f"fec must be 'none' or 'conv', got {self.fec!r}")
+        if self.fec_interleave < 0:
+            raise ValueError("fec_interleave must be >= 0")
         if self.sample_rate_hz % self.symbol_rate_hz != 0:
             raise ValueError(
                 f"symbol_rate_hz={self.symbol_rate_hz} must divide "
@@ -99,10 +104,13 @@ class ModemConfig:
         return self.symbol_rate_hz * self.bits_per_symbol
 
     def coded_bits_for_data_bits(self, n_bits: int) -> int:
+        """Bits on the air (after coding + interleaver padding)."""
         if self.fec == "conv":
-            from anet.dsp.fec import conv_encoded_bits
+            from anet.dsp.fec import conv_encoded_bits, interleaved_bits
 
-            return conv_encoded_bits(n_bits)
+            return interleaved_bits(
+                conv_encoded_bits(n_bits), self.fec_interleave
+            )
         return n_bits
 
     @property

@@ -130,9 +130,11 @@ register(
             base_freq_hz=3_000.0,
             preamble_symbols=32,
             fec="conv",
+            fec_interleave=24,
         ),
-        "4-FSK with rate-1/2 K=7 convolutional coding (Viterbi decode); "
-        "1.5 kbps net with ~4 dB coding gain at the frame-error cliff.",
+        "4-FSK with rate-1/2 K=7 convolutional coding (soft Viterbi) and a "
+        "depth-24 block interleaver; 1.5 kbps net, ~4 dB coding gain at the "
+        "frame-error cliff plus burst-error immunity.",
     )
 )
 

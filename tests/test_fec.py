@@ -136,3 +136,41 @@ def test_soft_fec_frame_gain_below_hard_threshold():
     noisy = awgn(jax.random.PRNGKey(46), waves, -4.0)
     r = demodulate_frame(CFG_FEC, noisy, 64)
     assert float(jnp.mean(r.ok.astype(jnp.float32))) >= 0.9
+
+
+def test_interleaver_roundtrip_and_padding():
+    from anet.dsp.fec import deinterleave, interleave, interleaved_bits
+
+    rng = np.random.default_rng(9)
+    bits = jnp.asarray(rng.integers(0, 2, (2, 101), np.uint8))
+    for depth in (0, 1, 8, 24):
+        out = interleave(bits, depth)
+        assert out.shape[-1] == interleaved_bits(101, depth)
+        back = deinterleave(out, depth, 101)
+        assert np.array_equal(np.asarray(back), np.asarray(bits))
+
+
+def test_interleaver_rescues_burst_that_kills_plain_fec():
+    cfg_plain = CFG_FEC
+    cfg_il = dataclasses.replace(CFG_FEC, fec_interleave=24)
+    payload = jnp.asarray(np.random.default_rng(0).integers(0, 256, 64, np.uint8))
+    results = {}
+    for cfg in (cfg_plain, cfg_il):
+        w = np.array(transmit(cfg, payload))
+        sps = cfg.samples_per_symbol
+        s0 = (cfg.preamble_symbols + 60) * sps
+        w[s0 : s0 + 10 * sps] = 0.0  # 20 consecutive coded bits destroyed
+        r = demodulate_frame(cfg, jnp.asarray(w), 64)
+        results[cfg.fec_interleave] = bool(r.ok)
+    assert results[0] is False  # plain conv code dies on the burst
+    assert results[24] is True  # interleaved code shrugs it off
+
+
+def test_interleaved_model_preset_loopback():
+    from anet.models import get_model
+
+    cfg = get_model("mfsk4-coded").config
+    assert cfg.fec_interleave == 24
+    payload = jnp.asarray(np.random.default_rng(2).integers(0, 256, 96, np.uint8))
+    res = loopback(cfg, payload, pad_before=77)
+    assert bool(res.frame.ok)
