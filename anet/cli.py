@@ -118,6 +118,12 @@ def _cmd_rx(args) -> int:
     return 0
 
 
+def _is_ofdm(cfg) -> bool:
+    from anet.dsp.ofdm import OfdmConfig
+
+    return isinstance(cfg, OfdmConfig)
+
+
 def _cmd_modem_tx(args) -> int:
     import numpy as np
 
@@ -136,7 +142,12 @@ def _cmd_modem_tx(args) -> int:
         return 1
     import jax.numpy as jnp
 
-    wave = transmit(cfg, jnp.asarray(np.frombuffer(payload, np.uint8)))
+    if _is_ofdm(cfg):
+        from anet.dsp import ofdm
+
+        wave = ofdm.transmit(cfg, jnp.asarray(np.frombuffer(payload, np.uint8)))
+    else:
+        wave = transmit(cfg, jnp.asarray(np.frombuffer(payload, np.uint8)))
     if args.out.endswith(".wav"):
         import wave as wavmod
 
@@ -181,19 +192,33 @@ def _cmd_modem_rx(args) -> int:
         capture = np.fromfile(args.capture, dtype=np.float32)
     import jax.numpy as jnp
 
-    if args.track:
-        res = receive_frame_tracked(cfg, jnp.asarray(capture), args.len)
-        extra = (f" drift={float(res.drift_ppm):+.0f}ppm "
-                 f"timing_rms={float(res.timing_error_rms):.3f}")
+    if _is_ofdm(cfg):
+        from anet.dsp import ofdm
+
+        if args.track:
+            print("--track applies to MFSK models only; OFDM uses the cyclic "
+                  "prefix for timing tolerance", file=sys.stderr)
+        r = ofdm.receive_frame(cfg, jnp.asarray(capture), args.len)
+        f = r.frame
+        print(
+            f"sync offset={int(r.offset)} quality={float(r.quality):.3f} "
+            f"| ok={bool(f.ok)} magic={bool(f.magic_ok)} crc={bool(f.payload_crc_ok)} "
+            f"snr={float(f.snr_db):.1f} dB"
+        )
     else:
-        res = receive_frame(cfg, jnp.asarray(capture), args.len)
-        extra = ""
-    f = res.frame
-    print(
-        f"sync offset={int(res.sync.offset)} quality={float(res.sync.quality):.3f} "
-        f"| ok={bool(f.ok)} magic={bool(f.magic_ok)} crc={bool(f.payload_crc_ok)} "
-        f"snr={float(f.snr_db):.1f} dB" + extra
-    )
+        if args.track:
+            res = receive_frame_tracked(cfg, jnp.asarray(capture), args.len)
+            extra = (f" drift={float(res.drift_ppm):+.0f}ppm "
+                     f"timing_rms={float(res.timing_error_rms):.3f}")
+        else:
+            res = receive_frame(cfg, jnp.asarray(capture), args.len)
+            extra = ""
+        f = res.frame
+        print(
+            f"sync offset={int(res.sync.offset)} quality={float(res.sync.quality):.3f} "
+            f"| ok={bool(f.ok)} magic={bool(f.magic_ok)} crc={bool(f.payload_crc_ok)} "
+            f"snr={float(f.snr_db):.1f} dB" + extra
+        )
     if args.out:
         with open(args.out, "wb") as fh:
             fh.write(bytes(np.asarray(f.payload)))
@@ -209,6 +234,10 @@ def _cmd_sweep(args) -> int:
     from anet.parallel import ber_sweep, make_mesh
 
     cfg = get_model(args.model).config
+    if _is_ofdm(cfg):
+        print("sweep currently supports MFSK models; for OFDM use the "
+              "library (anet.dsp.ofdm) directly", file=sys.stderr)
+        return 1
     mesh = make_mesh()
     snrs = [args.snr_min + i * args.snr_step for i in range(args.snr_points)]
     frames = args.frames - (args.frames % mesh.devices.size) or mesh.devices.size
@@ -243,8 +272,11 @@ def _cmd_models(args) -> int:
 
     for m in list_models():
         c = m.config
-        print(f"{m.name:15s} {c.num_tones:3d}-FSK @{c.symbol_rate_hz:5d} baud "
-              f"{c.bit_rate_bps:7.0f} bps  {m.description}")
+        if _is_ofdm(c):
+            kind = f"OFDM {c.n_carriers}xQPSK"
+        else:
+            kind = f"{c.num_tones:3d}-FSK @{c.symbol_rate_hz:5d} baud"
+        print(f"{m.name:15s} {kind:22s} {c.bit_rate_bps:7.0f} bps  {m.description}")
     return 0
 
 

@@ -169,23 +169,51 @@ def frame_result_from_decisions(
     energies: jnp.ndarray,
     payload_len: int,
 ) -> FrameResult:
-    """Parse + verify the data section from already-decided symbols.
+    """Parse + verify the data section from already-decided MFSK symbols.
 
     Shared tail of the block demodulator above and the clock-tracked
     demodulator (anet.dsp.clock): symbols/energies in, payload + verdicts
-    out. Runs the Viterbi decoder first when the config carries FEC.
+    out. Soft decisions for the FEC come from the filterbank energies.
     """
     bits = unpack_symbols(symbols, config.bits_per_symbol)
-    n_bytes = data_section_bytes(payload_len)
+    llrs = None
     if config.fec == "conv":
         from anet.dsp.demod import bit_llrs
+
+        llrs = bit_llrs(config, energies)
+    best = jnp.max(energies, axis=-1)
+    total = jnp.sum(energies, axis=-1)
+    confidence = jnp.mean(best / jnp.maximum(total, 1e-20), axis=-1)
+    snr_db = estimate_snr_db(config, energies)
+    return frame_result_from_bits(
+        config, bits, payload_len, llrs=llrs, confidence=confidence, snr_db=snr_db
+    )
+
+
+def frame_result_from_bits(
+    config,
+    bits: jnp.ndarray,
+    payload_len: int,
+    *,
+    llrs: jnp.ndarray | None = None,
+    confidence: jnp.ndarray,
+    snr_db: jnp.ndarray,
+) -> FrameResult:
+    """Modulation-agnostic frame parse: demodulated bits (and optionally
+    per-bit LLRs for soft FEC) -> payload + verdicts.
+
+    ``config`` only needs the FEC surface (``fec``, ``fec_interleave``,
+    ``coded_bits_for_data_bits``), so any modulation family — MFSK, OFDM —
+    shares the header/CRC/FEC machinery.
+    """
+    n_bytes = data_section_bytes(payload_len)
+    if config.fec == "conv":
         from anet.dsp.fec import conv_encoded_bits, deinterleave, viterbi_decode_soft
 
-        # soft decisions straight from the filterbank energies (~1.5-2 dB
-        # over hard-decision decoding); the deinterleaver permutes LLRs
-        # identically to hard bits
-        llrs = bit_llrs(config, energies)
-        air = llrs[..., : data_section_coded_bits(config, payload_len)]
+        # the deinterleaver permutes LLRs identically to hard bits; fall
+        # back to +-1 soft values when the caller has only hard decisions
+        soft = llrs if llrs is not None else bits.astype(jnp.float32) * 2.0 - 1.0
+        air = soft[..., : data_section_coded_bits(config, payload_len)]
         coded = deinterleave(air, config.fec_interleave, conv_encoded_bits(8 * n_bytes))
         bits = viterbi_decode_soft(coded, 8 * n_bytes)
     section = bits_to_bytes(bits[..., : n_bytes * 8])
@@ -214,11 +242,6 @@ def frame_result_from_decisions(
     header_crc_ok = hcrc_calc == hcrc_rx
     payload_crc_ok = crc_calc == crc_rx
     ok = magic_ok & length_ok & header_crc_ok & payload_crc_ok
-
-    best = jnp.max(energies, axis=-1)
-    total = jnp.sum(energies, axis=-1)
-    confidence = jnp.mean(best / jnp.maximum(total, 1e-20), axis=-1)
-    snr_db = estimate_snr_db(config, energies)
     return FrameResult(
         payload=payload,
         magic_ok=magic_ok,

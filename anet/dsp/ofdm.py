@@ -1,0 +1,298 @@
+"""OFDM modem family: QPSK subcarriers over a real (audio) channel.
+
+A second modulation family alongside MFSK, sharing the whole frame stack
+(header/CRC/FEC via anet.dsp.frame.frame_result_from_bits) and the sync
+machinery (matched-filter correlation against a known preamble waveform).
+Where MFSK trades rate for robustness, OFDM packs ~10x the bit rate into
+the same band and equalizes multipath with one complex tap per carrier —
+the acoustic channel's frequency selectivity becomes a per-carrier gain
+instead of inter-symbol interference.
+
+Signal construction (all real-valued, audio-band):
+- N-point real IFFT (Hermitian spectrum), QPSK on carriers
+  [first_carrier, first_carrier + n_carriers), cyclic prefix per symbol;
+- frame = preamble (two identical known OFDM symbols — a distinctive
+  matched-filter template) + one pilot symbol (known QPSK pattern, gives
+  the per-carrier channel estimate) + data symbols;
+- receive: locate by matched filter, strip CP, rfft, equalize by the
+  pilot-derived channel, Gray-QPSK decisions with per-bit LLRs
+  (Re/Im of the matched-equalized symbol), then the shared frame parser.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import NamedTuple, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from anet.dsp.frame import (
+    FrameResult,
+    data_section_bytes,
+    data_section_coded_bits,
+    frame_result_from_bits,
+)
+from anet.dsp.sync import normalized_match_quality, correlate_template, sliding_window_energy
+
+
+@dataclasses.dataclass(frozen=True)
+class OfdmConfig:
+    """Static OFDM parameters (hashable -> jit-static).
+
+    Defaults: 48 kHz audio, 256-point FFT (187.5 Hz carrier spacing), 96
+    QPSK carriers spanning 3.0-20.8 kHz, 64-sample cyclic prefix (1.3 ms of
+    echo tolerance) -> 192 bits per 6.67 ms symbol = 28.8 kbps channel rate.
+    """
+
+    sample_rate_hz: int = 48_000
+    n_fft: int = 256
+    cp_len: int = 64
+    first_carrier: int = 16
+    n_carriers: int = 96
+    preamble_repeats: int = 2  # identical symbols in the preamble
+    amplitude: float = 0.5
+    # FEC surface shared with ModemConfig (see frame_result_from_bits)
+    fec: str = "none"
+    fec_interleave: int = 0
+
+    def __post_init__(self) -> None:
+        if self.fec not in ("none", "conv"):
+            raise ValueError(f"fec must be 'none' or 'conv', got {self.fec!r}")
+        if self.fec_interleave < 0:
+            raise ValueError("fec_interleave must be >= 0")
+        if self.n_fft & (self.n_fft - 1):
+            raise ValueError("n_fft must be a power of two")
+        if not 0 < self.cp_len < self.n_fft:
+            raise ValueError("cp_len must be in (0, n_fft)")
+        if self.first_carrier < 1:
+            raise ValueError("first_carrier must be >= 1 (DC is unusable)")
+        if self.first_carrier + self.n_carriers > self.n_fft // 2:
+            raise ValueError("carriers exceed the real-signal Nyquist bin")
+
+    # --- geometry ------------------------------------------------------------
+
+    @property
+    def symbol_samples(self) -> int:
+        return self.n_fft + self.cp_len
+
+    @property
+    def bits_per_symbol(self) -> int:
+        return 2 * self.n_carriers  # QPSK
+
+    @property
+    def bit_rate_bps(self) -> float:
+        return self.bits_per_symbol * self.sample_rate_hz / self.symbol_samples
+
+    @property
+    def carrier_freqs_hz(self) -> Tuple[float, ...]:
+        df = self.sample_rate_hz / self.n_fft
+        return tuple(
+            (self.first_carrier + k) * df for k in range(self.n_carriers)
+        )
+
+    @property
+    def preamble_samples(self) -> int:
+        return self.preamble_repeats * self.symbol_samples
+
+    def coded_bits_for_data_bits(self, n_bits: int) -> int:
+        if self.fec == "conv":
+            from anet.dsp.fec import conv_encoded_bits, interleaved_bits
+
+            return interleaved_bits(conv_encoded_bits(n_bits), self.fec_interleave)
+        return n_bits
+
+    def data_symbols_for_payload(self, payload_len: int) -> int:
+        bits = data_section_coded_bits(self, payload_len)
+        return -(-bits // self.bits_per_symbol)
+
+    def frame_num_samples(self, payload_len: int) -> int:
+        # preamble + pilot + data symbols
+        return (
+            self.preamble_samples
+            + self.symbol_samples * (1 + self.data_symbols_for_payload(payload_len))
+        )
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2, sort_keys=True)
+
+    @classmethod
+    def from_json(cls, text: str) -> "OfdmConfig":
+        return cls(**json.loads(text))
+
+
+# --- deterministic known sequences (protocol constants) ----------------------
+
+
+def _pn_qpsk(config: OfdmConfig, seed: int, n_symbols: int = 1) -> jnp.ndarray:
+    """Known unit-modulus QPSK sequence, [n_symbols, n_carriers] complex64."""
+    rng = np.random.default_rng(seed)
+    phases = rng.integers(0, 4, (n_symbols, config.n_carriers))
+    return jnp.asarray(np.exp(1j * (np.pi / 2 * phases + np.pi / 4)), jnp.complex64)
+
+
+def pilot_carriers(config: OfdmConfig) -> jnp.ndarray:
+    """The known pilot symbol's carrier values (seeded by the magic word)."""
+    return _pn_qpsk(config, 0x2C5DA044)[0]
+
+
+def preamble_carriers(config: OfdmConfig) -> jnp.ndarray:
+    return _pn_qpsk(config, 0x2C5DA044 ^ 0xFFFF)[0]
+
+
+# --- synthesis ---------------------------------------------------------------
+
+
+def _symbols_to_waveform(config: OfdmConfig, carriers: jnp.ndarray) -> jnp.ndarray:
+    """complex [..., S, n_carriers] -> real [..., S * symbol_samples]."""
+    shape = carriers.shape[:-1]
+    spectrum = jnp.zeros(shape + (config.n_fft // 2 + 1,), jnp.complex64)
+    spectrum = spectrum.at[
+        ..., config.first_carrier : config.first_carrier + config.n_carriers
+    ].set(carriers)
+    time = jnp.fft.irfft(spectrum, n=config.n_fft, axis=-1)  # [..., S, n_fft]
+    with_cp = jnp.concatenate([time[..., -config.cp_len :], time], axis=-1)
+    flat = with_cp.reshape(*shape[:-1], shape[-1] * config.symbol_samples)
+    # Unit-QPSK carriers through irfft give RMS sqrt(2C)/N; scale so the
+    # waveform RMS is amplitude/4 — with OFDM's ~12 dB peak-to-average
+    # ratio, `amplitude` then approximates the typical peak level.
+    scale = (config.amplitude / 4.0) * config.n_fft / np.sqrt(2.0 * config.n_carriers)
+    return (flat * scale).astype(jnp.float32)
+
+
+def preamble_waveform(config: OfdmConfig) -> jnp.ndarray:
+    """The known preamble template: preamble_repeats identical symbols."""
+    c = preamble_carriers(config)[None, :]
+    one = _symbols_to_waveform(config, c)
+    return jnp.tile(one, config.preamble_repeats)
+
+
+def bits_to_qpsk(bits: jnp.ndarray) -> jnp.ndarray:
+    """0/1 [..., 2K] -> complex [..., K]; Gray map, (b0, b1) -> (I, Q)."""
+    pairs = bits.reshape(*bits.shape[:-1], bits.shape[-1] // 2, 2).astype(jnp.float32)
+    i = 1.0 - 2.0 * pairs[..., 0]
+    q = 1.0 - 2.0 * pairs[..., 1]
+    return ((i + 1j * q) / np.sqrt(2)).astype(jnp.complex64)
+
+
+def transmit(config: OfdmConfig, payload: jnp.ndarray) -> jnp.ndarray:
+    """payload uint8[..., N] -> frame waveform float32[..., frame_samples].
+
+    Reuses the MFSK frame's byte layout (header/CRC/FEC) via
+    anet.dsp.frame.frame_data_symbols' bit-building path.
+    """
+    from anet.dsp.bits import bytes_to_bits
+    from anet.dsp.frame import HEADER_BYTES, _header_np, _u32_to_be_bytes
+    from anet.dsp.fec import crc32_device
+
+    n = payload.shape[-1]
+    header = jnp.broadcast_to(
+        jnp.asarray(_header_np(n)), payload.shape[:-1] + (HEADER_BYTES,)
+    )
+    crc = crc32_device(payload)
+    section = jnp.concatenate(
+        [header, payload.astype(jnp.uint8), _u32_to_be_bytes(crc)], axis=-1
+    )
+    bits = bytes_to_bits(section)
+    if config.fec == "conv":
+        from anet.dsp.fec import conv_encode, interleave
+
+        bits = interleave(conv_encode(bits), config.fec_interleave)
+    # pad to whole OFDM symbols
+    s_data = config.data_symbols_for_payload(n)
+    pad = s_data * config.bits_per_symbol - bits.shape[-1]
+    if pad:
+        bits = jnp.concatenate(
+            [bits, jnp.zeros(bits.shape[:-1] + (pad,), bits.dtype)], axis=-1
+        )
+    carriers = bits_to_qpsk(bits).reshape(
+        *bits.shape[:-1], s_data, config.n_carriers
+    )
+    pilot = jnp.broadcast_to(
+        pilot_carriers(config), bits.shape[:-1] + (1, config.n_carriers)
+    )
+    data_wave = _symbols_to_waveform(
+        config, jnp.concatenate([pilot, carriers], axis=-2)
+    )
+    pre = jnp.broadcast_to(
+        preamble_waveform(config), bits.shape[:-1] + (config.preamble_samples,)
+    )
+    return jnp.concatenate([pre, data_wave], axis=-1)
+
+
+# --- demodulation ------------------------------------------------------------
+
+
+def _extract_carriers(config: OfdmConfig, samples: jnp.ndarray, n_symbols: int) -> jnp.ndarray:
+    """Symbol-aligned real samples -> complex carriers [..., S, n_carriers]."""
+    sym = samples[..., : n_symbols * config.symbol_samples].reshape(
+        *samples.shape[:-1], n_symbols, config.symbol_samples
+    )
+    no_cp = sym[..., config.cp_len :]
+    spec = jnp.fft.rfft(no_cp, n=config.n_fft, axis=-1)
+    return spec[..., config.first_carrier : config.first_carrier + config.n_carriers]
+
+
+def demodulate_frame(
+    config: OfdmConfig, samples: jnp.ndarray, payload_len: int
+) -> FrameResult:
+    """Aligned frame waveform (starting at the preamble) -> FrameResult."""
+    data_start = config.preamble_samples
+    s_data = config.data_symbols_for_payload(payload_len)
+    body = samples[..., data_start:]
+    carriers = _extract_carriers(config, body, 1 + s_data)
+    # channel estimate from the pilot symbol (one complex tap per carrier)
+    h = carriers[..., 0, :] * jnp.conj(pilot_carriers(config))  # [..., C]
+    z = carriers[..., 1:, :] * jnp.conj(h[..., None, :])  # matched equalization
+    # Gray QPSK: bit0 from I, bit1 from Q; positive LLR = bit 1
+    llr_i = -jnp.real(z)
+    llr_q = -jnp.imag(z)
+    llrs = jnp.stack([llr_i, llr_q], axis=-1).reshape(
+        *z.shape[:-2], s_data * config.bits_per_symbol
+    )
+    bits = (llrs > 0).astype(jnp.uint8)
+
+    # quality metrics: per-carrier SNR from the error vector after
+    # normalizing out the channel power
+    h_pow = jnp.maximum(jnp.abs(h[..., None, :]) ** 2, 1e-12)
+    z_norm = z / h_pow
+    i_dec = 1.0 - 2.0 * ((jnp.real(z_norm) < 0).astype(jnp.float32))
+    q_dec = 1.0 - 2.0 * ((jnp.imag(z_norm) < 0).astype(jnp.float32))
+    ideal = (i_dec + 1j * q_dec) / np.sqrt(2)
+    evm2 = jnp.mean(jnp.abs(z_norm - ideal) ** 2, axis=(-2, -1))
+    snr_db = 10.0 * jnp.log10(jnp.maximum(1.0 / jnp.maximum(evm2, 1e-9), 1e-6))
+    confidence = 1.0 / (1.0 + evm2)
+
+    return frame_result_from_bits(
+        config, bits, payload_len, llrs=llrs, confidence=confidence, snr_db=snr_db
+    )
+
+
+class OfdmReceiveResult(NamedTuple):
+    frame: FrameResult
+    offset: jnp.ndarray
+    quality: jnp.ndarray
+
+
+def receive_frame(
+    config: OfdmConfig, capture: jnp.ndarray, payload_len: int
+) -> OfdmReceiveResult:
+    """Locate (matched filter) and demodulate one OFDM frame in a capture."""
+    t = config.frame_num_samples(payload_len)
+    n = capture.shape[-1]
+    if n < t:
+        raise ValueError(f"capture of {n} samples cannot hold a {t}-sample frame")
+    template = preamble_waveform(config)
+    corr = correlate_template(capture, template)
+    k = template.shape[-1]
+    energy = sliding_window_energy(capture, k)
+    t_energy = jnp.sum(template * template)
+    quality = normalized_match_quality(corr, energy, t_energy)
+    offset = jnp.argmax(quality, axis=-1).astype(jnp.int32)
+    best_q = jnp.take_along_axis(quality, offset[..., None], axis=-1)[..., 0]
+    start = jnp.clip(offset, 0, n - t)
+    idx = start[..., None] + jnp.arange(t)
+    aligned = jnp.take_along_axis(capture, idx, axis=-1)
+    frame = demodulate_frame(config, aligned, payload_len)
+    return OfdmReceiveResult(frame=frame, offset=offset, quality=best_q)

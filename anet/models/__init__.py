@@ -11,8 +11,12 @@ The registry maps a model name to a (ModemConfig, notes) pair. Families:
                       (default everywhere; bench.py measures this one).
 - ``mfsk16-ultra``  — 16-FSK at 1500 baud (6 kbps), clean-channel links.
 - ``mfsk32-dense``  — 32-FSK wideband, highest rate, needs high SNR.
+- ``ofdm-fast``     — 96-carrier QPSK OFDM, 28.8 kbps, one-tap multipath
+                      equalization; the wideband family.
+- ``ofdm-coded``    — OFDM with rate-1/2 soft-Viterbi coding + interleaver,
+                      14.4 kbps net; the reverberant-room workhorse.
 
-Every preset keeps the orthogonal tone plan (spacing = symbol rate), so
+MFSK presets keep the orthogonal tone plan (spacing = symbol rate), so
 the demod filterbank stays exactly orthogonal (anet.dsp.params).
 """
 
@@ -20,12 +24,13 @@ from __future__ import annotations
 
 from typing import Dict, List, NamedTuple
 
+from anet.dsp.ofdm import OfdmConfig
 from anet.dsp.params import ModemConfig
 
 
 class ModemModel(NamedTuple):
     name: str
-    config: ModemConfig
+    config: object  # ModemConfig (MFSK) or OfdmConfig
     description: str
 
 
@@ -149,5 +154,24 @@ register(
         ),
         "32-FSK, 3 kbps in 600 baud; dense tone packing trades SNR margin "
         "for spectral efficiency.",
+    )
+)
+
+
+register(
+    ModemModel(
+        "ofdm-fast",
+        OfdmConfig(),
+        "96-carrier QPSK OFDM at 48 kHz: 28.8 kbps in 3.0-20.8 kHz with a "
+        "1.3 ms cyclic prefix; per-carrier equalization absorbs room echo.",
+    )
+)
+
+register(
+    ModemModel(
+        "ofdm-coded",
+        OfdmConfig(fec="conv", fec_interleave=32),
+        "Coded OFDM (rate-1/2 K=7 soft Viterbi + depth-32 interleaver): "
+        "14.4 kbps net, rides out deep carrier fades and bursts.",
     )
 )

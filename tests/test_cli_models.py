@@ -28,14 +28,23 @@ def test_all_models_loop_back():
     """Every registered preset must decode its own frames cleanly."""
     import jax.numpy as jnp
 
+    from anet.dsp import ofdm
+    from anet.dsp.ofdm import OfdmConfig
     from anet.dsp.pipeline import loopback
 
     payload = jnp.asarray(
         np.random.default_rng(0).integers(0, 256, 24, dtype=np.uint8)
     )
     for model in list_models():
-        res = loopback(model.config, payload, pad_before=50)
-        assert bool(res.frame.ok), f"model {model.name} failed its own loopback"
+        if isinstance(model.config, OfdmConfig):
+            cap = jnp.concatenate(
+                [jnp.zeros(50), ofdm.transmit(model.config, payload), jnp.zeros(50)]
+            )
+            res = ofdm.receive_frame(model.config, cap, 24)
+            ok = bool(res.frame.ok)
+        else:
+            ok = bool(loopback(model.config, payload, pad_before=50).frame.ok)
+        assert ok, f"model {model.name} failed its own loopback"
 
 
 def test_cli_models_and_modem_roundtrip(tmp_path, capsys):

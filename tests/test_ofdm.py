@@ -1,0 +1,129 @@
+"""OFDM modem family tests: synthesis, equalization, frame-stack sharing."""
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from anet.channel import ChannelConfig, apply_channel, awgn
+from anet.dsp import ofdm
+from anet.dsp.ofdm import OfdmConfig
+
+CFG = OfdmConfig()
+
+
+def payload(n=256, seed=0):
+    return jnp.asarray(np.random.default_rng(seed).integers(0, 256, n, np.uint8))
+
+
+def test_config_validation_and_json():
+    with pytest.raises(ValueError, match="power of two"):
+        OfdmConfig(n_fft=200)
+    with pytest.raises(ValueError, match="cp_len"):
+        OfdmConfig(cp_len=0)
+    with pytest.raises(ValueError, match="Nyquist"):
+        OfdmConfig(first_carrier=64, n_carriers=96)
+    assert OfdmConfig.from_json(CFG.to_json()) == CFG
+    assert CFG.bit_rate_bps == pytest.approx(28_800)
+
+
+def test_qpsk_gray_map():
+    bits = jnp.asarray([0, 0, 0, 1, 1, 0, 1, 1], jnp.uint8)
+    z = np.asarray(ofdm.bits_to_qpsk(bits)) * np.sqrt(2)
+    np.testing.assert_allclose(z, [1 + 1j, 1 - 1j, -1 + 1j, -1 - 1j], atol=1e-6)
+
+
+def test_waveform_is_real_audio_band():
+    wave = np.asarray(ofdm.transmit(CFG, payload(64)))
+    assert wave.dtype == np.float32
+    rms = float(np.sqrt(np.mean(wave**2)))
+    assert 0.05 < rms < 0.3  # sane loudness for the default amplitude
+    # spectral content confined to the carrier band
+    spec = np.abs(np.fft.rfft(wave))
+    freqs = np.fft.rfftfreq(len(wave), 1 / CFG.sample_rate_hz)
+    in_band = spec[(freqs >= 2_900) & (freqs <= 21_000)].sum()
+    out_band = spec[(freqs < 2_500) | (freqs > 21_500)].sum()
+    # rect-windowed OFDM has sinc sidelobes; ~13 dB containment is expected
+    assert in_band > 10 * out_band
+
+
+def test_clean_aligned_roundtrip():
+    p = payload()
+    res = ofdm.demodulate_frame(CFG, ofdm.transmit(CFG, p), 256)
+    assert bool(res.ok)
+    assert np.array_equal(np.asarray(res.payload), np.asarray(p))
+    assert float(res.snr_db) > 40
+
+
+def test_receive_with_offset_and_noise():
+    p = payload(128, seed=1)
+    cap = jnp.concatenate([jnp.zeros(1234), ofdm.transmit(CFG, p), jnp.zeros(400)])
+    noisy = awgn(jax.random.PRNGKey(3), cap, 12.0)
+    r = ofdm.receive_frame(CFG, noisy, 128)
+    assert int(r.offset) == 1234
+    assert bool(r.frame.ok)
+    assert np.array_equal(np.asarray(r.frame.payload), np.asarray(p))
+
+
+def test_equalizer_handles_echo_inside_cp():
+    """Echoes within the cyclic prefix are absorbed by the one-tap
+    equalizer — OFDM's reason to exist on reverberant channels. A strong
+    echo notches some carriers deeply, so the realistic configuration is
+    coded OFDM (errors concentrate in the faded carriers and the
+    interleaved code mops them up); a mild echo decodes even uncoded."""
+    p = payload(192, seed=2)
+    # strong echo (-3 dB at 0.85 ms): coded OFDM required and sufficient
+    cfg_coded = dataclasses.replace(CFG, fec="conv", fec_interleave=32)
+    cap = jnp.concatenate(
+        [jnp.zeros(300), ofdm.transmit(cfg_coded, p), jnp.zeros(300)]
+    )
+    taps = tuple([1.0] + [0.0] * 40 + [0.7])
+    dirty = apply_channel(
+        jax.random.PRNGKey(4), cap, ChannelConfig(snr_db=18.0, multipath_taps=taps)
+    )
+    r = ofdm.receive_frame(cfg_coded, dirty, 192)
+    assert bool(r.frame.ok)
+    assert np.array_equal(np.asarray(r.frame.payload), np.asarray(p))
+    # mild echo (-9 dB): uncoded QPSK survives
+    cap_u = jnp.concatenate([jnp.zeros(300), ofdm.transmit(CFG, p), jnp.zeros(300)])
+    mild = apply_channel(
+        jax.random.PRNGKey(4),
+        cap_u,
+        ChannelConfig(snr_db=20.0, multipath_taps=tuple([1.0] + [0.0] * 40 + [0.35])),
+    )
+    r2 = ofdm.receive_frame(CFG, mild, 192)
+    assert bool(r2.frame.ok)
+
+
+def test_ofdm_shares_fec_stack():
+    """fec='conv' + interleaver work unchanged through the shared parser."""
+    cfg = dataclasses.replace(CFG, fec="conv", fec_interleave=32)
+    p = payload(96, seed=3)
+    cap = jnp.concatenate([jnp.zeros(200), ofdm.transmit(cfg, p), jnp.zeros(200)])
+    noisy = awgn(jax.random.PRNGKey(5), cap, 6.0)  # well below uncoded comfort
+    r = ofdm.receive_frame(cfg, noisy, 96)
+    assert bool(r.frame.ok)
+    assert np.array_equal(np.asarray(r.frame.payload), np.asarray(p))
+    # uncoded at the same SNR fails
+    r_raw = ofdm.receive_frame(CFG, awgn(jax.random.PRNGKey(5),
+        jnp.concatenate([jnp.zeros(200), ofdm.transmit(CFG, p), jnp.zeros(200)]), 6.0), 96)
+    assert not bool(r_raw.frame.ok)
+
+
+def test_batched_streams():
+    p = jnp.asarray(np.random.default_rng(6).integers(0, 256, (5, 64), np.uint8))
+    waves = ofdm.transmit(CFG, p)
+    assert waves.shape[0] == 5
+    res = ofdm.demodulate_frame(CFG, waves, 64)
+    assert np.all(np.asarray(res.ok))
+    assert np.array_equal(np.asarray(res.payload), np.asarray(p))
+
+
+def test_corruption_detected():
+    p = payload(64, seed=7)
+    w = np.array(ofdm.transmit(CFG, p))
+    w[CFG.preamble_samples + 2 * CFG.symbol_samples :][:500] = 0.0
+    res = ofdm.demodulate_frame(CFG, jnp.asarray(w), 64)
+    assert not bool(res.ok)
