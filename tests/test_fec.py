@@ -174,3 +174,27 @@ def test_interleaved_model_preset_loopback():
     payload = jnp.asarray(np.random.default_rng(2).integers(0, 256, 96, np.uint8))
     res = loopback(cfg, payload, pad_before=77)
     assert bool(res.frame.ok)
+
+
+def test_frame_parse_hard_bits_fallback():
+    """frame_result_from_bits must decode coded frames from hard bits alone
+    (llrs=None) — the path a modulation without soft outputs would use."""
+    from anet.dsp.bits import bits_to_bytes, bytes_to_bits, unpack_symbols
+    from anet.dsp.demod import tone_energies, decide_symbols
+    from anet.dsp.frame import frame_result_from_bits
+    from anet.dsp.pipeline import transmit
+
+    p = jnp.asarray(np.random.default_rng(11).integers(0, 256, 48, np.uint8))
+    wave = transmit(CFG_FEC, p)
+    sps = CFG_FEC.samples_per_symbol
+    data = wave[CFG_FEC.preamble_symbols * sps :]
+    e = tone_energies(CFG_FEC, data)
+    bits = unpack_symbols(decide_symbols(CFG_FEC, e), CFG_FEC.bits_per_symbol)
+    res = frame_result_from_bits(
+        CFG_FEC, bits, 48,
+        llrs=None,
+        confidence=jnp.float32(1.0),
+        snr_db=jnp.float32(99.0),
+    )
+    assert bool(res.ok)
+    assert np.array_equal(np.asarray(res.payload), np.asarray(p))
