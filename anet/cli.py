@@ -234,10 +234,6 @@ def _cmd_sweep(args) -> int:
     from anet.parallel import ber_sweep, make_mesh
 
     cfg = get_model(args.model).config
-    if _is_ofdm(cfg):
-        print("sweep currently supports MFSK models; for OFDM use the "
-              "library (anet.dsp.ofdm) directly", file=sys.stderr)
-        return 1
     mesh = make_mesh()
     snrs = [args.snr_min + i * args.snr_step for i in range(args.snr_points)]
     frames = args.frames - (args.frames % mesh.devices.size) or mesh.devices.size

@@ -96,6 +96,24 @@ def _frame_result_proto() -> FrameResult:
     return FrameResult(z, z, z, z, z, z, z, z)
 
 
+def _family_ops(config, compute_dtype):
+    """(transmit_fn(payloads), demod_fn(waves, payload_len)) for either
+    modulation family, with the config closed over."""
+    from anet.dsp.ofdm import OfdmConfig
+
+    if isinstance(config, OfdmConfig):
+        from anet.dsp import ofdm
+
+        return (
+            lambda p: ofdm.transmit(config, p),
+            lambda w, n: ofdm.demodulate_frame(config, w, n),
+        )
+    return (
+        lambda p: transmit(config, p),
+        lambda w, n: demodulate_frame(config, w, n, compute_dtype=compute_dtype),
+    )
+
+
 class BerPoint(NamedTuple):
     """Aggregated error statistics for one sweep grid point."""
 
@@ -147,6 +165,7 @@ def ber_sweep(
     # Stream layout: [n_dev, per_dev, G] — sharded on the device axis.
     per_dev = frames_per_point // n_dev
     keys = jax.random.split(key, n_dev)
+    tx_fn, demod_fn = _family_ops(config, compute_dtype)
 
     @partial(
         shard_map,
@@ -161,14 +180,14 @@ def ber_sweep(
         payloads = jax.random.randint(
             k_payload, (per_dev, g, payload_len), 0, 256, dtype=jnp.int32
         ).astype(jnp.uint8)
-        waves = transmit(config, payloads)  # [per_dev, G, T]
+        waves = tx_fn(payloads)  # [per_dev, G, T]
         chan_keys = jax.random.split(k_chan, per_dev)
 
         def impair(ck, w):
             return apply_channel(ck, w, channel, snr_db=snrs_rep)
 
         dirty = jax.vmap(impair)(chan_keys, waves)
-        res = demodulate_frame(config, dirty, payload_len, compute_dtype=compute_dtype)
+        res = demod_fn(dirty, payload_len)
         # bit errors: popcount of byte XOR
         xor = jnp.bitwise_xor(res.payload, payloads)
         bit_err = jnp.sum(

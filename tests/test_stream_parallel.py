@@ -194,3 +194,22 @@ def test_sharded_long_capture_rejects_short_segments():
         sharded_receive_long_capture(
             CFG, mesh, jnp.zeros(8 * CHUNK), CHUNK, PAYLOAD_LEN
         )
+
+
+def test_ber_sweep_ofdm_family():
+    """The sweep dispatches on the modulation family (OFDM included)."""
+    from anet.dsp.ofdm import OfdmConfig
+
+    mesh = make_mesh()
+    pt = ber_sweep(
+        OfdmConfig(),
+        mesh,
+        jax.random.PRNGKey(0),
+        snr_grid_db=[4.0, 16.0],
+        frames_per_point=16,
+        payload_len=32,
+    )
+    ber = np.asarray(pt.ber)
+    assert ber[0] > 0.02   # below OFDM's operating point
+    assert ber[1] < 0.005  # comfortably inside it
+    assert np.asarray(pt.total_bits).tolist() == [16 * 32 * 8] * 2
