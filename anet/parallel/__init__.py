@@ -248,7 +248,9 @@ def sharded_receive_long_capture(
     axis = mesh.axis_names[0]
     n_dev = mesh.devices.size
     n = capture.shape[-1]
-    t_frame = frame_num_samples(config, payload_len)
+    from anet.stream import family_geometry
+
+    t_frame, _, _ = family_geometry(config, payload_len)
     seg = n // n_dev
     if n % n_dev or seg % chunk_size:
         raise ValueError(

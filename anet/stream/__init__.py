@@ -50,10 +50,32 @@ __all__ = [
     "StreamCarry",
     "StreamStepOutput",
     "StreamResult",
+    "family_geometry",
     "init_carry",
     "stream_step",
     "receive_stream",
 ]
+
+
+def family_geometry(config, payload_len: int, compute_dtype=jnp.float32):
+    """(frame_samples, preamble_template, aligned_demod_fn) for either
+    modulation family — the streaming receiver works identically over MFSK
+    and OFDM frames; only the template and the aligned demodulator differ."""
+    from anet.dsp.ofdm import OfdmConfig
+
+    if isinstance(config, OfdmConfig):
+        from anet.dsp import ofdm
+
+        return (
+            config.frame_num_samples(payload_len),
+            ofdm.preamble_waveform(config).astype(jnp.float32),
+            lambda w: ofdm.demodulate_frame(config, w, payload_len),
+        )
+    return (
+        frame_num_samples(config, payload_len),
+        preamble_waveform(config).astype(jnp.float32),
+        lambda w: demodulate_frame(config, w, payload_len, compute_dtype=compute_dtype),
+    )
 
 # Candidate threshold for the normalized preamble correlation. Kept low:
 # the demodulated-header gate (magic + CRC, 48 bits) rejects false locks,
@@ -88,12 +110,13 @@ class StreamResult(NamedTuple):
     steps: StreamStepOutput
 
 
-def _buffer_len(config: ModemConfig, chunk_size: int, payload_len: int) -> int:
-    return frame_num_samples(config, payload_len) + chunk_size
+def _buffer_len(config, chunk_size: int, payload_len: int) -> int:
+    t_frame, _, _ = family_geometry(config, payload_len)
+    return t_frame + chunk_size
 
 
 def init_carry(
-    config: ModemConfig, chunk_size: int, payload_len: int, batch_shape: Tuple[int, ...] = ()
+    config, chunk_size: int, payload_len: int, batch_shape: Tuple[int, ...] = ()
 ) -> StreamCarry:
     """Fresh stream state (the playback_start_new_stream analog)."""
     length = _buffer_len(config, chunk_size, payload_len)
@@ -109,7 +132,7 @@ def init_carry(
 
 
 def stream_step(
-    config: ModemConfig,
+    config,
     carry: StreamCarry,
     chunk: jnp.ndarray,
     payload_len: int,
@@ -121,8 +144,7 @@ def stream_step(
     ``chunk``: float [..., chunk_size]; batch axes must match the carry's.
     """
     chunk_size = chunk.shape[-1]
-    t_frame = frame_num_samples(config, payload_len)
-    template = preamble_waveform(config).astype(jnp.float32)
+    t_frame, template, demod = family_geometry(config, payload_len, compute_dtype)
     k = template.shape[-1]
     length = carry.buffer.shape[-1]
     if length != t_frame + chunk_size:
@@ -164,7 +186,7 @@ def stream_step(
     # framing-level garbage resets silently (network.cpp:432-434); only
     # in-frame payload corruption counts as a decode error.
     aligned = _batched_dynamic_slice(buffer, start_idx, t_frame)
-    frame = demodulate_frame(config, aligned, payload_len, compute_dtype=compute_dtype)
+    frame = demod(aligned)
     detected = candidate & frame.magic_ok & frame.header_crc_ok
     frame = frame._replace(ok=frame.ok & detected)
 
@@ -194,7 +216,7 @@ def _batched_dynamic_slice(buffer: jnp.ndarray, start: jnp.ndarray, size: int) -
 
 
 def receive_stream(
-    config: ModemConfig,
+    config,
     capture: jnp.ndarray,
     chunk_size: int,
     payload_len: int,

@@ -127,3 +127,53 @@ def test_corruption_detected():
     w[CFG.preamble_samples + 2 * CFG.symbol_samples :][:500] = 0.0
     res = ofdm.demodulate_frame(CFG, jnp.asarray(w), 64)
     assert not bool(res.ok)
+
+
+def test_ofdm_streaming_receiver():
+    """The chunked-scan streaming receiver is modulation-agnostic: OFDM
+    frames at arbitrary positions in a long capture are found and decoded."""
+    from anet.stream import receive_stream
+
+    rng = np.random.default_rng(0)
+    P = 200
+    payloads = [rng.integers(0, 256, P, dtype=np.uint8) for _ in range(3)]
+    waves = [np.asarray(ofdm.transmit(CFG, jnp.asarray(p))) for p in payloads]
+    parts, pos, starts = [], 0, []
+    for g, w in zip((900, 1400, 777), waves):
+        parts.append(np.zeros(g, np.float32))
+        pos += g
+        starts.append(pos)
+        parts.append(w)
+        pos += len(w)
+    cap = np.concatenate(parts + [np.zeros(3000, np.float32)])
+    chunk = 512
+    cap = np.concatenate([cap, np.zeros((-len(cap)) % chunk, np.float32)])
+    noisy = awgn(jax.random.PRNGKey(1), jnp.asarray(cap), 14.0)
+    res = receive_stream(CFG, noisy, chunk, P)
+    assert int(res.carry.frames_ok) == 3
+    det = np.asarray(res.steps.detected)
+    idx = np.nonzero(det)[0]
+    assert np.asarray(res.steps.frame_start)[idx].tolist() == starts
+    for j, i in enumerate(idx):
+        assert np.array_equal(np.asarray(res.steps.frame.payload)[i], payloads[j])
+
+
+def test_ofdm_time_sharded_long_capture():
+    """Context-parallel long-capture receive works over OFDM frames too."""
+    from anet.parallel import make_mesh, sharded_receive_long_capture
+
+    mesh = make_mesh()
+    rng = np.random.default_rng(1)
+    P = 64
+    chunk = 256
+    payloads = [rng.integers(0, 256, P, dtype=np.uint8) for _ in range(3)]
+    waves = [np.asarray(ofdm.transmit(CFG, jnp.asarray(p))) for p in payloads]
+    parts = []
+    for g, w in zip((4000, 5100, 4700), waves):
+        parts += [np.zeros(g, np.float32), w]
+    cap = np.concatenate(parts + [np.zeros(4000, np.float32)])
+    blk = 8 * chunk
+    cap = np.concatenate([cap, np.zeros((-len(cap)) % blk, np.float32)])
+    noisy = awgn(jax.random.PRNGKey(2), jnp.asarray(cap), 16.0)
+    res = sharded_receive_long_capture(CFG, mesh, noisy, chunk, P)
+    assert int(res.frames_ok) == 3
