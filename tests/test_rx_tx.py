@@ -313,3 +313,64 @@ def test_stage_timer_and_device_trace(tmp_path):
 
     with device_trace(str(tmp_path / "trace")):
         _ = jnp.ones(8).sum()
+
+
+@needs_opus
+def test_multicast_fanout_two_receivers():
+    """The reference's core feature: one transmitter, N receivers, every
+    frame reaching all of them, negotiation taking the min of all caps
+    (MulticastAudioOutput.kt:88-96,123-131)."""
+    from anet.net.server import AudioStreamServer
+    from anet.proto import DiscoveryResponse
+    from anet.tx import MulticastAudioOutput, pcm_bytes
+
+    ident = lambda n: DiscoveryResponse(1, 1, n, False, "libopus")
+    got_a, got_b = [], []
+    with AudioStreamServer(ident("a"), frame_sink=got_a.append, port=0) as sa, \
+         AudioStreamServer(ident("b"), frame_sink=got_b.append, port=0,
+                           max_decoded_frame_size=8000) as sb:
+        out = MulticastAudioOutput(AudioFormat(48_000, 2), paced=False)
+        out.add_receiver("127.0.0.1", sa.bound_port)
+        assert out.encoder.frame_duration_ms == 60.0
+        out.add_receiver("127.0.0.1", sb.bound_port)
+        # receiver b's 8000-byte decode buffer fits only 40 ms (7680 B)
+        assert out.encoder.frame_duration_ms == 40.0
+        t = np.arange(9600)
+        pcm = (0.25 * 32767 * np.sin(2 * np.pi * 500 * t / 48_000)).astype(np.int16)
+        stereo = np.repeat(pcm, 2).reshape(-1, 2)
+        out.write(pcm_bytes(stereo))
+        out.flush()  # 0.2 s at 40 ms -> 5 frames
+        deadline = time.monotonic() + 3
+        while (len(got_a) < 5 or len(got_b) < 5) and time.monotonic() < deadline:
+            time.sleep(0.02)
+        out.close()
+    assert len(got_a) == len(got_b) == 5
+    assert got_a == got_b  # identical encoded frames fan out to every sink
+
+
+@needs_opus
+def test_fanout_survives_one_dead_receiver():
+    """A dead sink is pruned; the stream continues to the rest."""
+    from anet.net.server import AudioStreamServer
+    from anet.proto import DiscoveryResponse
+    from anet.tx import MulticastAudioOutput, pcm_bytes
+
+    got = []
+    ident = DiscoveryResponse(1, 1, "alive", False, "libopus")
+    with AudioStreamServer(ident, frame_sink=got.append, port=0) as server:
+        victim = AudioStreamServer(ident, frame_sink=lambda f: None, port=0).start()
+        out = MulticastAudioOutput(AudioFormat(48_000, 1), paced=False)
+        out.add_receiver("127.0.0.1", server.bound_port)
+        out.add_receiver("127.0.0.1", victim.bound_port)
+        assert len(out.receivers) == 2
+        victim.stop()  # receiver dies mid-session
+        pcm = np.zeros(48_000, np.int16).reshape(-1, 1)  # 1 s of audio
+        out.write(pcm_bytes(pcm))
+        out.flush()
+        deadline = time.monotonic() + 3
+        while len(got) < 17 and time.monotonic() < deadline:
+            time.sleep(0.02)
+        # the dead receiver was pruned, the live one got the whole stream
+        assert len(out.receivers) == 1
+        assert len(got) == 17  # 1 s at 60 ms frames + final pad
+        out.close()
