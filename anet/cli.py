@@ -119,9 +119,9 @@ def _cmd_rx(args) -> int:
 
 
 def _is_ofdm(cfg) -> bool:
-    from anet.dsp.ofdm import OfdmConfig
+    from anet.dsp.family import is_ofdm
 
-    return isinstance(cfg, OfdmConfig)
+    return is_ofdm(cfg)
 
 
 def _cmd_modem_tx(args) -> int:

@@ -82,8 +82,13 @@ def _be_bytes_to_u32(data: jnp.ndarray) -> jnp.ndarray:
     return jnp.sum(data.astype(jnp.uint32) << shifts, axis=-1, dtype=jnp.uint32)
 
 
-def frame_data_symbols(config: ModemConfig, payload: jnp.ndarray) -> jnp.ndarray:
-    """payload uint8[..., N] -> data-section symbols int32[..., S_data]."""
+def data_section_air_bits_array(config, payload: jnp.ndarray) -> jnp.ndarray:
+    """payload uint8[..., N] -> on-air data-section bits uint8[..., bits].
+
+    Builds header + payload + CRC, then applies the config's FEC and
+    interleaver. ``config`` only needs the FEC surface, so both modulation
+    families (MFSK symbol mapping, OFDM carrier mapping) share this.
+    """
     n = payload.shape[-1]
     header = jnp.broadcast_to(
         jnp.asarray(_header_np(n)), payload.shape[:-1] + (HEADER_BYTES,)
@@ -97,6 +102,12 @@ def frame_data_symbols(config: ModemConfig, payload: jnp.ndarray) -> jnp.ndarray
         from anet.dsp.fec import conv_encode, interleave
 
         bits = interleave(conv_encode(bits), config.fec_interleave)
+    return bits
+
+
+def frame_data_symbols(config: ModemConfig, payload: jnp.ndarray) -> jnp.ndarray:
+    """payload uint8[..., N] -> data-section symbols int32[..., S_data]."""
+    bits = data_section_air_bits_array(config, payload)
     pad = (-bits.shape[-1]) % config.bits_per_symbol
     if pad:
         bits = jnp.concatenate(

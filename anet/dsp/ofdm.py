@@ -30,7 +30,7 @@ import numpy as np
 
 from anet.dsp.frame import (
     FrameResult,
-    data_section_bytes,
+    data_section_air_bits_array,
     data_section_coded_bits,
     frame_result_from_bits,
 )
@@ -179,26 +179,11 @@ def bits_to_qpsk(bits: jnp.ndarray) -> jnp.ndarray:
 def transmit(config: OfdmConfig, payload: jnp.ndarray) -> jnp.ndarray:
     """payload uint8[..., N] -> frame waveform float32[..., frame_samples].
 
-    Reuses the MFSK frame's byte layout (header/CRC/FEC) via
-    anet.dsp.frame.frame_data_symbols' bit-building path.
+    Shares the MFSK frame's byte layout and coding
+    (anet.dsp.frame.data_section_air_bits_array).
     """
-    from anet.dsp.bits import bytes_to_bits
-    from anet.dsp.frame import HEADER_BYTES, _header_np, _u32_to_be_bytes
-    from anet.dsp.fec import crc32_device
-
     n = payload.shape[-1]
-    header = jnp.broadcast_to(
-        jnp.asarray(_header_np(n)), payload.shape[:-1] + (HEADER_BYTES,)
-    )
-    crc = crc32_device(payload)
-    section = jnp.concatenate(
-        [header, payload.astype(jnp.uint8), _u32_to_be_bytes(crc)], axis=-1
-    )
-    bits = bytes_to_bits(section)
-    if config.fec == "conv":
-        from anet.dsp.fec import conv_encode, interleave
-
-        bits = interleave(conv_encode(bits), config.fec_interleave)
+    bits = data_section_air_bits_array(config, payload)
     # pad to whole OFDM symbols
     s_data = config.data_symbols_for_payload(n)
     pad = s_data * config.bits_per_symbol - bits.shape[-1]

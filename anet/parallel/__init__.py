@@ -16,7 +16,7 @@ slice in production; the code is identical.
 from __future__ import annotations
 
 from functools import partial
-from typing import NamedTuple, Optional, Sequence, Tuple
+from typing import NamedTuple, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -25,12 +25,11 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
 from anet.channel import ChannelConfig, apply_channel
-from anet.dsp.frame import FrameResult, demodulate_frame, frame_num_samples
+from anet.dsp import family
+from anet.dsp.frame import FrameResult, demodulate_frame
 from anet.dsp.params import ModemConfig
-from anet.dsp.pipeline import transmit
 from anet.stream import (
     DEFAULT_DETECT_THRESHOLD,
-    StreamCarry,
     StreamStepOutput,
     init_carry,
     receive_stream,
@@ -96,22 +95,7 @@ def _frame_result_proto() -> FrameResult:
     return FrameResult(z, z, z, z, z, z, z, z)
 
 
-def _family_ops(config, compute_dtype):
-    """(transmit_fn(payloads), demod_fn(waves, payload_len)) for either
-    modulation family, with the config closed over."""
-    from anet.dsp.ofdm import OfdmConfig
 
-    if isinstance(config, OfdmConfig):
-        from anet.dsp import ofdm
-
-        return (
-            lambda p: ofdm.transmit(config, p),
-            lambda w, n: ofdm.demodulate_frame(config, w, n),
-        )
-    return (
-        lambda p: transmit(config, p),
-        lambda w, n: demodulate_frame(config, w, n, compute_dtype=compute_dtype),
-    )
 
 
 class BerPoint(NamedTuple):
@@ -165,7 +149,8 @@ def ber_sweep(
     # Stream layout: [n_dev, per_dev, G] — sharded on the device axis.
     per_dev = frames_per_point // n_dev
     keys = jax.random.split(key, n_dev)
-    tx_fn, demod_fn = _family_ops(config, compute_dtype)
+    tx_fn = family.transmit_fn(config)
+    demod_fn = family.aligned_demod_fn(config, payload_len, compute_dtype)
 
     @partial(
         shard_map,
@@ -187,7 +172,7 @@ def ber_sweep(
             return apply_channel(ck, w, channel, snr_db=snrs_rep)
 
         dirty = jax.vmap(impair)(chan_keys, waves)
-        res = demod_fn(dirty, payload_len)
+        res = demod_fn(dirty)
         # bit errors: popcount of byte XOR
         xor = jnp.bitwise_xor(res.payload, payloads)
         bit_err = jnp.sum(
@@ -248,9 +233,7 @@ def sharded_receive_long_capture(
     axis = mesh.axis_names[0]
     n_dev = mesh.devices.size
     n = capture.shape[-1]
-    from anet.stream import family_geometry
-
-    t_frame, _, _ = family_geometry(config, payload_len)
+    t_frame = family.frame_samples(config, payload_len)
     seg = n // n_dev
     if n % n_dev or seg % chunk_size:
         raise ValueError(

@@ -32,17 +32,11 @@ from typing import NamedTuple, Tuple
 import jax
 import jax.numpy as jnp
 
-from anet.dsp.demod import demod_basis
-from anet.dsp.frame import (
-    FrameResult,
-    demodulate_frame,
-    frame_num_samples,
-)
-from anet.dsp.params import ModemConfig
+from anet.dsp.family import geometry as family_geometry
+from anet.dsp.frame import FrameResult
 from anet.dsp.sync import (
     correlate_template,
     normalized_match_quality,
-    preamble_waveform,
     sliding_window_energy,
 )
 
@@ -56,26 +50,6 @@ __all__ = [
     "receive_stream",
 ]
 
-
-def family_geometry(config, payload_len: int, compute_dtype=jnp.float32):
-    """(frame_samples, preamble_template, aligned_demod_fn) for either
-    modulation family — the streaming receiver works identically over MFSK
-    and OFDM frames; only the template and the aligned demodulator differ."""
-    from anet.dsp.ofdm import OfdmConfig
-
-    if isinstance(config, OfdmConfig):
-        from anet.dsp import ofdm
-
-        return (
-            config.frame_num_samples(payload_len),
-            ofdm.preamble_waveform(config).astype(jnp.float32),
-            lambda w: ofdm.demodulate_frame(config, w, payload_len),
-        )
-    return (
-        frame_num_samples(config, payload_len),
-        preamble_waveform(config).astype(jnp.float32),
-        lambda w: demodulate_frame(config, w, payload_len, compute_dtype=compute_dtype),
-    )
 
 # Candidate threshold for the normalized preamble correlation. Kept low:
 # the demodulated-header gate (magic + CRC, 48 bits) rejects false locks,
