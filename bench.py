@@ -43,9 +43,9 @@ def main() -> None:
     import jax.numpy as jnp
     import numpy as np
 
-    from anet.dsp import ModemConfig
-    from anet.dsp.frame import demodulate_frame, frame_num_samples
-    from anet.dsp.pipeline import transmit
+    from anet.dsp import family
+    from anet.dsp.frame import demodulate_frame
+    from anet.models import get_model
 
     backend = jax.default_backend()
     # The plain XLA path currently outperforms the Pallas kernel on this
@@ -53,24 +53,33 @@ def main() -> None:
     # opt in to the kernel with ANET_BENCH_PALLAS=1.
     use_pallas = bool(os.environ.get("ANET_BENCH_PALLAS"))
 
-    cfg = ModemConfig()  # 48 kHz, 750 baud, 16-FSK — the flagship modem
+    model = os.environ.get("ANET_BENCH_MODEL", "mfsk16-fast")
+    cfg = get_model(model).config
     payload_len = int(os.environ.get("ANET_BENCH_PAYLOAD", "256"))
     batch = int(os.environ.get("ANET_BENCH_BATCH", "4096"))
-    t_frame = frame_num_samples(cfg, payload_len)
+    t_frame = family.frame_samples(cfg, payload_len)
 
     # Build one batch of frames host-side (not timed).
     rng = np.random.default_rng(0)
     payloads = jnp.asarray(rng.integers(0, 256, (batch, payload_len), dtype=np.uint8))
-    waves = jax.jit(lambda p: transmit(cfg, p, dtype=jnp.bfloat16))(payloads).block_until_ready()
+    tx = family.transmit_fn(cfg)
+    waves = jax.jit(tx)(payloads)
+    if not family.is_ofdm(cfg):
+        waves = waves.astype(jnp.bfloat16)
+    waves.block_until_ready()
+
+    if use_pallas and not family.is_ofdm(cfg):
+        demod = lambda w: demodulate_frame(
+            cfg, w, payload_len, compute_dtype=jnp.bfloat16, use_pallas=True
+        )
+    else:
+        demod = family.aligned_demod_fn(cfg, payload_len, compute_dtype=jnp.bfloat16)
 
     @jax.jit
     def step(w):
-        r = demodulate_frame(
-            cfg, w, payload_len, compute_dtype=jnp.bfloat16, use_pallas=use_pallas
-        )
         # Reduce on-device: returning bulk results would time the host
         # transfer, not the demodulator.
-        return jnp.sum(r.ok.astype(jnp.int32))
+        return jnp.sum(demod(w).ok.astype(jnp.int32))
 
     # Warmup / compile.
     int(step(waves))
@@ -104,7 +113,7 @@ def main() -> None:
                     "iters": iters,
                     "seconds": round(dt, 4),
                     "frames_ok_fraction": ok_frac,
-                    "modem": f"{cfg.num_tones}-FSK@{cfg.symbol_rate_hz}baud/{cfg.sample_rate_hz}Hz",
+                    "modem": model,
                 },
             }
         )
