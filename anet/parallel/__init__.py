@@ -37,14 +37,31 @@ from anet.stream import (
 
 __all__ = [
     "make_mesh",
+    "make_mesh_2d",
     "shard_streams",
     "sharded_demodulate",
     "BerPoint",
     "ber_sweep",
     "sharded_receive_long_capture",
+    "sharded_receive_capture_grid",
 ]
 
 STREAM_AXIS = "streams"
+TIME_AXIS = "time"
+
+
+def make_mesh_2d(
+    n_stream_devices: int,
+    n_time_devices: int,
+    axis_names: "tuple[str, str]" = (STREAM_AXIS, TIME_AXIS),
+) -> Mesh:
+    """2-D mesh: independent streams on one axis, time segments of each
+    stream on the other — the DP x CP composition for capture farms."""
+    total = n_stream_devices * n_time_devices
+    devices = np.asarray(jax.devices()[:total]).reshape(
+        n_stream_devices, n_time_devices
+    )
+    return Mesh(devices, axis_names)
 
 
 def make_mesh(n_devices: Optional[int] = None, axis_name: str = STREAM_AXIS) -> Mesh:
@@ -299,3 +316,98 @@ def sharded_receive_long_capture(
 def _stream_step_proto() -> StreamStepOutput:
     z = 0
     return StreamStepOutput(frame=_frame_result_proto(), detected=z, quality=z, frame_start=z)
+
+
+def sharded_receive_capture_grid(
+    config,
+    mesh: Mesh,
+    captures: jnp.ndarray,
+    chunk_size: int,
+    payload_len: int,
+    detect_threshold: float = DEFAULT_DETECT_THRESHOLD,
+) -> ShardedStreamResult:
+    """A BATCH of long captures over a 2-D mesh: streams x time.
+
+    The data-parallel and context-parallel axes compose: independent
+    captures shard over the ``streams`` axis (no communication), and each
+    capture's timeline splits over the ``time`` axis with the one-frame
+    halo exchanged by `ppermute` ring-wise WITHIN each stream row — the
+    same layout a capture farm uses on a v5e slice (mesh rows = recording
+    channels, mesh columns = hours of tape).
+
+    ``captures``: float [B, N]; B must divide by the stream-axis size, and
+    N by time_axis_size * chunk_size. Counters are global (psum over both
+    axes); per-chunk step outputs come back [B, total_chunks, ...].
+    """
+    s_axis, t_axis = mesh.axis_names
+    n_s = mesh.shape[s_axis]
+    n_t = mesh.shape[t_axis]
+    b, n = captures.shape
+    t_frame = family.frame_samples(config, payload_len)
+    seg = n // n_t
+    if b % n_s or n % n_t or seg % chunk_size:
+        raise ValueError(
+            f"captures [B={b}, N={n}] must split into [{n_s} x {n_t}] shards "
+            f"of whole {chunk_size}-sample chunks"
+        )
+    halo = t_frame + chunk_size
+    if seg < halo:
+        raise ValueError(
+            f"per-device time segment of {seg} samples is shorter than the "
+            f"demodulator memory ({halo}); use fewer time devices or longer captures"
+        )
+    b_local = b // n_s
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        check_vma=False,
+        in_specs=P(s_axis, t_axis),
+        out_specs=(
+            # steps emerge [1(s), b_local, 1(t), chunks_local, ...]: dim 0
+            # concatenates over the stream axis, dim 2 over the time axis.
+            jax.tree_util.tree_map(
+                lambda _: P(s_axis, None, t_axis), _stream_step_proto()
+            ),
+            P(),
+            P(),
+            P(),
+        ),
+    )
+    def _scan_grid(cap_shard):  # [b_local, seg]
+        t_idx = jax.lax.axis_index(t_axis)
+        # Left halo along the time ring, within this stream row only.
+        tail = cap_shard[:, -halo:]
+        left_tail = jax.lax.ppermute(
+            tail, t_axis, [(i, (i + 1) % n_t) for i in range(n_t)]
+        )
+        left_tail = jnp.where(t_idx == 0, jnp.zeros_like(left_tail), left_tail)
+
+        carry = init_carry(config, chunk_size, payload_len, batch_shape=(b_local,))
+        carry = carry._replace(
+            buffer=left_tail.astype(jnp.float32),
+            samples_seen=jnp.full((b_local,), t_idx * seg, jnp.int32),
+        )
+        res = receive_stream(
+            config, cap_shard, chunk_size, payload_len, detect_threshold, carry
+        )
+        det = jax.lax.psum(
+            jnp.sum(res.carry.frames_detected), (s_axis, t_axis)
+        )
+        ok = jax.lax.psum(jnp.sum(res.carry.frames_ok), (s_axis, t_axis))
+        err = jax.lax.psum(jnp.sum(res.carry.decode_errors), (s_axis, t_axis))
+        # steps: [chunks_local, b_local, ...] -> [b_local, chunks_local, ...]
+        # with singleton mesh axes so out_specs concatenates rows and columns.
+        steps = jax.tree_util.tree_map(
+            lambda x: jnp.moveaxis(x, 0, 1)[None, :, None], res.steps
+        )
+        return steps, det, ok, err
+
+    steps, det, ok, err = jax.jit(_scan_grid)(captures)
+    # steps: [n_s, b_local, n_t, chunks_local, ...] -> [B, total_chunks, ...]
+    steps = jax.tree_util.tree_map(
+        lambda x: x.reshape((b, -1) + x.shape[4:]), steps
+    )
+    return ShardedStreamResult(
+        steps=steps, frames_detected=det, frames_ok=ok, decode_errors=err
+    )

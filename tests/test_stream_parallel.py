@@ -213,3 +213,44 @@ def test_ber_sweep_ofdm_family():
     assert ber[0] > 0.02   # below OFDM's operating point
     assert ber[1] < 0.005  # comfortably inside it
     assert np.asarray(pt.total_bits).tolist() == [16 * 32 * 8] * 2
+
+
+def test_2d_mesh_capture_grid():
+    """DP x CP composition: a batch of captures sharded over streams, each
+    timeline split over the time axis with ppermute halos per row."""
+    from anet.parallel import make_mesh_2d, sharded_receive_capture_grid
+
+    mesh = make_mesh_2d(4, 2)
+    assert dict(mesh.shape) == {"streams": 4, "time": 2}
+    rng = np.random.default_rng(0)
+    B, n_frames = 8, 2
+    truth, caps = [], []
+    for bidx in range(B):
+        payloads = [rng.integers(0, 256, PAYLOAD_LEN, dtype=np.uint8) for _ in range(n_frames)]
+        parts, pos, starts = [], 0, []
+        # second gap pushes the second frame across the time-shard boundary
+        for g, p in zip((800 + 137 * bidx, 9000 + 91 * bidx), payloads):
+            w = np.asarray(transmit(CFG, jnp.asarray(p)))
+            parts.append(np.zeros(g, np.float32))
+            pos += g
+            starts.append(pos)
+            parts.append(w)
+            pos += len(w)
+        caps.append(np.concatenate(parts + [np.zeros(6000, np.float32)]))
+        truth.append((payloads, starts))
+    blk = 2 * CHUNK
+    n = ((max(map(len, caps)) + blk - 1) // blk) * blk
+    capture = np.zeros((B, n), np.float32)
+    for i, c in enumerate(caps):
+        capture[i, : len(c)] = c
+    capture = awgn(jax.random.PRNGKey(3), jnp.asarray(capture), 12.0)
+    res = sharded_receive_capture_grid(CFG, mesh, capture, CHUNK, PAYLOAD_LEN)
+    assert int(res.frames_ok) == B * n_frames
+    assert int(res.decode_errors) == 0
+    det = np.asarray(res.steps.detected)
+    for bidx in range(B):
+        idx = np.nonzero(det[bidx])[0]
+        exp_p, exp_s = truth[bidx]
+        assert np.asarray(res.steps.frame_start)[bidx][idx].tolist() == exp_s
+        for i, p in zip(idx, exp_p):
+            assert np.array_equal(np.asarray(res.steps.frame.payload)[bidx][i], p)
