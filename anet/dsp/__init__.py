@@ -30,6 +30,21 @@ from anet.dsp.frame import (
     modulate_frame,
     demodulate_frame,
 )
+from anet.dsp import family, ofdm
+from anet.dsp.clock import demodulate_symbols_tracked, estimate_drift_ppm
+from anet.dsp.fec import (
+    conv_encode,
+    crc32_device,
+    interleave,
+    viterbi_decode,
+    viterbi_decode_soft,
+)
+from anet.dsp.pipeline import (
+    loopback,
+    receive_frame,
+    receive_frame_tracked,
+    transmit,
+)
 
 __all__ = [
     "ModemConfig",
@@ -50,4 +65,17 @@ __all__ = [
     "frame_num_symbols",
     "modulate_frame",
     "demodulate_frame",
+    "family",
+    "ofdm",
+    "demodulate_symbols_tracked",
+    "estimate_drift_ppm",
+    "conv_encode",
+    "crc32_device",
+    "interleave",
+    "viterbi_decode",
+    "viterbi_decode_soft",
+    "loopback",
+    "receive_frame",
+    "receive_frame_tracked",
+    "transmit",
 ]

@@ -326,3 +326,53 @@ def test_asyncio_truncated_stream_raises():
             await read_delimited_async(reader)
 
     asyncio.run(scenario())
+
+
+# --- robustness: arbitrary bytes never crash the codec -----------------------
+
+def test_decoder_never_crashes_on_random_bytes():
+    """Every decode path must raise WireError (or succeed) on arbitrary
+    input — never UnicodeDecodeError, IndexError, or similar. The host edge
+    feeds these decoders raw LAN datagrams."""
+    import random
+
+    rng = random.Random(0xA044)
+    decoders = [
+        BroadcastMessage.decode,
+        DiscoveryResponse.decode,
+        ToReceiver.decode,
+        ToTransmitter.decode,
+        AudioData.decode,
+        ReceiverError.decode,
+    ]
+    corpus = [bytes(rng.randrange(256) for _ in range(rng.randrange(0, 80)))
+              for _ in range(300)]
+    # plus mutated valid messages (bit flips in real encodings)
+    valid = BroadcastMessage(
+        constants.MAGIC_WORD, discovery_response=ref_discovery()
+    ).encode()
+    for _ in range(200):
+        b = bytearray(valid)
+        for _ in range(rng.randrange(1, 4)):
+            b[rng.randrange(len(b))] ^= 1 << rng.randrange(8)
+        corpus.append(bytes(b))
+    for data in corpus:
+        for dec in decoders:
+            try:
+                dec(data)
+            except WireError:
+                pass  # the one sanctioned failure mode
+
+
+def test_framer_never_crashes_on_random_streams():
+    import random
+
+    rng = random.Random(7)
+    for _ in range(50):
+        dec = DelimitedDecoder(max_bytes=4096)
+        stream = bytes(rng.randrange(256) for _ in range(rng.randrange(1, 400)))
+        try:
+            for i in range(0, len(stream), 13):
+                dec.feed(stream[i : i + 13])
+        except WireError:
+            pass
