@@ -8,6 +8,7 @@ widened to the full framework:
   anet rx [--name N] [--out out.wav] run a receiver (discovery + audio + playback)
   anet modem-tx FILE --out cap.f32   modulate a file's bytes into a modem capture
   anet modem-rx CAP --len N          demodulate a capture back to bytes
+  anet modem-stream-rx CAP --len N   demodulate every frame in a long capture
   anet sweep [--model M]             BER/FER sweep over an SNR grid (JSON out)
   anet models                        list modem model presets
   anet bench                         run the throughput benchmark
@@ -226,6 +227,49 @@ def _cmd_modem_rx(args) -> int:
     return 0 if bool(f.ok) else 2
 
 
+def _cmd_modem_stream(args) -> int:
+    import numpy as np
+
+    from anet.models import get_model
+    from anet.stream import receive_stream
+
+    cfg = get_model(args.model).config
+    if args.capture.endswith(".wav"):
+        from anet.tx.audio import read_wav
+
+        samples, fmt = read_wav(args.capture)
+        capture = samples.mean(axis=1).astype(np.float32) / 32768.0
+    else:
+        capture = np.fromfile(args.capture, dtype=np.float32)
+    chunk = args.chunk
+    capture = np.concatenate(
+        [capture, np.zeros((-len(capture)) % chunk, np.float32)]
+    )
+    import jax.numpy as jnp
+
+    res = receive_stream(cfg, jnp.asarray(capture), chunk, args.len)
+    det = np.asarray(res.steps.detected)
+    ok = np.asarray(res.steps.frame.ok)
+    starts = np.asarray(res.steps.frame_start)
+    payloads = np.asarray(res.steps.frame.payload)
+    out = open(args.out, "wb") if args.out else None
+    for i in np.nonzero(det)[0]:
+        print(
+            f"frame @ sample {int(starts[i])}: ok={bool(ok[i])} "
+            f"snr={float(np.asarray(res.steps.frame.snr_db)[i]):.1f} dB"
+        )
+        if out and ok[i]:
+            out.write(bytes(payloads[i]))
+    if out:
+        out.close()
+        print(f"payloads -> {args.out}")
+    print(
+        f"total: {int(res.carry.frames_detected)} detected, "
+        f"{int(res.carry.frames_ok)} ok, {int(res.carry.decode_errors)} decode errors"
+    )
+    return 0 if int(res.carry.frames_ok) > 0 else 2
+
+
 def _cmd_sweep(args) -> int:
     import jax
 
@@ -325,6 +369,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--fec", choices=["none", "conv"],
                    help="override the model's FEC setting")
     p.set_defaults(fn=_cmd_modem_rx)
+
+    p = sub.add_parser(
+        "modem-stream-rx", help="demodulate every frame in a long capture"
+    )
+    p.add_argument("capture")
+    p.add_argument("--len", type=int, required=True, help="payload length per frame")
+    p.add_argument("--model", default="mfsk16-fast")
+    p.add_argument("--chunk", type=int, default=1024)
+    p.add_argument("--out", help="concatenate recovered payloads here")
+    p.set_defaults(fn=_cmd_modem_stream)
 
     p = sub.add_parser("sweep", help="BER/FER sweep (one JSON line per point)")
     p.add_argument("--model", default="mfsk16-fast")

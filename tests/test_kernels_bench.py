@@ -70,3 +70,46 @@ def test_graft_entry_multichip():
     import __graft_entry__ as g
 
     g.dryrun_multichip(8)
+
+
+def test_decide_tones_fused_interpret():
+    from anet.kernels import decide_tones_fused
+
+    rng = np.random.default_rng(3)
+    syms, = (jnp.asarray(rng.integers(0, CFG.num_tones, (2, 300))),)
+    wave = modulate_symbols(CFG, syms) + jnp.asarray(
+        0.03 * rng.normal(size=(2, 300 * CFG.samples_per_symbol)).astype(np.float32)
+    )
+    tones, best, total = decide_tones_fused(CFG, wave, interpret=True)
+    from anet.dsp.bits import gray_encode
+
+    assert np.array_equal(np.asarray(tones), np.asarray(gray_encode(syms)))
+    assert np.all(np.asarray(best) <= np.asarray(total) + 1e-3)
+
+
+def test_cli_modem_stream_rx(tmp_path, capsys):
+    """Multi-frame capture through the streaming CLI."""
+    import jax.numpy as jnp
+
+    from anet.cli import main
+    from anet.channel import awgn
+    from anet.dsp.pipeline import transmit as mfsk_tx
+    from anet.models import get_model
+
+    cfg = get_model("mfsk4-coded").config
+    rng = np.random.default_rng(4)
+    chunks = [rng.integers(0, 256, 40, np.uint8) for _ in range(2)]
+    parts = [np.zeros(500, np.float32)]
+    for c in chunks:
+        parts += [np.asarray(mfsk_tx(cfg, jnp.asarray(c))), np.zeros(700, np.float32)]
+    cap = awgn(jax.random.PRNGKey(0), jnp.asarray(np.concatenate(parts)), 4.0)
+    path = tmp_path / "cap.f32"
+    np.asarray(cap, np.float32).tofile(path)
+    out = tmp_path / "payloads.bin"
+    rc = main([
+        "modem-stream-rx", str(path), "--len", "40",
+        "--model", "mfsk4-coded", "--out", str(out),
+    ])
+    assert rc == 0
+    assert out.read_bytes() == b"".join(c.tobytes() for c in chunks)
+    assert "2 ok" in capsys.readouterr().out
