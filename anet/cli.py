@@ -125,6 +125,25 @@ def _is_ofdm(cfg) -> bool:
     return is_ofdm(cfg)
 
 
+def _load_capture(path: str, expected_rate: int):
+    """Read a capture file (.wav or raw .f32 floats) as float32 mono."""
+    import numpy as np
+
+    if path.endswith(".wav"):
+        from anet.tx.audio import read_wav
+
+        samples, fmt = read_wav(path)
+        capture = samples.mean(axis=1).astype(np.float32) / 32768.0
+        if fmt.sample_rate_hz != expected_rate:
+            print(
+                f"warning: capture rate {fmt.sample_rate_hz} != modem rate "
+                f"{expected_rate}; pick a matching --model",
+                file=sys.stderr,
+            )
+        return capture
+    return np.fromfile(path, dtype=np.float32)
+
+
 def _cmd_modem_tx(args) -> int:
     import numpy as np
 
@@ -178,19 +197,7 @@ def _cmd_modem_rx(args) -> int:
         import dataclasses
 
         cfg = dataclasses.replace(cfg, fec=args.fec)
-    if args.capture.endswith(".wav"):
-        from anet.tx.audio import read_wav
-
-        samples, fmt = read_wav(args.capture)
-        capture = samples.mean(axis=1).astype(np.float32) / 32768.0
-        if fmt.sample_rate_hz != cfg.sample_rate_hz:
-            print(
-                f"warning: capture rate {fmt.sample_rate_hz} != modem rate "
-                f"{cfg.sample_rate_hz}; pick a matching --model",
-                file=sys.stderr,
-            )
-    else:
-        capture = np.fromfile(args.capture, dtype=np.float32)
+    capture = _load_capture(args.capture, cfg.sample_rate_hz)
     import jax.numpy as jnp
 
     if _is_ofdm(cfg):
@@ -234,13 +241,7 @@ def _cmd_modem_stream(args) -> int:
     from anet.stream import receive_stream
 
     cfg = get_model(args.model).config
-    if args.capture.endswith(".wav"):
-        from anet.tx.audio import read_wav
-
-        samples, fmt = read_wav(args.capture)
-        capture = samples.mean(axis=1).astype(np.float32) / 32768.0
-    else:
-        capture = np.fromfile(args.capture, dtype=np.float32)
+    capture = _load_capture(args.capture, cfg.sample_rate_hz)
     chunk = args.chunk
     capture = np.concatenate(
         [capture, np.zeros((-len(capture)) % chunk, np.float32)]

@@ -135,10 +135,13 @@ def interleave(bits: jnp.ndarray, depth: int) -> jnp.ndarray:
     """Rectangular block interleaver: [..., n] -> [..., rows*depth].
 
     Written row-major, read column-major, zero-padded to a full block.
-    Consecutive on-air bits end up >= rows apart after deinterleaving, so a
-    channel burst of up to `rows` coded bits turns into isolated single
+    Consecutive on-air bits land exactly `depth` apart after
+    deinterleaving (and a burst of up to `rows` = ceil(n/depth) on-air
+    bits is fully dispersed), so channel bursts become isolated single
     errors — exactly what the convolutional decoder can fix (plain
     convolutional codes die on bursts longer than a constraint length).
+    Choose depth > the K=7 constraint length; larger depths disperse
+    longer bursts at no cost.
     """
     if depth <= 1:
         return bits

@@ -53,11 +53,18 @@ class SyncResult(NamedTuple):
 
 
 def correlate_template(
-    samples: jnp.ndarray, template: jnp.ndarray, method: str = "fft"
+    samples: jnp.ndarray,
+    template: jnp.ndarray,
+    method: str = "fft",
+    fft_len: int | None = None,
 ) -> jnp.ndarray:
     """Cross-correlate [..., N] samples with a [K] template.
 
-    Returns [..., N - K + 1] valid-mode correlation.
+    Returns [..., N - K + 1] valid-mode correlation. The default FFT size
+    next_pow2(N + K - 1) avoids all circular wraparound; callers that only
+    consume the valid lags [0, N - K] may pass fft_len = next_pow2(N) —
+    the aliased contributions land outside that range (the streaming
+    receiver's per-chunk hot loop uses this to halve the FFT).
     """
     n = samples.shape[-1]
     k = template.shape[-1]
@@ -67,7 +74,10 @@ def correlate_template(
         windows = _sliding_windows(samples, k)  # [..., N-K+1, K]
         return jnp.einsum("...nk,k->...n", windows, template)
     # FFT path: correlation = irfft(rfft(x) * conj(rfft(template)))
-    fft_len = _next_pow2(n + k - 1)
+    if fft_len is None:
+        fft_len = _next_pow2(n + k - 1)
+    elif fft_len < n:
+        raise ValueError(f"fft_len {fft_len} shorter than the capture ({n})")
     spec_x = jnp.fft.rfft(samples, n=fft_len, axis=-1)
     spec_t = jnp.fft.rfft(template, n=fft_len)
     corr = jnp.fft.irfft(spec_x * jnp.conj(spec_t), n=fft_len, axis=-1)

@@ -9,7 +9,7 @@ HBM — the op moves exactly input-samples + output-energies.
 The jnp path in anet.dsp.demod is the golden model; `tone_energies_fused`
 is validated against it to tolerance in tests (interpret mode on CPU, real
 Mosaic on TPU) and selected by `use_pallas=True` or the
-ANET_USE_PALLAS env var in the benchmark harness.
+ANET_BENCH_PALLAS env var in the benchmark harness.
 """
 
 from __future__ import annotations

@@ -224,11 +224,15 @@ int anet_validate_discovery_request(const uint8_t* buf, int len,
 // ---------------------------------------------------------------------------
 
 // Blocking loop: bind UDP :port, answer every valid discovery request with
-// `response` (a prebuilt BroadcastMessage{magic, discovery_response} built
-// by the Python side). Polls *stop (set from another thread) every poll_ms.
+// the current contents of `response` (a prebuilt BroadcastMessage built by
+// the Python side). `response` is a stable caller-owned buffer and
+// `*response_len` its current length — the caller may rewrite both between
+// datagrams (write bytes first, then the length) to update the advertised
+// identity without restarting the loop. Polls *stop every poll_ms.
 // Returns 0 on clean stop, negative errno-style codes on socket errors.
 int anet_discovery_responder_run(uint16_t port, uint32_t magic,
-                                 const uint8_t* response, int response_len,
+                                 const uint8_t* response,
+                                 const volatile int32_t* response_len,
                                  volatile int32_t* stop, int poll_ms) {
   int sock = socket(AF_INET, SOCK_DGRAM, 0);
   if (sock < 0) return -errno;
@@ -260,7 +264,7 @@ int anet_discovery_responder_run(uint16_t port, uint32_t magic,
       return -errno;
     }
     if (anet_validate_discovery_request(buf, (int)n, magic)) {
-      sendto(sock, response, response_len, 0, (sockaddr*)&peer, plen);
+      sendto(sock, response, *response_len, 0, (sockaddr*)&peer, plen);
     }
   }
   close(sock);

@@ -115,28 +115,44 @@ class DiscoveryResponder:
     firmware task's cancellable blocking receive).
     """
 
+    RESPONSE_BUF_BYTES = 512  # comfortably above the max ip.proto response
+
     def __init__(
         self,
         identity: DiscoveryResponse,
         port: int = constants.UDP_DISCOVERY_PORT,
         use_native: Optional[bool] = None,
     ) -> None:
+        import ctypes
+
         self.identity = identity
         self.port = port
-        self._response = BroadcastMessage(
-            constants.MAGIC_WORD, discovery_response=identity
-        ).encode()
         if use_native is None:
             use_native = native.available()
         self._use_native = use_native
         self._thread: Optional[threading.Thread] = None
-        # Created here (not in the thread) so a stop() racing a fresh
-        # start() can always signal the native loop.
-        import ctypes
-
+        # Stable, caller-owned response buffer: the native loop reads
+        # (buffer, *length) per datagram, so identity updates rewrite the
+        # buffer in place — no restart, and no dangling pointer into a
+        # reassigned Python bytes object. Created here (not in the thread)
+        # so a stop() racing a fresh start() can always signal the loop.
+        self._resp_buf = ctypes.create_string_buffer(self.RESPONSE_BUF_BYTES)
+        self._resp_len = ctypes.c_int32(0)
         self._stop_flag = ctypes.c_int32(0)
         self._py_stop = threading.Event()
         self._error: Optional[int] = None
+        self._write_response(identity)
+
+    def _write_response(self, identity: DiscoveryResponse) -> None:
+        encoded = BroadcastMessage(
+            constants.MAGIC_WORD, discovery_response=identity
+        ).encode()
+        if len(encoded) > self.RESPONSE_BUF_BYTES:
+            raise ValueError("discovery response exceeds the responder buffer")
+        # bytes first, then length: the native loop reads length atomically
+        self._resp_buf[: len(encoded)] = encoded
+        self._resp_len.value = len(encoded)
+        self._response = encoded  # python-loop path reads this
 
     def start(self) -> "DiscoveryResponder":
         if self._thread is not None:
@@ -151,17 +167,12 @@ class DiscoveryResponder:
     def update_identity(self, identity: DiscoveryResponse) -> None:
         """Refresh the advertised identity (e.g. currently_streaming flips).
 
-        The Python loop re-reads the encoded response per datagram; the
-        native loop captured its response buffer at start, so it is
-        restarted with the new bytes.
+        Both loops pick the new response up on the next datagram: the
+        Python loop re-reads self._response; the native loop re-reads the
+        shared (buffer, length) pair. No restart, no answering gap.
         """
         self.identity = identity
-        self._response = BroadcastMessage(
-            constants.MAGIC_WORD, discovery_response=identity
-        ).encode()
-        if self._use_native and self._thread is not None:
-            self.stop()
-            self.start()
+        self._write_response(identity)
 
     def _run(self) -> None:
         if self._use_native:
@@ -171,8 +182,8 @@ class DiscoveryResponder:
             rc = lib.anet_discovery_responder_run(
                 self.port,
                 constants.MAGIC_WORD,
-                self._response,
-                len(self._response),
+                ctypes.cast(self._resp_buf, ctypes.c_char_p),
+                ctypes.byref(self._resp_len),
                 ctypes.byref(self._stop_flag),
                 100,
             )

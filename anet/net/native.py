@@ -60,7 +60,8 @@ def load() -> Optional[ctypes.CDLL]:
     ]
     lib.anet_discovery_responder_run.restype = ctypes.c_int
     lib.anet_discovery_responder_run.argtypes = [
-        ctypes.c_uint16, ctypes.c_uint32, ctypes.c_char_p, ctypes.c_int,
+        ctypes.c_uint16, ctypes.c_uint32, ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_int32),
         ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
     ]
     lib.anet_broadcast_address.restype = ctypes.c_uint32

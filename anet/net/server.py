@@ -130,7 +130,10 @@ class AudioStreamServer:
             if self._use_native
             else DelimitedDecoder()
         )
-        client.settimeout(0.2)
+        try:
+            client.settimeout(0.2)
+        except OSError:
+            return  # stop() closed the client between registration and here
         while not self._stop.is_set():
             try:
                 chunk = client.recv(65536)

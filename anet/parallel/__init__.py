@@ -58,7 +58,13 @@ def make_mesh_2d(
     """2-D mesh: independent streams on one axis, time segments of each
     stream on the other — the DP x CP composition for capture farms."""
     total = n_stream_devices * n_time_devices
-    devices = np.asarray(jax.devices()[:total]).reshape(
+    available = jax.devices()
+    if len(available) < total:
+        raise ValueError(
+            f"mesh {n_stream_devices}x{n_time_devices} needs {total} devices, "
+            f"have {len(available)}"
+        )
+    devices = np.asarray(available[:total]).reshape(
         n_stream_devices, n_time_devices
     )
     return Mesh(devices, axis_names)

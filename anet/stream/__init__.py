@@ -85,8 +85,9 @@ class StreamResult(NamedTuple):
 
 
 def _buffer_len(config, chunk_size: int, payload_len: int) -> int:
-    t_frame, _, _ = family_geometry(config, payload_len)
-    return t_frame + chunk_size
+    from anet.dsp.family import frame_samples
+
+    return frame_samples(config, payload_len) + chunk_size
 
 
 def init_carry(
@@ -137,7 +138,10 @@ def stream_step(
     w0 = length - t_frame - chunk_size + 1
     # Correlate template against starts [w0, w0 + chunk_size).
     seg = jax.lax.dynamic_slice_in_dim(buffer, w0, chunk_size + k - 1, axis=-1)
-    corr = correlate_template(seg, template)  # [..., chunk_size]
+    # fft_len = next_pow2(len(seg)): wraparound only touches lags past the
+    # valid window, and the FFT stays half the size of the general default.
+    fft_len = 1 << (seg.shape[-1] - 1).bit_length()
+    corr = correlate_template(seg, template, fft_len=fft_len)  # [..., chunk_size]
     t_energy = jnp.sum(template * template)
     local_e = sliding_window_energy(seg, k)  # [..., chunk_size]
     quality = normalized_match_quality(corr, local_e, t_energy)

@@ -61,13 +61,13 @@ def convert(
     """Convert int16 [n, ch] PCM between formats (rate + channel count)."""
     out = samples
     if fmt.channels != target.channels:
-        if target.channels < fmt.channels:
-            # Downmix: average every source channel (dropping channels
-            # would silently discard content), then spread across targets.
+        if fmt.channels == 1:
+            out = np.repeat(out, target.channels, axis=1)
+        else:
+            # Mix every source channel down (dropping channels would
+            # silently discard content), then spread across the targets.
             mono = out.mean(axis=1, dtype=np.int32).astype(np.int16)[:, None]
             out = np.repeat(mono, target.channels, axis=1)
-        else:
-            out = np.repeat(out[:, :1], target.channels, axis=1)
     if fmt.sample_rate_hz != target.sample_rate_hz:
         n_in = out.shape[0]
         n_out = int(round(n_in * target.sample_rate_hz / fmt.sample_rate_hz))

@@ -68,7 +68,13 @@ def main() -> None:
         waves = waves.astype(jnp.bfloat16)
     waves.block_until_ready()
 
-    if use_pallas and not family.is_ofdm(cfg):
+    if use_pallas and family.is_ofdm(cfg):
+        print(
+            "ANET_BENCH_PALLAS has no effect on OFDM models; running the XLA path",
+            file=sys.stderr,
+        )
+        use_pallas = False
+    if use_pallas:
         demod = lambda w: demodulate_frame(
             cfg, w, payload_len, compute_dtype=jnp.bfloat16, use_pallas=True
         )
