@@ -248,7 +248,9 @@ def _cmd_modem_stream(args) -> int:
     )
     import jax.numpy as jnp
 
-    res = receive_stream(cfg, jnp.asarray(capture), chunk, args.len)
+    res = receive_stream(
+        cfg, jnp.asarray(capture), chunk, args.len, track=args.track
+    )
     det = np.asarray(res.steps.detected)
     ok = np.asarray(res.steps.frame.ok)
     starts = np.asarray(res.steps.frame_start)
@@ -379,6 +381,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--model", default="mfsk16-fast")
     p.add_argument("--chunk", type=int, default=1024)
     p.add_argument("--out", help="concatenate recovered payloads here")
+    p.add_argument("--track", action="store_true",
+                   help="symbol-clock tracking per frame (MFSK; slower)")
     p.set_defaults(fn=_cmd_modem_stream)
 
     p = sub.add_parser("sweep", help="BER/FER sweep (one JSON line per point)")

@@ -53,6 +53,10 @@ class OfdmConfig:
     n_carriers: int = 96
     preamble_repeats: int = 2  # identical symbols in the preamble
     amplitude: float = 0.5
+    # 3-tap smoothing of the pilot channel estimate across carriers:
+    # acoustic channels vary slowly in frequency relative to the carrier
+    # spacing, so averaging neighbors halves the estimate's noise variance.
+    pilot_smoothing: bool = True
     # FEC surface shared with ModemConfig (see frame_result_from_bits)
     fec: str = "none"
     fec_interleave: int = 0
@@ -229,6 +233,9 @@ def demodulate_frame(
     carriers = _extract_carriers(config, body, 1 + s_data)
     # channel estimate from the pilot symbol (one complex tap per carrier)
     h = carriers[..., 0, :] * jnp.conj(pilot_carriers(config))  # [..., C]
+    if config.pilot_smoothing:
+        h_pad = jnp.concatenate([h[..., :1], h, h[..., -1:]], axis=-1)
+        h = 0.25 * h_pad[..., :-2] + 0.5 * h_pad[..., 1:-1] + 0.25 * h_pad[..., 2:]
     z = carriers[..., 1:, :] * jnp.conj(h[..., None, :])  # matched equalization
     # Gray QPSK: bit0 from I, bit1 from Q; positive LLR = bit 1
     llr_i = -jnp.real(z)

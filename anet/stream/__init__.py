@@ -113,10 +113,14 @@ def stream_step(
     payload_len: int,
     detect_threshold: float = DEFAULT_DETECT_THRESHOLD,
     compute_dtype=jnp.float32,
+    track: bool = False,
 ) -> Tuple[StreamCarry, StreamStepOutput]:
     """Consume one chunk; maybe emit one frame.
 
     ``chunk``: float [..., chunk_size]; batch axes must match the carry's.
+    ``track=True`` demodulates each candidate frame with the symbol-clock
+    tracker (MFSK only — sequential over symbols, so slower, but frames
+    survive TX/RX sample-rate drift within a long capture).
     """
     chunk_size = chunk.shape[-1]
     t_frame, template, demod = family_geometry(config, payload_len, compute_dtype)
@@ -164,7 +168,31 @@ def stream_step(
     # framing-level garbage resets silently (network.cpp:432-434); only
     # in-frame payload corruption counts as a decode error.
     aligned = _batched_dynamic_slice(buffer, start_idx, t_frame)
-    frame = demod(aligned)
+    if track:
+        from anet.dsp.clock import demodulate_symbols_tracked
+        from anet.dsp.family import is_ofdm
+        from anet.dsp.frame import (
+            data_symbols_for_payload,
+            frame_result_from_decisions,
+        )
+
+        if is_ofdm(config):
+            raise ValueError(
+                "track=True applies to MFSK configs; OFDM absorbs timing "
+                "error in the cyclic prefix"
+            )
+        tracked = demodulate_symbols_tracked(
+            config,
+            aligned,
+            data_symbols_for_payload(config, payload_len),
+            start_pos=float(config.preamble_samples),
+            compute_dtype=compute_dtype,
+        )
+        frame = frame_result_from_decisions(
+            config, tracked.symbols, tracked.energies, payload_len
+        )
+    else:
+        frame = demod(aligned)
     detected = candidate & frame.magic_ok & frame.header_crc_ok
     frame = frame._replace(ok=frame.ok & detected)
 
@@ -201,6 +229,7 @@ def receive_stream(
     detect_threshold: float = DEFAULT_DETECT_THRESHOLD,
     carry: StreamCarry | None = None,
     compute_dtype=jnp.float32,
+    track: bool = False,
 ) -> StreamResult:
     """Scan a capture chunk-by-chunk, emitting every frame found.
 
@@ -228,7 +257,7 @@ def receive_stream(
 
     def step(c, chunk):
         return stream_step(
-            config, c, chunk, payload_len, detect_threshold, compute_dtype
+            config, c, chunk, payload_len, detect_threshold, compute_dtype, track
         )
 
     final_carry, outs = jax.lax.scan(step, carry, chunks)

@@ -113,3 +113,41 @@ def test_drift_channel_impairment_properties():
     # 100 ppm over 1 s shifts the tail by ~4.8 samples; the signals decorrelate
     # at the end but not the start
     assert float(jnp.abs(y[:1000] - x[:1000]).max()) < 0.01
+
+
+def test_streaming_receiver_with_clock_tracking():
+    """track=True in the streaming receiver rescues drifted frames that the
+    block demodulator loses to accumulated timing error."""
+    from anet.stream import receive_stream
+
+    cfg = ModemConfig(symbol_rate_hz=1500, num_tones=4, preamble_symbols=16)
+    P = 256
+    rng = np.random.default_rng(0)
+    payloads = [rng.integers(0, 256, P, dtype=np.uint8) for _ in range(2)]
+    parts = []
+    for g, p in zip((900, 2400), payloads):
+        parts += [np.zeros(g, np.float32), np.asarray(transmit(cfg, jnp.asarray(p)))]
+    cap = np.concatenate(parts + [np.zeros(3000, np.float32)])
+    chunk = 1024
+    cap = np.concatenate([cap, np.zeros((-len(cap)) % chunk, np.float32)])
+    drifted = awgn(
+        jax.random.PRNGKey(1), sample_rate_drift(jnp.asarray(cap), 500.0), 14.0
+    )
+    plain = receive_stream(cfg, drifted, chunk, P)
+    tracked = receive_stream(cfg, drifted, chunk, P, track=True)
+    assert int(plain.carry.frames_ok) == 0  # drift defeats block demod
+    assert int(tracked.carry.frames_ok) == 2
+    det = np.asarray(tracked.steps.detected)
+    idx = np.nonzero(det)[0]
+    for j, i in enumerate(idx):
+        assert np.array_equal(
+            np.asarray(tracked.steps.frame.payload)[i], payloads[j]
+        )
+
+
+def test_streaming_track_rejects_ofdm():
+    from anet.dsp.ofdm import OfdmConfig
+    from anet.stream import receive_stream
+
+    with pytest.raises(ValueError, match="MFSK"):
+        receive_stream(OfdmConfig(), jnp.zeros(4800 * 2), 480, 16, track=True)
