@@ -316,7 +316,8 @@ def _cmd_models(args) -> int:
     for m in list_models():
         c = m.config
         if _is_ofdm(c):
-            kind = f"OFDM {c.n_carriers}xQPSK"
+            mod = "16QAM" if c.bits_per_carrier == 4 else "QPSK"
+            kind = f"OFDM {c.n_carriers}x{mod}"
         else:
             kind = f"{c.num_tones:3d}-FSK @{c.symbol_rate_hz:5d} baud"
         print(f"{m.name:15s} {kind:22s} {c.bit_rate_bps:7.0f} bps  {m.description}")

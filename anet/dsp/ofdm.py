@@ -51,6 +51,9 @@ class OfdmConfig:
     cp_len: int = 64
     first_carrier: int = 16
     n_carriers: int = 96
+    # Bits per carrier: 2 = QPSK (default), 4 = 16-QAM (double rate,
+    # ~7 dB more SNR required).
+    bits_per_carrier: int = 2
     preamble_repeats: int = 2  # identical symbols in the preamble
     amplitude: float = 0.5
     # 3-tap smoothing of the pilot channel estimate across carriers:
@@ -74,6 +77,8 @@ class OfdmConfig:
             raise ValueError("first_carrier must be >= 1 (DC is unusable)")
         if self.first_carrier + self.n_carriers > self.n_fft // 2:
             raise ValueError("carriers exceed the real-signal Nyquist bin")
+        if self.bits_per_carrier not in (2, 4):
+            raise ValueError("bits_per_carrier must be 2 (QPSK) or 4 (16-QAM)")
 
     # --- geometry ------------------------------------------------------------
 
@@ -83,7 +88,7 @@ class OfdmConfig:
 
     @property
     def bits_per_symbol(self) -> int:
-        return 2 * self.n_carriers  # QPSK
+        return self.bits_per_carrier * self.n_carriers
 
     @property
     def bit_rate_bps(self) -> float:
@@ -180,6 +185,43 @@ def bits_to_qpsk(bits: jnp.ndarray) -> jnp.ndarray:
     return ((i + 1j * q) / np.sqrt(2)).astype(jnp.complex64)
 
 
+# Gray-mapped 4-PAM amplitudes per axis for 16-QAM: bit pair (sign, inner)
+# 00 -> -3, 01 -> -1, 11 -> +1, 10 -> +3, unit average symbol power overall.
+_QAM16_SCALE = 1.0 / np.sqrt(10.0)
+
+
+def _pam4(b_sign: jnp.ndarray, b_inner: jnp.ndarray) -> jnp.ndarray:
+    sign = 2.0 * b_sign.astype(jnp.float32) - 1.0  # 0 -> -1, 1 -> +1
+    mag = 3.0 - 2.0 * b_inner.astype(jnp.float32)  # 0 -> 3, 1 -> 1
+    return sign * mag * _QAM16_SCALE
+
+
+def bits_to_qam16(bits: jnp.ndarray) -> jnp.ndarray:
+    """0/1 [..., 4K] -> complex [..., K]; Gray per axis,
+    (b0, b1) -> I, (b2, b3) -> Q."""
+    quads = bits.reshape(*bits.shape[:-1], bits.shape[-1] // 4, 4)
+    i = _pam4(quads[..., 0], quads[..., 1])
+    q = _pam4(quads[..., 2], quads[..., 3])
+    return (i + 1j * q).astype(jnp.complex64)
+
+
+def bits_to_carriers(config: OfdmConfig, bits: jnp.ndarray) -> jnp.ndarray:
+    if config.bits_per_carrier == 4:
+        return bits_to_qam16(bits)
+    return bits_to_qpsk(bits)
+
+
+def _pam4_llrs(a: jnp.ndarray, weight: jnp.ndarray):
+    """Max-log LLRs for one Gray 4-PAM axis (positive = bit 1).
+
+    ``a`` is the equalized amplitude estimate (unit constellation scale);
+    ``weight`` restores per-carrier channel reliability.
+    """
+    llr_sign = a * weight  # bit 1 <=> positive side
+    llr_inner = (2.0 * _QAM16_SCALE - jnp.abs(a)) * weight  # bit 1 <=> inner
+    return llr_sign, llr_inner
+
+
 def transmit(config: OfdmConfig, payload: jnp.ndarray) -> jnp.ndarray:
     """payload uint8[..., N] -> frame waveform float32[..., frame_samples].
 
@@ -195,7 +237,7 @@ def transmit(config: OfdmConfig, payload: jnp.ndarray) -> jnp.ndarray:
         bits = jnp.concatenate(
             [bits, jnp.zeros(bits.shape[:-1] + (pad,), bits.dtype)], axis=-1
         )
-    carriers = bits_to_qpsk(bits).reshape(
+    carriers = bits_to_carriers(config, bits).reshape(
         *bits.shape[:-1], s_data, config.n_carriers
     )
     pilot = jnp.broadcast_to(
@@ -237,21 +279,28 @@ def demodulate_frame(
         h_pad = jnp.concatenate([h[..., :1], h, h[..., -1:]], axis=-1)
         h = 0.25 * h_pad[..., :-2] + 0.5 * h_pad[..., 1:-1] + 0.25 * h_pad[..., 2:]
     z = carriers[..., 1:, :] * jnp.conj(h[..., None, :])  # matched equalization
-    # Gray QPSK: bit0 from I, bit1 from Q; positive LLR = bit 1
-    llr_i = -jnp.real(z)
-    llr_q = -jnp.imag(z)
-    llrs = jnp.stack([llr_i, llr_q], axis=-1).reshape(
-        *z.shape[:-2], s_data * config.bits_per_symbol
-    )
+    if config.bits_per_carrier == 4:
+        h_pow = jnp.maximum(jnp.abs(h[..., None, :]) ** 2, 1e-12)
+        z_eq = z / h_pow  # unit-constellation symbol estimate
+        li_s, li_i = _pam4_llrs(jnp.real(z_eq), h_pow)
+        lq_s, lq_i = _pam4_llrs(jnp.imag(z_eq), h_pow)
+        llrs = jnp.stack([li_s, li_i, lq_s, lq_i], axis=-1).reshape(
+            *z.shape[:-2], s_data * config.bits_per_symbol
+        )
+    else:
+        # Gray QPSK: bit0 from I, bit1 from Q; positive LLR = bit 1
+        llr_i = -jnp.real(z)
+        llr_q = -jnp.imag(z)
+        llrs = jnp.stack([llr_i, llr_q], axis=-1).reshape(
+            *z.shape[:-2], s_data * config.bits_per_symbol
+        )
     bits = (llrs > 0).astype(jnp.uint8)
 
     # quality metrics: per-carrier SNR from the error vector after
     # normalizing out the channel power
     h_pow = jnp.maximum(jnp.abs(h[..., None, :]) ** 2, 1e-12)
     z_norm = z / h_pow
-    i_dec = 1.0 - 2.0 * ((jnp.real(z_norm) < 0).astype(jnp.float32))
-    q_dec = 1.0 - 2.0 * ((jnp.imag(z_norm) < 0).astype(jnp.float32))
-    ideal = (i_dec + 1j * q_dec) / np.sqrt(2)
+    ideal = bits_to_carriers(config, bits).reshape(z_norm.shape)
     evm2 = jnp.mean(jnp.abs(z_norm - ideal) ** 2, axis=(-2, -1))
     snr_db = 10.0 * jnp.log10(jnp.maximum(1.0 / jnp.maximum(evm2, 1e-9), 1e-6))
     confidence = 1.0 / (1.0 + evm2)

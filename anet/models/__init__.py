@@ -175,3 +175,13 @@ register(
         "14.4 kbps net, rides out deep carrier fades and bursts.",
     )
 )
+
+
+register(
+    ModemModel(
+        "ofdm-turbo",
+        OfdmConfig(bits_per_carrier=4, fec="conv", fec_interleave=32),
+        "16-QAM coded OFDM: 57.6 kbps on the air, 28.8 kbps net with soft "
+        "Viterbi + interleaving; the highest-rate preset (needs ~14 dB).",
+    )
+)

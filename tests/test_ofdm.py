@@ -177,3 +177,51 @@ def test_ofdm_time_sharded_long_capture():
     noisy = awgn(jax.random.PRNGKey(2), jnp.asarray(cap), 16.0)
     res = sharded_receive_long_capture(CFG, mesh, noisy, chunk, P)
     assert int(res.frames_ok) == 3
+
+
+def test_qam16_mapping_gray_and_power():
+    bits = jnp.asarray(
+        [0,0,0,0, 0,1,0,1, 1,1,1,1, 1,0,1,0], jnp.uint8
+    )
+    z = np.asarray(ofdm.bits_to_qam16(bits)) * np.sqrt(10)
+    np.testing.assert_allclose(z, [-3-3j, -1-1j, 1+1j, 3+3j], atol=1e-5)
+    # unit average power over the full constellation
+    all_bits = jnp.asarray(
+        [[(v >> k) & 1 for k in (3, 2, 1, 0)] for v in range(16)], jnp.uint8
+    ).reshape(-1)
+    pts = np.asarray(ofdm.bits_to_qam16(all_bits))
+    assert np.mean(np.abs(pts) ** 2) == pytest.approx(1.0, rel=1e-6)
+
+
+def test_qam16_roundtrip_and_waterfall():
+    cfg = dataclasses.replace(CFG, bits_per_carrier=4)
+    assert cfg.bit_rate_bps == pytest.approx(57_600)
+    p = payload(192, seed=9)
+    w = ofdm.transmit(cfg, p)
+    r = ofdm.demodulate_frame(cfg, w, 192)
+    assert bool(r.ok)
+    assert np.array_equal(np.asarray(r.payload), np.asarray(p))
+    # 22 dB comfortable, 8 dB hopeless — the higher-order waterfall
+    cap = jnp.concatenate([jnp.zeros(400), w, jnp.zeros(300)])
+    good = ofdm.receive_frame(cfg, awgn(jax.random.PRNGKey(1), cap, 22.0), 192)
+    bad = ofdm.receive_frame(cfg, awgn(jax.random.PRNGKey(1), cap, 8.0), 192)
+    assert bool(good.frame.ok) and not bool(bad.frame.ok)
+
+
+def test_qam16_soft_fec_composition():
+    """ofdm-turbo: coded 16-QAM decodes where uncoded 16-QAM fails."""
+    from anet.models import get_model
+
+    cfg = get_model("ofdm-turbo").config
+    assert cfg.bits_per_carrier == 4 and cfg.fec == "conv"
+    p = payload(128, seed=10)
+    w = ofdm.transmit(cfg, p)
+    cap = jnp.concatenate([jnp.zeros(300), w, jnp.zeros(300)])
+    r = ofdm.receive_frame(cfg, awgn(jax.random.PRNGKey(2), cap, 14.0), 128)
+    assert bool(r.frame.ok)
+    assert np.array_equal(np.asarray(r.frame.payload), np.asarray(p))
+    uncoded = dataclasses.replace(cfg, fec="none", fec_interleave=0)
+    wu = ofdm.transmit(uncoded, p)
+    capu = jnp.concatenate([jnp.zeros(300), wu, jnp.zeros(300)])
+    ru = ofdm.receive_frame(uncoded, awgn(jax.random.PRNGKey(2), capu, 14.0), 128)
+    assert not bool(ru.frame.ok)
