@@ -248,8 +248,13 @@ def _cmd_modem_stream(args) -> int:
     )
     import jax.numpy as jnp
 
+    track = args.track
+    if track and _is_ofdm(cfg):
+        print("--track applies to MFSK models only; OFDM uses the cyclic "
+              "prefix for timing tolerance", file=sys.stderr)
+        track = False
     res = receive_stream(
-        cfg, jnp.asarray(capture), chunk, args.len, track=args.track
+        cfg, jnp.asarray(capture), chunk, args.len, track=track
     )
     det = np.asarray(res.steps.detected)
     ok = np.asarray(res.steps.frame.ok)

@@ -128,6 +128,40 @@ def demodulate_symbols_tracked(
     )
 
 
+def tracked_frame_result(
+    config: ModemConfig,
+    samples: jnp.ndarray,
+    payload_len: int,
+    start_pos,
+    *,
+    loop_gain: float = 0.35,
+    compute_dtype=jnp.float32,
+):
+    """Tracked demod + frame parse in one step (shared by the one-shot
+    receiver and the streaming receiver). ``samples`` must extend past
+    start_pos + data samples by the tracker's probe margin (delta + 2) —
+    give stretched frames (slow RX clock) extra tail room.
+
+    Returns (FrameResult, TrackedDemodResult)."""
+    from anet.dsp.frame import (
+        data_symbols_for_payload,
+        frame_result_from_decisions,
+    )
+
+    tracked = demodulate_symbols_tracked(
+        config,
+        samples,
+        data_symbols_for_payload(config, payload_len),
+        start_pos=start_pos,
+        loop_gain=loop_gain,
+        compute_dtype=compute_dtype,
+    )
+    frame = frame_result_from_decisions(
+        config, tracked.symbols, tracked.energies, payload_len
+    )
+    return frame, tracked
+
+
 def estimate_drift_ppm(config: ModemConfig, result: TrackedDemodResult) -> jnp.ndarray:
     """Clock drift estimate from the tracked timing trajectory.
 

@@ -279,9 +279,9 @@ def demodulate_frame(
         h_pad = jnp.concatenate([h[..., :1], h, h[..., -1:]], axis=-1)
         h = 0.25 * h_pad[..., :-2] + 0.5 * h_pad[..., 1:-1] + 0.25 * h_pad[..., 2:]
     z = carriers[..., 1:, :] * jnp.conj(h[..., None, :])  # matched equalization
+    h_pow = jnp.maximum(jnp.abs(h[..., None, :]) ** 2, 1e-12)
+    z_eq = z / h_pow  # unit-constellation symbol estimate
     if config.bits_per_carrier == 4:
-        h_pow = jnp.maximum(jnp.abs(h[..., None, :]) ** 2, 1e-12)
-        z_eq = z / h_pow  # unit-constellation symbol estimate
         li_s, li_i = _pam4_llrs(jnp.real(z_eq), h_pow)
         lq_s, lq_i = _pam4_llrs(jnp.imag(z_eq), h_pow)
         llrs = jnp.stack([li_s, li_i, lq_s, lq_i], axis=-1).reshape(
@@ -298,10 +298,8 @@ def demodulate_frame(
 
     # quality metrics: per-carrier SNR from the error vector after
     # normalizing out the channel power
-    h_pow = jnp.maximum(jnp.abs(h[..., None, :]) ** 2, 1e-12)
-    z_norm = z / h_pow
-    ideal = bits_to_carriers(config, bits).reshape(z_norm.shape)
-    evm2 = jnp.mean(jnp.abs(z_norm - ideal) ** 2, axis=(-2, -1))
+    ideal = bits_to_carriers(config, bits).reshape(z_eq.shape)
+    evm2 = jnp.mean(jnp.abs(z_eq - ideal) ** 2, axis=(-2, -1))
     snr_db = 10.0 * jnp.log10(jnp.maximum(1.0 / jnp.maximum(evm2, 1e-9), 1e-6))
     confidence = 1.0 / (1.0 + evm2)
 

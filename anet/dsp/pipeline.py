@@ -90,14 +90,7 @@ def receive_frame_tracked(
     returns the estimated drift in ppm — a quality metric the receiver can
     report upstream.
     """
-    from anet.dsp.clock import (
-        demodulate_symbols_tracked,
-        estimate_drift_ppm,
-    )
-    from anet.dsp.frame import (
-        data_symbols_for_payload,
-        frame_result_from_decisions,
-    )
+    from anet.dsp.clock import estimate_drift_ppm, tracked_frame_result
 
     t = frame_num_samples(config, payload_len)
     n = capture.shape[-1]
@@ -109,17 +102,13 @@ def receive_frame_tracked(
         + sync.frac
         + config.preamble_samples
     )
-    s_data = data_symbols_for_payload(config, payload_len)
-    tracked = demodulate_symbols_tracked(
+    frame, tracked = tracked_frame_result(
         config,
         capture,
-        s_data,
-        start_pos=start,
+        payload_len,
+        start,
         loop_gain=loop_gain,
         compute_dtype=compute_dtype,
-    )
-    frame = frame_result_from_decisions(
-        config, tracked.symbols, tracked.energies, payload_len
     )
     return TrackedReceiveResult(
         frame=frame,

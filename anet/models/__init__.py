@@ -15,6 +15,8 @@ The registry maps a model name to a (ModemConfig, notes) pair. Families:
                       equalization; the wideband family.
 - ``ofdm-coded``    — OFDM with rate-1/2 soft-Viterbi coding + interleaver,
                       14.4 kbps net; the reverberant-room workhorse.
+- ``ofdm-turbo``    — coded 16-QAM OFDM, 57.6 kbps air / 28.8 kbps net;
+                      the highest-rate preset.
 
 MFSK presets keep the orthogonal tone plan (spacing = symbol rate), so
 the demod filterbank stays exactly orthogonal (anet.dsp.params).
@@ -182,6 +184,7 @@ register(
         "ofdm-turbo",
         OfdmConfig(bits_per_carrier=4, fec="conv", fec_interleave=32),
         "16-QAM coded OFDM: 57.6 kbps on the air, 28.8 kbps net with soft "
-        "Viterbi + interleaving; the highest-rate preset (needs ~14 dB).",
+        "Viterbi + interleaving; the highest-rate preset (needs ~14 dB), "
+        "enough for a real-time 24 kbps Opus stream over sound.",
     )
 )

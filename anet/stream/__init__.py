@@ -84,17 +84,42 @@ class StreamResult(NamedTuple):
     steps: StreamStepOutput
 
 
-def _buffer_len(config, chunk_size: int, payload_len: int) -> int:
+def _track_margin(config, track: bool) -> int:
+    """Extra tail samples buffered past the nominal frame end when clock
+    tracking: a slow RX clock stretches frames past frame_samples, and the
+    tracker's probes read a few samples beyond the last symbol. Two symbol
+    periods cover ~±2000 ppm over the longest frames plus the probe span.
+
+    Tracking is MFSK-only (stream_step validates); OFDM configs get no
+    margin so the geometry stays consistent while the error surfaces.
+    """
+    if not track:
+        return 0
+    from anet.dsp.family import is_ofdm
+
+    if is_ofdm(config):
+        return 0
+    return 2 * config.samples_per_symbol
+
+
+def _buffer_len(config, chunk_size: int, payload_len: int, track: bool = False) -> int:
     from anet.dsp.family import frame_samples
 
-    return frame_samples(config, payload_len) + chunk_size
+    return frame_samples(config, payload_len) + chunk_size + _track_margin(config, track)
 
 
 def init_carry(
-    config, chunk_size: int, payload_len: int, batch_shape: Tuple[int, ...] = ()
+    config,
+    chunk_size: int,
+    payload_len: int,
+    batch_shape: Tuple[int, ...] = (),
+    track: bool = False,
 ) -> StreamCarry:
-    """Fresh stream state (the playback_start_new_stream analog)."""
-    length = _buffer_len(config, chunk_size, payload_len)
+    """Fresh stream state (the playback_start_new_stream analog).
+
+    ``track`` must match the receive calls (the tracking margin changes the
+    buffer geometry)."""
+    length = _buffer_len(config, chunk_size, payload_len, track)
     zi = jnp.zeros(batch_shape, jnp.int32)
     return StreamCarry(
         buffer=jnp.zeros(batch_shape + (length,), jnp.float32),
@@ -125,11 +150,13 @@ def stream_step(
     chunk_size = chunk.shape[-1]
     t_frame, template, demod = family_geometry(config, payload_len, compute_dtype)
     k = template.shape[-1]
+    margin = _track_margin(config, track)
     length = carry.buffer.shape[-1]
-    if length != t_frame + chunk_size:
+    if length != t_frame + chunk_size + margin:
         raise ValueError(
-            f"carry buffer {length} != frame {t_frame} + chunk {chunk_size};"
-            " init_carry with the same chunk_size/payload_len"
+            f"carry buffer {length} != frame {t_frame} + chunk {chunk_size}"
+            f" + margin {margin}; init_carry with the same"
+            " chunk_size/payload_len/track"
         )
 
     buffer = jnp.concatenate([carry.buffer[..., chunk_size:], chunk], axis=-1)
@@ -137,9 +164,12 @@ def stream_step(
     # Absolute index of buffer[0]:
     buffer_abs0 = samples_seen - length
 
-    # Candidate frame starts: the window of positions whose frame END lies in
-    # the new chunk: start in (L - T - chunk, L - T] — exactly chunk_size wide.
-    w0 = length - t_frame - chunk_size + 1
+    # Candidate frame starts: positions whose nominal frame END lies in the
+    # newest fully-margined chunk: start in (L - T - chunk - margin,
+    # L - T - margin] — exactly chunk_size wide. With margin > 0 (tracking)
+    # detection waits until `margin` samples of tail context exist, so
+    # drift-stretched frames stay inside the buffer.
+    w0 = length - t_frame - chunk_size - margin + 1
     # Correlate template against starts [w0, w0 + chunk_size).
     seg = jax.lax.dynamic_slice_in_dim(buffer, w0, chunk_size + k - 1, axis=-1)
     # fft_len = next_pow2(len(seg)): wraparound only touches lags past the
@@ -167,31 +197,26 @@ def stream_step(
     # never produce a valid header. This mirrors the reference's layering:
     # framing-level garbage resets silently (network.cpp:432-434); only
     # in-frame payload corruption counts as a decode error.
-    aligned = _batched_dynamic_slice(buffer, start_idx, t_frame)
     if track:
-        from anet.dsp.clock import demodulate_symbols_tracked
+        from anet.dsp.clock import tracked_frame_result
         from anet.dsp.family import is_ofdm
-        from anet.dsp.frame import (
-            data_symbols_for_payload,
-            frame_result_from_decisions,
-        )
 
         if is_ofdm(config):
             raise ValueError(
                 "track=True applies to MFSK configs; OFDM absorbs timing "
                 "error in the cyclic prefix"
             )
-        tracked = demodulate_symbols_tracked(
+        # include the margin tail: slow-clock frames stretch past t_frame
+        aligned = _batched_dynamic_slice(buffer, start_idx, t_frame + margin)
+        frame, _ = tracked_frame_result(
             config,
             aligned,
-            data_symbols_for_payload(config, payload_len),
-            start_pos=float(config.preamble_samples),
+            payload_len,
+            float(config.preamble_samples),
             compute_dtype=compute_dtype,
         )
-        frame = frame_result_from_decisions(
-            config, tracked.symbols, tracked.energies, payload_len
-        )
     else:
+        aligned = _batched_dynamic_slice(buffer, start_idx, t_frame)
         frame = demod(aligned)
     detected = candidate & frame.magic_ok & frame.header_crc_ok
     frame = frame._replace(ok=frame.ok & detected)
@@ -247,7 +272,7 @@ def receive_stream(
         raise ValueError(f"capture length {n} not a multiple of chunk_size {chunk_size}")
     batch_shape = capture.shape[:-1]
     if carry is None:
-        carry = init_carry(config, chunk_size, payload_len, batch_shape)
+        carry = init_carry(config, chunk_size, payload_len, batch_shape, track)
 
     # time-major chunks for scan: [num_chunks, ..., chunk_size]
     num_chunks = n // chunk_size

@@ -137,6 +137,13 @@ def test_streaming_receiver_with_clock_tracking():
     tracked = receive_stream(cfg, drifted, chunk, P, track=True)
     assert int(plain.carry.frames_ok) == 0  # drift defeats block demod
     assert int(tracked.carry.frames_ok) == 2
+    # negative drift stretches frames past their nominal length; the
+    # tracking margin must keep the tail inside the demod window
+    stretched = awgn(
+        jax.random.PRNGKey(1), sample_rate_drift(jnp.asarray(cap), -500.0), 14.0
+    )
+    tracked_neg = receive_stream(cfg, stretched, chunk, P, track=True)
+    assert int(tracked_neg.carry.frames_ok) == 2
     det = np.asarray(tracked.steps.detected)
     idx = np.nonzero(det)[0]
     for j, i in enumerate(idx):
