@@ -41,6 +41,8 @@ def main() -> int:
     ap.add_argument("--snr", type=float, default=14.0)
     ap.add_argument("--seconds", type=float, default=1.2)
     ap.add_argument("--out", default=None, help="write recovered audio here")
+    ap.add_argument("--model", default="ofdm-coded",
+                    help="modem preset carrying the stream (e.g. ofdm-turbo)")
     args = ap.parse_args()
 
     # --- source audio: a little melody, Opus-encoded at 20 ms frames -------
@@ -57,7 +59,7 @@ def main() -> int:
           f"({sum(map(len, opus_frames))} bytes at {enc.bitrate_bps} bps)")
 
     # --- wire framing + modem transmit -------------------------------------
-    cfg = get_model("ofdm-coded").config
+    cfg = get_model(args.model).config
     wire = [encode_delimited(ToReceiver(audio_data=AudioData(f)).encode())
             for f in opus_frames]
     frame_len = max(map(len, wire))
@@ -73,7 +75,7 @@ def main() -> int:
     capture = np.concatenate([capture, np.zeros((-len(capture)) % chunk, np.float32)])
     air_seconds = len(capture) / cfg.sample_rate_hz
     print(f"modem: {len(wire)} PHY frames ({frame_len} B payloads) -> "
-          f"{air_seconds:.1f} s on the air ({get_model('ofdm-coded').name})")
+          f"{air_seconds:.1f} s on the air ({args.model})")
 
     # --- the room -----------------------------------------------------------
     dirty = apply_channel(

@@ -318,3 +318,21 @@ def test_paced_sink_pause_before_first_write():
     assert sink.buffered_seconds == 0.0
     sink.write(b"\x00" * 19200)  # 0.1 s
     assert sink.buffered_seconds > 0.05
+
+
+def test_server_soak_many_frames_and_reconnects():
+    """Stability: thousands of frames and repeated reconnects through the
+    native framer path without drops or leaks."""
+    counts = []
+    with make_server(lambda f: counts.append(len(f))) as server:
+        for session in range(3):
+            rx = RemoteAudioReceiver("127.0.0.1", server.bound_port).connect()
+            for i in range(1000):
+                rx.send_frame(bytes([session]) * (1 + (i * 7) % 1500))
+            rx.close()
+            deadline = time.monotonic() + 5
+            while len(counts) < (session + 1) * 1000 and time.monotonic() < deadline:
+                time.sleep(0.01)
+        assert len(counts) == 3000
+        assert server.streams_served == 3
+        assert server.decode_errors == 0
