@@ -316,8 +316,20 @@ def _cmd_sweep(args) -> int:
 
 
 def _cmd_models(args) -> int:
-    from anet.models import list_models
+    from anet.models import (
+        OPERATING_SNR_DB,
+        list_models,
+        net_bit_rate_bps,
+        suggest_model,
+    )
 
+    if args.snr is not None:
+        m = suggest_model(args.snr, margin_db=args.margin)
+        print(
+            f"{m.name}  (needs >= {OPERATING_SNR_DB[m.name]:+.1f} dB SNR, "
+            f"{net_bit_rate_bps(m):.0f} bps net)  {m.description}"
+        )
+        return 0
     for m in list_models():
         c = m.config
         if _is_ofdm(c):
@@ -402,6 +414,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.set_defaults(fn=_cmd_sweep)
 
     p = sub.add_parser("models", help="list modem model presets")
+    p.add_argument("--snr", type=float, default=None,
+                   help="suggest the fastest preset for this channel SNR (dB)")
+    p.add_argument("--margin", type=float, default=2.0,
+                   help="link margin in dB for --snr (default 2)")
     p.set_defaults(fn=_cmd_models)
 
     p = sub.add_parser("bench", help="run the throughput benchmark")

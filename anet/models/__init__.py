@@ -59,6 +59,50 @@ def list_models() -> List[ModemModel]:
     return [_REGISTRY[k] for k in sorted(_REGISTRY)]
 
 
+# Measured operating thresholds: the lowest waveform SNR (dB, AWGN) at
+# which each preset's frame error rate is ~0 (docs/BER.md sweeps). The
+# link-adaptation rule picks the fastest preset whose threshold fits.
+OPERATING_SNR_DB = {
+    "fsk2-robust": -6.0,
+    "mfsk4-voice": 2.0,
+    "mfsk4-coded": -4.0,
+    "mfsk8-audible": 1.0,
+    "mfsk16-fast": 0.0,
+    "mfsk16-ultra": 6.0,
+    "mfsk32-dense": 0.0,
+    "ofdm-fast": 14.0,
+    "ofdm-coded": 4.0,
+    "ofdm-turbo": 10.0,
+}
+
+
+def net_bit_rate_bps(model: ModemModel) -> float:
+    """Payload bit rate after FEC overhead."""
+    rate = model.config.bit_rate_bps
+    if getattr(model.config, "fec", "none") == "conv":
+        rate /= 2.0
+    return rate
+
+
+def suggest_model(snr_db: float, margin_db: float = 2.0) -> ModemModel:
+    """Link adaptation: the fastest preset whose measured operating
+    threshold fits the reported SNR minus a safety margin.
+
+    Feed it the snr_db estimate from any FrameResult (MFSK estimates are
+    in-bin — subtract the ~10*log10(sps/2) processing gain first if you
+    measured through the filterbank; OFDM estimates are EVM-based waveform
+    SNR and compare directly). Falls back to the most robust preset when
+    nothing fits.
+    """
+    usable = [
+        m for m in list_models()
+        if OPERATING_SNR_DB.get(m.name, float("inf")) <= snr_db - margin_db
+    ]
+    if not usable:
+        return min(list_models(), key=lambda m: OPERATING_SNR_DB.get(m.name, 1e9))
+    return max(usable, key=net_bit_rate_bps)
+
+
 register(
     ModemModel(
         "fsk2-robust",

@@ -88,3 +88,56 @@ def test_cli_discover_empty(capsys):
     rc = main(["discover", "--timeout", "0.2"])
     # no receivers on odd port in CI -> exit 1; if one is around, 0 is fine
     assert rc in (0, 1)
+
+
+def test_link_adaptation_monotone_rate():
+    from anet.models import OPERATING_SNR_DB, net_bit_rate_bps, suggest_model
+
+    # every preset has a threshold entry
+    assert set(OPERATING_SNR_DB) == {m.name for m in list_models()}
+    rates = [net_bit_rate_bps(suggest_model(snr)) for snr in range(-10, 25, 2)]
+    # chosen net rate never decreases as the channel improves
+    assert all(b >= a for a, b in zip(rates, rates[1:]))
+    # hopeless channel falls back to the most robust preset
+    assert suggest_model(-30.0).name == "fsk2-robust"
+    assert net_bit_rate_bps(suggest_model(25.0)) >= 28_000
+
+
+def test_random_modem_configs_loop_back():
+    """Property: any valid MFSK config round-trips its own frames."""
+    import jax.numpy as jnp
+
+    from anet.dsp.pipeline import loopback
+
+    rng = np.random.default_rng(0xA044)
+    tried = 0
+    while tried < 6:
+        sps = int(rng.choice([32, 64, 128]))
+        rate = 48_000 // sps
+        m = int(rng.choice([2, 4, 8, 16]))
+        spacing = int(rng.choice([1, 2]))
+        base = float(rng.integers(500, 4000))
+        try:
+            cfg = ModemConfig(
+                symbol_rate_hz=rate,
+                num_tones=m,
+                base_freq_hz=base,
+                tone_spacing_multiple=spacing,
+                preamble_symbols=int(rng.choice([16, 32])),
+                phase_continuous=bool(rng.integers(0, 2)),
+                fec=str(rng.choice(["none", "conv"])),
+            )
+        except ValueError:
+            continue  # randomly drew a Nyquist-violating plan; redraw
+        tried += 1
+        payload = jnp.asarray(rng.integers(0, 256, 24, dtype=np.uint8))
+        res = loopback(cfg, payload, pad_before=int(rng.integers(0, 300)))
+        assert bool(res.frame.ok), f"config failed its own loopback: {cfg}"
+
+
+def test_cli_models_snr_suggestion(capsys):
+    assert main(["models", "--snr", "-8"]) == 0
+    assert "fsk2-robust" in capsys.readouterr().out
+    assert main(["models", "--snr", "16", "--margin", "1"]) == 0
+    out = capsys.readouterr().out
+    assert "ofdm" in out and "bps net" in out
