@@ -200,6 +200,35 @@ def _cmd_modem_rx(args) -> int:
     capture = _load_capture(args.capture, cfg.sample_rate_hz)
     import jax.numpy as jnp
 
+    if args.len is None:
+        from anet.dsp.family import frame_samples
+        from anet.dsp.pipeline import receive_frame_dynamic
+
+        if getattr(cfg, "fec", "none") != "none":
+            print("automatic payload length needs an uncoded model "
+                  "(pass --len, or --fec none)", file=sys.stderr)
+            return 2
+        if args.track:
+            print("--track needs an explicit --len", file=sys.stderr)
+            return 2
+        # tail padding so a frame ending at the capture edge still has a
+        # full max-length demod window
+        t_max = frame_samples(cfg, args.max_len)
+        capture = np.concatenate([capture, np.zeros(t_max, np.float32)])
+        r = receive_frame_dynamic(cfg, jnp.asarray(capture), args.max_len)
+        f = r.frame
+        plen = int(f.payload_len)
+        print(
+            f"sync offset={int(r.offset)} quality={float(r.quality):.3f} "
+            f"| ok={bool(f.ok)} len={plen} magic={bool(f.magic_ok)} "
+            f"crc={bool(f.payload_crc_ok)} snr={float(f.snr_db):.1f} dB"
+        )
+        if args.out:
+            with open(args.out, "wb") as fh:
+                fh.write(bytes(np.asarray(f.payload[:plen])))
+            print(f"payload -> {args.out}")
+        return 0 if bool(f.ok) else 2
+
     if _is_ofdm(cfg):
         from anet.dsp import ofdm
 
@@ -243,11 +272,54 @@ def _cmd_modem_stream(args) -> int:
     cfg = get_model(args.model).config
     capture = _load_capture(args.capture, cfg.sample_rate_hz)
     chunk = args.chunk
+    import jax.numpy as jnp
+
+    if args.len is None:
+        from anet.dsp.family import frame_samples
+        from anet.stream import receive_stream_dynamic
+
+        if getattr(cfg, "fec", "none") != "none":
+            print("automatic payload length needs an uncoded model "
+                  "(pass --len)", file=sys.stderr)
+            return 2
+        if args.track:
+            print("--track needs an explicit --len", file=sys.stderr)
+            return 2
+        # pad a full max-length window past the capture so a trailing
+        # frame still completes, then round up to whole chunks
+        pad = frame_samples(cfg, args.max_len)
+        capture = np.concatenate([capture, np.zeros(pad, np.float32)])
+        capture = np.concatenate(
+            [capture, np.zeros((-len(capture)) % chunk, np.float32)]
+        )
+        res = receive_stream_dynamic(cfg, jnp.asarray(capture), chunk, args.max_len)
+        det = np.asarray(res.steps.detected)
+        ok = np.asarray(res.steps.frame.ok)
+        starts = np.asarray(res.steps.frame_start)
+        lens = np.asarray(res.steps.frame.payload_len)
+        payloads = np.asarray(res.steps.frame.payload)
+        out = open(args.out, "wb") if args.out else None
+        for i in np.nonzero(det)[0]:
+            print(
+                f"frame @ sample {int(starts[i])}: ok={bool(ok[i])} "
+                f"len={int(lens[i])} "
+                f"snr={float(np.asarray(res.steps.frame.snr_db)[i]):.1f} dB"
+            )
+            if out and ok[i]:
+                out.write(bytes(payloads[i][: int(lens[i])]))
+        if out:
+            out.close()
+            print(f"payloads -> {args.out}")
+        print(
+            f"total: {int(res.carry.frames_detected)} detected, "
+            f"{int(res.carry.frames_ok)} ok, "
+            f"{int(res.carry.decode_errors)} decode errors"
+        )
+        return 0 if int(res.carry.frames_ok) > 0 else 2
+
     capture = np.concatenate(
         [capture, np.zeros((-len(capture)) % chunk, np.float32)]
     )
-    import jax.numpy as jnp
-
     track = args.track
     if track and _is_ofdm(cfg):
         print("--track applies to MFSK models only; OFDM uses the cyclic "
@@ -382,7 +454,11 @@ def build_parser() -> argparse.ArgumentParser:
 
     p = sub.add_parser("modem-rx", help="demodulate a capture")
     p.add_argument("capture")
-    p.add_argument("--len", type=int, required=True, help="payload length in bytes")
+    p.add_argument("--len", type=int, default=None,
+                   help="payload length in bytes (omit to read it from the "
+                        "frame header, bounded by --max-len)")
+    p.add_argument("--max-len", type=int, default=512,
+                   help="payload length bound when --len is omitted")
     p.add_argument("--out", help="write payload bytes here")
     p.add_argument("--model", default="mfsk16-fast")
     p.add_argument("--track", action="store_true",
@@ -395,7 +471,11 @@ def build_parser() -> argparse.ArgumentParser:
         "modem-stream-rx", help="demodulate every frame in a long capture"
     )
     p.add_argument("capture")
-    p.add_argument("--len", type=int, required=True, help="payload length per frame")
+    p.add_argument("--len", type=int, default=None,
+                   help="payload length per frame (omit to read each frame's "
+                        "length from its header, bounded by --max-len)")
+    p.add_argument("--max-len", type=int, default=512,
+                   help="per-frame payload bound when --len is omitted")
     p.add_argument("--model", default="mfsk16-fast")
     p.add_argument("--chunk", type=int, default=1024)
     p.add_argument("--out", help="concatenate recovered payloads here")
@@ -426,6 +506,15 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None) -> int:
+    # Honor JAX_PLATFORMS even where a site plugin force-registers an
+    # accelerator backend and overrides the env var (jax.config wins over
+    # both). Must run before the first jax backend initialization.
+    import os
+
+    if os.environ.get("JAX_PLATFORMS"):
+        import jax
+
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     args = build_parser().parse_args(argv)
     try:
         return args.fn(args)

@@ -43,6 +43,22 @@ def aligned_demod_fn(config, payload_len: int, compute_dtype=jnp.float32) -> Cal
     )
 
 
+def aligned_demod_dynamic_fn(
+    config, max_payload_len: int, compute_dtype=jnp.float32
+) -> Callable:
+    """Symbol-aligned max-length window -> DynamicFrameResult (payload
+    length read from the frame header), for either family."""
+    if is_ofdm(config):
+        from anet.dsp import ofdm
+
+        return lambda w: ofdm.demodulate_frame_dynamic(config, w, max_payload_len)
+    from anet.dsp.frame import demodulate_frame_dynamic
+
+    return lambda w: demodulate_frame_dynamic(
+        config, w, max_payload_len, compute_dtype=compute_dtype
+    )
+
+
 def frame_samples(config, payload_len: int) -> int:
     if is_ofdm(config):
         return config.frame_num_samples(payload_len)

@@ -201,6 +201,142 @@ def frame_result_from_decisions(
     )
 
 
+class DynamicFrameResult(NamedTuple):
+    """Demodulated frame whose payload length came from the header.
+
+    Shapes are static at the configured maximum; ``payload`` is zero-padded
+    past ``payload_len``. The reference's wire protocol is length-prefixed
+    the same way (varint-delimited, network.cpp:409-430) — the receiver
+    learns each frame's size from the frame itself.
+    """
+
+    payload: jnp.ndarray  # uint8[..., max_payload_len], zero-padded
+    payload_len: jnp.ndarray  # int32[...] header-declared length (clipped)
+    magic_ok: jnp.ndarray  # bool[...]
+    length_ok: jnp.ndarray  # bool[...] declared length <= configured max
+    header_crc_ok: jnp.ndarray  # bool[...]
+    payload_crc_ok: jnp.ndarray  # bool[...]
+    ok: jnp.ndarray  # bool[...]
+    confidence: jnp.ndarray  # float32[...]
+    snr_db: jnp.ndarray  # float32[...]
+
+
+def frame_result_from_bits_dynamic(
+    config,
+    bits: jnp.ndarray,
+    max_payload_len: int,
+    *,
+    confidence: jnp.ndarray,
+    snr_db: jnp.ndarray,
+) -> DynamicFrameResult:
+    """Variable-length frame parse: the payload length is read from the
+    demodulated header instead of being supplied by the caller.
+
+    TPU formulation: demodulate a max-length window (static shapes), parse
+    the 2-byte length field, verify the payload CRC over exactly ``length``
+    bytes with the masked-scan CRC, and gather the 4 trailer bytes at their
+    dynamic offset. Uncoded frames only: with FEC the interleaver block
+    geometry depends on the total section length, so the header cannot be
+    read before the length is known.
+    """
+    if getattr(config, "fec", "none") != "none":
+        raise ValueError(
+            "dynamic payload length requires fec='none' (the FEC interleaver"
+            " span depends on the section length the header declares)"
+        )
+    n_bytes = data_section_bytes(max_payload_len)
+    section = bits_to_bytes(bits[..., : n_bytes * 8])
+
+    header = section[..., :HEADER_BYTES]
+    magic = _be_bytes_to_u32(header[..., :4])
+    length = jnp.sum(
+        header[..., 4:6].astype(jnp.uint32) << jnp.array([8, 0], dtype=jnp.uint32),
+        axis=-1,
+        dtype=jnp.uint32,
+    )
+    hcrc_rx = jnp.sum(
+        header[..., 6:8].astype(jnp.uint32) << jnp.array([8, 0], dtype=jnp.uint32),
+        axis=-1,
+        dtype=jnp.uint32,
+    )
+    hcrc_calc = crc32_device(header[..., :6]) & jnp.uint32(0xFFFF)
+
+    magic_ok = magic == jnp.uint32(constants.MAGIC_WORD)
+    header_crc_ok = hcrc_calc == hcrc_rx
+    length_ok = length <= jnp.uint32(max_payload_len)
+    plen = jnp.clip(length, 0, max_payload_len).astype(jnp.int32)
+
+    body = section[..., HEADER_BYTES : HEADER_BYTES + max_payload_len]
+    mask = jnp.arange(max_payload_len) < plen[..., None]
+    payload = jnp.where(mask, body, jnp.uint8(0))
+    crc_calc = crc32_device(body, length=plen)
+    trailer_idx = HEADER_BYTES + plen[..., None] + jnp.arange(4)
+    trailer = jnp.take_along_axis(section, trailer_idx, axis=-1)
+    payload_crc_ok = crc_calc == _be_bytes_to_u32(trailer)
+
+    ok = magic_ok & length_ok & header_crc_ok & payload_crc_ok
+    return DynamicFrameResult(
+        payload=payload,
+        payload_len=plen,
+        magic_ok=magic_ok,
+        length_ok=length_ok,
+        header_crc_ok=header_crc_ok,
+        payload_crc_ok=payload_crc_ok,
+        ok=ok,
+        confidence=confidence,
+        snr_db=snr_db,
+    )
+
+
+def demodulate_frame_dynamic(
+    config: ModemConfig,
+    samples: jnp.ndarray,
+    max_payload_len: int,
+    *,
+    compute_dtype=jnp.float32,
+) -> DynamicFrameResult:
+    """Symbol-aligned max-length frame window -> payload + declared length.
+
+    ``samples`` must be frame_num_samples(config, max_payload_len) long;
+    captures holding a shorter frame just include trailing noise, which the
+    masked CRC ignores. Quality metrics (confidence, SNR) are computed over
+    the overhead symbols — the only span guaranteed to carry signal at any
+    payload length.
+    """
+    sps = config.samples_per_symbol
+    data = samples[..., config.preamble_symbols * sps :]
+    energies = tone_energies(config, data, compute_dtype=compute_dtype)
+    symbols = decide_symbols(config, energies)
+    bits = unpack_symbols(symbols, config.bits_per_symbol)
+    s_min = data_symbols_for_payload(config, 0)  # overhead-only span
+    e = energies[..., :s_min, :]
+    best = jnp.max(e, axis=-1)
+    total = jnp.sum(e, axis=-1)
+    confidence = jnp.mean(best / jnp.maximum(total, 1e-20), axis=-1)
+    snr_db = estimate_snr_db(config, e)
+    return frame_result_from_bits_dynamic(
+        config, bits, max_payload_len, confidence=confidence, snr_db=snr_db
+    )
+
+
+def dynamic_frame_samples(config, payload_len: jnp.ndarray) -> jnp.ndarray:
+    """frame_num_samples with a runtime (traced) payload length.
+
+    Works for both families; used by the streaming receiver to advance its
+    dedupe cursor past exactly the frame it just decoded.
+    """
+    n_bits = 8 * (OVERHEAD_BYTES + payload_len.astype(jnp.int32))
+    from anet.dsp.family import is_ofdm
+
+    if is_ofdm(config):
+        bps = config.bits_per_symbol
+        syms = (n_bits + bps - 1) // bps
+        return config.preamble_samples + (1 + syms) * config.symbol_samples
+    bps = config.bits_per_symbol
+    syms = (n_bits + bps - 1) // bps
+    return (config.preamble_symbols + syms) * config.samples_per_symbol
+
+
 def frame_result_from_bits(
     config,
     bits: jnp.ndarray,

@@ -29,10 +29,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from anet.dsp.frame import (
+    DynamicFrameResult,
     FrameResult,
     data_section_air_bits_array,
     data_section_coded_bits,
     frame_result_from_bits,
+    frame_result_from_bits_dynamic,
 )
 from anet.dsp.sync import normalized_match_quality, correlate_template, sliding_window_energy
 
@@ -265,13 +267,13 @@ def _extract_carriers(config: OfdmConfig, samples: jnp.ndarray, n_symbols: int) 
     return spec[..., config.first_carrier : config.first_carrier + config.n_carriers]
 
 
-def demodulate_frame(
-    config: OfdmConfig, samples: jnp.ndarray, payload_len: int
-) -> FrameResult:
-    """Aligned frame waveform (starting at the preamble) -> FrameResult."""
-    data_start = config.preamble_samples
-    s_data = config.data_symbols_for_payload(payload_len)
-    body = samples[..., data_start:]
+def _equalized_bits(config: OfdmConfig, samples: jnp.ndarray, s_data: int):
+    """Aligned frame waveform -> (bits, llrs, z_eq) for ``s_data`` symbols.
+
+    Shared front half of the fixed- and dynamic-length demodulators:
+    pilot channel estimate, one-tap equalization, Gray demapping.
+    """
+    body = samples[..., config.preamble_samples :]
     carriers = _extract_carriers(config, body, 1 + s_data)
     # channel estimate from the pilot symbol (one complex tap per carrier)
     h = carriers[..., 0, :] * jnp.conj(pilot_carriers(config))  # [..., C]
@@ -295,16 +297,46 @@ def demodulate_frame(
             *z.shape[:-2], s_data * config.bits_per_symbol
         )
     bits = (llrs > 0).astype(jnp.uint8)
+    return bits, llrs, z_eq
 
-    # quality metrics: per-carrier SNR from the error vector after
-    # normalizing out the channel power
-    ideal = bits_to_carriers(config, bits).reshape(z_eq.shape)
-    evm2 = jnp.mean(jnp.abs(z_eq - ideal) ** 2, axis=(-2, -1))
+
+def _evm_metrics(config: OfdmConfig, bits: jnp.ndarray, z_eq: jnp.ndarray):
+    """(confidence, snr_db) from the error vector after normalizing out the
+    channel power."""
+    ideal = bits_to_carriers(config, bits[..., : z_eq.shape[-2] * config.bits_per_symbol])
+    evm2 = jnp.mean(jnp.abs(z_eq - ideal.reshape(z_eq.shape)) ** 2, axis=(-2, -1))
     snr_db = 10.0 * jnp.log10(jnp.maximum(1.0 / jnp.maximum(evm2, 1e-9), 1e-6))
-    confidence = 1.0 / (1.0 + evm2)
+    return 1.0 / (1.0 + evm2), snr_db
 
+
+def demodulate_frame(
+    config: OfdmConfig, samples: jnp.ndarray, payload_len: int
+) -> FrameResult:
+    """Aligned frame waveform (starting at the preamble) -> FrameResult."""
+    s_data = config.data_symbols_for_payload(payload_len)
+    bits, llrs, z_eq = _equalized_bits(config, samples, s_data)
+    confidence, snr_db = _evm_metrics(config, bits, z_eq)
     return frame_result_from_bits(
         config, bits, payload_len, llrs=llrs, confidence=confidence, snr_db=snr_db
+    )
+
+
+def demodulate_frame_dynamic(
+    config: OfdmConfig, samples: jnp.ndarray, max_payload_len: int
+) -> DynamicFrameResult:
+    """Aligned max-length frame window -> payload + header-declared length.
+
+    OFDM counterpart of anet.dsp.frame.demodulate_frame_dynamic: same
+    equalizer front end sized for the maximum, shared dynamic parse.
+    Quality metrics use the overhead-only symbol span — the only region
+    guaranteed to carry signal at any declared length.
+    """
+    s_data = config.data_symbols_for_payload(max_payload_len)
+    bits, _, z_eq = _equalized_bits(config, samples, s_data)
+    s_min = config.data_symbols_for_payload(0)
+    confidence, snr_db = _evm_metrics(config, bits, z_eq[..., :s_min, :])
+    return frame_result_from_bits_dynamic(
+        config, bits, max_payload_len, confidence=confidence, snr_db=snr_db
     )
 
 

@@ -118,6 +118,57 @@ def receive_frame_tracked(
     )
 
 
+class DynamicReceiveResult(NamedTuple):
+    frame: "jnp.ndarray"  # DynamicFrameResult (family-shared)
+    offset: jnp.ndarray  # int32[...] located frame start
+    quality: jnp.ndarray  # float32[...] sync match quality
+
+
+def receive_frame_dynamic(
+    config,
+    capture: jnp.ndarray,
+    max_payload_len: int,
+    *,
+    compute_dtype=jnp.float32,
+) -> DynamicReceiveResult:
+    """Locate and demodulate one variable-length frame (either family).
+
+    The payload length is read from the frame header (demodulate a
+    max-length window, masked CRC over the declared length) — the caller
+    only bounds it. ``capture`` must be at least
+    frame_samples(config, max_payload_len) long; pad short captures with
+    zeros. Uncoded configs only (see frame_result_from_bits_dynamic).
+    """
+    from anet.dsp.family import (
+        aligned_demod_dynamic_fn,
+        frame_samples,
+        preamble_template,
+    )
+    from anet.dsp.sync import (
+        correlate_template,
+        normalized_match_quality,
+        sliding_window_energy,
+    )
+
+    t = frame_samples(config, max_payload_len)
+    n = capture.shape[-1]
+    if n < t:
+        raise ValueError(
+            f"capture of {n} samples cannot hold a {t}-sample max-length frame"
+        )
+    template = preamble_template(config)
+    corr = correlate_template(capture, template)
+    energy = sliding_window_energy(capture, template.shape[-1])
+    quality = normalized_match_quality(corr, energy, jnp.sum(template * template))
+    offset = jnp.argmax(quality, axis=-1).astype(jnp.int32)
+    best_q = jnp.take_along_axis(quality, offset[..., None], axis=-1)[..., 0]
+    start = jnp.clip(offset, 0, n - t)
+    idx = start[..., None] + jnp.arange(t)
+    aligned = jnp.take_along_axis(capture, idx, axis=-1)
+    frame = aligned_demod_dynamic_fn(config, max_payload_len, compute_dtype)(aligned)
+    return DynamicReceiveResult(frame=frame, offset=offset, quality=best_q)
+
+
 def loopback(
     config: ModemConfig, payload: jnp.ndarray, pad_before: int = 0, pad_after: int = 0
 ) -> ReceiveResult:

@@ -41,13 +41,16 @@ from anet.dsp.sync import (
 )
 
 __all__ = [
+    "DynamicStreamStepOutput",
     "StreamCarry",
     "StreamStepOutput",
     "StreamResult",
     "family_geometry",
     "init_carry",
     "stream_step",
+    "stream_step_dynamic",
     "receive_stream",
+    "receive_stream_dynamic",
 ]
 
 
@@ -149,46 +152,10 @@ def stream_step(
     """
     chunk_size = chunk.shape[-1]
     t_frame, template, demod = family_geometry(config, payload_len, compute_dtype)
-    k = template.shape[-1]
     margin = _track_margin(config, track)
-    length = carry.buffer.shape[-1]
-    if length != t_frame + chunk_size + margin:
-        raise ValueError(
-            f"carry buffer {length} != frame {t_frame} + chunk {chunk_size}"
-            f" + margin {margin}; init_carry with the same"
-            " chunk_size/payload_len/track"
-        )
-
-    buffer = jnp.concatenate([carry.buffer[..., chunk_size:], chunk], axis=-1)
-    samples_seen = carry.samples_seen + chunk_size
-    # Absolute index of buffer[0]:
-    buffer_abs0 = samples_seen - length
-
-    # Candidate frame starts: positions whose nominal frame END lies in the
-    # newest fully-margined chunk: start in (L - T - chunk - margin,
-    # L - T - margin] — exactly chunk_size wide. With margin > 0 (tracking)
-    # detection waits until `margin` samples of tail context exist, so
-    # drift-stretched frames stay inside the buffer.
-    w0 = length - t_frame - chunk_size - margin + 1
-    # Correlate template against starts [w0, w0 + chunk_size).
-    seg = jax.lax.dynamic_slice_in_dim(buffer, w0, chunk_size + k - 1, axis=-1)
-    # fft_len = next_pow2(len(seg)): wraparound only touches lags past the
-    # valid window, and the FFT stays half the size of the general default.
-    fft_len = 1 << (seg.shape[-1] - 1).bit_length()
-    corr = correlate_template(seg, template, fft_len=fft_len)  # [..., chunk_size]
-    t_energy = jnp.sum(template * template)
-    local_e = sliding_window_energy(seg, k)  # [..., chunk_size]
-    quality = normalized_match_quality(corr, local_e, t_energy)
-
-    best_rel = jnp.argmax(quality, axis=-1).astype(jnp.int32)
-    best_q = jnp.take_along_axis(quality, best_rel[..., None], axis=-1)[..., 0]
-    start_idx = w0 + best_rel  # buffer index of candidate frame start
-    start_abs = buffer_abs0 + start_idx
-
-    # Candidate if quality clears the threshold and the frame does not overlap
-    # the previously accepted frame (dedupe against double-detection).
-    no_overlap = start_abs >= carry.last_frame_end
-    candidate = (best_q >= detect_threshold) & no_overlap
+    buffer, samples_seen, start_idx, start_abs, best_q, candidate = _find_candidate(
+        carry, chunk, t_frame, template, margin, detect_threshold
+    )
 
     # Fixed-cost demod at the candidate position. A lock counts as a real
     # detection only if the demodulated header validates (magic word +
@@ -238,12 +205,165 @@ def stream_step(
 
 
 
+def _find_candidate(
+    carry: StreamCarry,
+    chunk: jnp.ndarray,
+    t_frame: int,
+    template: jnp.ndarray,
+    margin: int,
+    detect_threshold: float,
+):
+    """Shared front half of the stream steps: slide the buffer, correlate
+    the preamble template over the just-completed window, and nominate at
+    most one candidate frame start per chunk.
+
+    Returns (buffer, samples_seen, start_idx, start_abs, best_q, candidate).
+    """
+    chunk_size = chunk.shape[-1]
+    k = template.shape[-1]
+    length = carry.buffer.shape[-1]
+    if length != t_frame + chunk_size + margin:
+        raise ValueError(
+            f"carry buffer {length} != frame {t_frame} + chunk {chunk_size}"
+            f" + margin {margin}; init_carry with the same"
+            " chunk_size/payload_len/track"
+        )
+
+    buffer = jnp.concatenate([carry.buffer[..., chunk_size:], chunk], axis=-1)
+    samples_seen = carry.samples_seen + chunk_size
+    # Absolute index of buffer[0]:
+    buffer_abs0 = samples_seen - length
+
+    # Candidate frame starts: positions whose nominal frame END lies in the
+    # newest fully-margined chunk: start in (L - T - chunk - margin,
+    # L - T - margin] — exactly chunk_size wide. With margin > 0 (tracking)
+    # detection waits until `margin` samples of tail context exist, so
+    # drift-stretched frames stay inside the buffer.
+    w0 = length - t_frame - chunk_size - margin + 1
+    # Correlate template against starts [w0, w0 + chunk_size).
+    seg = jax.lax.dynamic_slice_in_dim(buffer, w0, chunk_size + k - 1, axis=-1)
+    # fft_len = next_pow2(len(seg)): wraparound only touches lags past the
+    # valid window, and the FFT stays half the size of the general default.
+    fft_len = 1 << (seg.shape[-1] - 1).bit_length()
+    corr = correlate_template(seg, template, fft_len=fft_len)  # [..., chunk_size]
+    t_energy = jnp.sum(template * template)
+    local_e = sliding_window_energy(seg, k)  # [..., chunk_size]
+    quality = normalized_match_quality(corr, local_e, t_energy)
+
+    best_rel = jnp.argmax(quality, axis=-1).astype(jnp.int32)
+    best_q = jnp.take_along_axis(quality, best_rel[..., None], axis=-1)[..., 0]
+    start_idx = w0 + best_rel  # buffer index of candidate frame start
+    start_abs = buffer_abs0 + start_idx
+
+    # Candidate if quality clears the threshold and the frame does not overlap
+    # the previously accepted frame (dedupe against double-detection).
+    no_overlap = start_abs >= carry.last_frame_end
+    candidate = (best_q >= detect_threshold) & no_overlap
+    return buffer, samples_seen, start_idx, start_abs, best_q, candidate
+
+
 def _batched_dynamic_slice(buffer: jnp.ndarray, start: jnp.ndarray, size: int) -> jnp.ndarray:
     """dynamic_slice along the last axis with batched start indices."""
     if start.ndim == 0:
         return jax.lax.dynamic_slice_in_dim(buffer, start, size, axis=-1)
     idx = start[..., None] + jnp.arange(size)
     return jnp.take_along_axis(buffer, idx, axis=-1)
+
+
+class DynamicStreamStepOutput(NamedTuple):
+    """Per-chunk emission of the variable-length stream receiver."""
+
+    frame: "jnp.ndarray"  # DynamicFrameResult (anet.dsp.frame)
+    detected: jnp.ndarray  # bool — a frame completed in this chunk
+    quality: jnp.ndarray  # float32 — best sync quality in the window
+    frame_start: jnp.ndarray  # int32 — absolute sample index of frame start
+
+
+def stream_step_dynamic(
+    config,
+    carry: StreamCarry,
+    chunk: jnp.ndarray,
+    max_payload_len: int,
+    detect_threshold: float = DEFAULT_DETECT_THRESHOLD,
+    compute_dtype=jnp.float32,
+) -> Tuple[StreamCarry, DynamicStreamStepOutput]:
+    """stream_step with the payload length read from each frame's header.
+
+    Geometry (buffer size, detection latency) is sized for
+    ``max_payload_len``; short frames decode as soon as a max-length window
+    past their start is buffered. The dedupe cursor advances by each
+    frame's actual length, so back-to-back short frames separated by at
+    least one chunk both decode. init_carry with payload_len =
+    max_payload_len. Uncoded configs only.
+    """
+    from anet.dsp.family import aligned_demod_dynamic_fn, frame_samples
+    from anet.dsp.frame import dynamic_frame_samples
+
+    t_max = frame_samples(config, max_payload_len)
+    template = family_geometry(config, max_payload_len, compute_dtype)[1]
+    buffer, samples_seen, start_idx, start_abs, best_q, candidate = _find_candidate(
+        carry, chunk, t_max, template, 0, detect_threshold
+    )
+    aligned = _batched_dynamic_slice(buffer, start_idx, t_max)
+    frame = aligned_demod_dynamic_fn(config, max_payload_len, compute_dtype)(aligned)
+    # The header gate (magic + CRC, 48 bits) also vouches for the declared
+    # length, so the dedupe cursor can trust it.
+    detected = candidate & frame.magic_ok & frame.header_crc_ok & frame.length_ok
+    frame = frame._replace(ok=frame.ok & detected)
+    t_actual = dynamic_frame_samples(config, frame.payload_len)
+
+    new_carry = StreamCarry(
+        buffer=buffer,
+        samples_seen=samples_seen,
+        last_frame_end=jnp.where(
+            detected, start_abs + t_actual, carry.last_frame_end
+        ),
+        frames_detected=carry.frames_detected + detected.astype(jnp.int32),
+        frames_ok=carry.frames_ok + frame.ok.astype(jnp.int32),
+        decode_errors=carry.decode_errors
+        + (detected & ~frame.ok).astype(jnp.int32),
+    )
+    out = DynamicStreamStepOutput(
+        frame=frame, detected=detected, quality=best_q, frame_start=start_abs
+    )
+    return new_carry, out
+
+
+def receive_stream_dynamic(
+    config,
+    capture: jnp.ndarray,
+    chunk_size: int,
+    max_payload_len: int,
+    detect_threshold: float = DEFAULT_DETECT_THRESHOLD,
+    carry: StreamCarry | None = None,
+    compute_dtype=jnp.float32,
+) -> StreamResult:
+    """receive_stream with per-frame payload lengths from the headers.
+
+    The capture must extend a max-length frame past the last frame start
+    (pad with zeros) — detection fires once a full max window is buffered.
+    """
+    n = capture.shape[-1]
+    if n % chunk_size:
+        raise ValueError(
+            f"capture length {n} not a multiple of chunk_size {chunk_size}"
+        )
+    batch_shape = capture.shape[:-1]
+    if carry is None:
+        carry = init_carry(config, chunk_size, max_payload_len, batch_shape)
+
+    num_chunks = n // chunk_size
+    chunks = jnp.moveaxis(
+        capture.reshape(batch_shape + (num_chunks, chunk_size)), -2, 0
+    )
+
+    def step(c, chunk):
+        return stream_step_dynamic(
+            config, c, chunk, max_payload_len, detect_threshold, compute_dtype
+        )
+
+    final_carry, outs = jax.lax.scan(step, carry, chunks)
+    return StreamResult(carry=final_carry, steps=outs)
 
 
 def receive_stream(

@@ -1,0 +1,203 @@
+"""Variable-length frames: payload length read from the frame header.
+
+The reference's wire protocol is length-prefixed (varint-delimited,
+network.cpp:409-430) — the receiver learns each frame's size from the
+frame itself. These tests cover the TPU formulation: max-length static
+windows, masked CRC over the declared length, dynamic trailer gather.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from anet.channel import awgn
+from anet.dsp import ofdm
+from anet.dsp.family import frame_samples
+from anet.dsp.frame import (
+    data_section_air_bits_array,
+    frame_result_from_bits_dynamic,
+)
+from anet.dsp.ofdm import OfdmConfig
+from anet.dsp.params import ModemConfig
+from anet.dsp.pipeline import receive_frame_dynamic, transmit
+from anet.stream import receive_stream_dynamic
+
+CFG = ModemConfig()
+MAX = 256
+
+
+def _padded_capture(cfg, payload, lead=400):
+    wave = (
+        ofdm.transmit(cfg, payload)
+        if isinstance(cfg, OfdmConfig)
+        else transmit(cfg, payload)
+    )
+    t_max = frame_samples(cfg, MAX)
+    return jnp.concatenate([jnp.zeros(lead), wave, jnp.zeros(t_max)])
+
+
+@pytest.mark.parametrize("n", [0, 1, 100, MAX])
+def test_mfsk_dynamic_lengths(n):
+    payload = jnp.asarray(np.random.default_rng(n).integers(0, 256, n, np.uint8))
+    r = receive_frame_dynamic(CFG, _padded_capture(CFG, payload), MAX)
+    assert bool(r.frame.ok)
+    assert int(r.frame.payload_len) == n
+    assert np.array_equal(np.asarray(r.frame.payload[:n]), np.asarray(payload))
+    # padding past the declared length is zeroed
+    assert int(np.asarray(r.frame.payload[n:]).sum()) == 0
+
+
+def test_ofdm_dynamic_length():
+    cfg = OfdmConfig()
+    payload = jnp.asarray(np.random.default_rng(1).integers(0, 256, 77, np.uint8))
+    r = receive_frame_dynamic(cfg, _padded_capture(cfg, payload), MAX)
+    assert bool(r.frame.ok)
+    assert int(r.frame.payload_len) == 77
+    assert np.array_equal(np.asarray(r.frame.payload[:77]), np.asarray(payload))
+
+
+def test_dynamic_batched_different_lengths():
+    """One batched receive where each stream declares a different length."""
+    rng = np.random.default_rng(2)
+    pays = [rng.integers(0, 256, n, np.uint8) for n in (30, 120)]
+    caps = [np.asarray(_padded_capture(CFG, jnp.asarray(p))) for p in pays]
+    m = max(c.shape[-1] for c in caps)
+    batch = jnp.asarray(
+        np.stack([np.pad(c, (0, m - len(c))) for c in caps])
+    )
+    r = receive_frame_dynamic(CFG, batch, MAX)
+    assert np.asarray(r.frame.ok).all()
+    assert np.asarray(r.frame.payload_len).tolist() == [30, 120]
+    for i, p in enumerate(pays):
+        got = np.asarray(r.frame.payload)[i, : len(p)]
+        assert np.array_equal(got, p)
+
+
+def test_dynamic_survives_noise():
+    payload = jnp.asarray(np.random.default_rng(3).integers(0, 256, 64, np.uint8))
+    cap = awgn(jax.random.PRNGKey(0), _padded_capture(CFG, payload), 10.0)
+    r = receive_frame_dynamic(CFG, cap, MAX)
+    assert bool(r.frame.ok)
+    assert int(r.frame.payload_len) == 64
+
+
+def test_dynamic_rejects_noise_only():
+    cap = jnp.asarray(
+        np.random.default_rng(4).normal(0, 1, frame_samples(CFG, MAX) + 1000)
+    ).astype(jnp.float32)
+    r = receive_frame_dynamic(CFG, cap, MAX)
+    assert not bool(r.frame.ok)
+
+
+def test_corrupted_length_field_fails_header_crc():
+    payload = jnp.asarray(np.arange(50, dtype=np.uint8))
+    bits = data_section_air_bits_array(CFG, payload)
+    # pad the section bits out to the max-length window the parser expects
+    need = 8 * (12 + MAX)
+    bits = jnp.concatenate([bits, jnp.zeros(need - bits.shape[-1], jnp.uint8)])
+    good = frame_result_from_bits_dynamic(
+        CFG, bits, MAX, confidence=jnp.float32(1), snr_db=jnp.float32(30)
+    )
+    assert bool(good.ok) and int(good.payload_len) == 50
+    # flip the LSB of the length field (bit 47 of the header)
+    bad_bits = bits.at[47].set(1 - bits[47])
+    bad = frame_result_from_bits_dynamic(
+        CFG, bad_bits, MAX, confidence=jnp.float32(1), snr_db=jnp.float32(30)
+    )
+    assert not bool(bad.header_crc_ok)
+    assert not bool(bad.ok)
+
+
+def test_dynamic_requires_uncoded():
+    cfg = ModemConfig(fec="conv")
+    with pytest.raises(ValueError, match="fec"):
+        receive_frame_dynamic(
+            cfg, jnp.zeros(frame_samples(cfg, MAX) + 100), MAX
+        )
+
+
+def test_stream_dynamic_mixed_lengths():
+    """Frames of different sizes in one capture, decoded by one scan."""
+    rng = np.random.default_rng(5)
+    pays = [rng.integers(0, 256, n, np.uint8) for n in (40, 200, 12)]
+    t_max = frame_samples(CFG, MAX)
+    parts = []
+    for gap, p in zip((700, 900, 1100), pays):
+        parts += [np.zeros(gap, np.float32), np.asarray(transmit(CFG, jnp.asarray(p)))]
+    parts.append(np.zeros(t_max + 500, np.float32))
+    cap = np.concatenate(parts)
+    chunk = 1024
+    cap = np.concatenate([cap, np.zeros((-len(cap)) % chunk, np.float32)])
+    res = receive_stream_dynamic(CFG, jnp.asarray(cap), chunk, MAX)
+    assert int(res.carry.frames_ok) == 3
+    assert int(res.carry.decode_errors) == 0
+    det = np.asarray(res.steps.detected)
+    idx = np.nonzero(det)[0]
+    lens = np.asarray(res.steps.frame.payload_len)[idx]
+    assert lens.tolist() == [40, 200, 12]
+    payloads = np.asarray(res.steps.frame.payload)
+    for j, (i, p) in enumerate(zip(idx, pays)):
+        assert np.array_equal(payloads[i, : len(p)], p)
+
+
+def test_stream_dynamic_resume_checkpoint():
+    """Splitting the capture across two calls with a carried checkpoint
+    decodes the same frames as one call."""
+    rng = np.random.default_rng(6)
+    pays = [rng.integers(0, 256, n, np.uint8) for n in (60, 150)]
+    t_max = frame_samples(CFG, MAX)
+    parts = []
+    for gap, p in zip((800, 1300), pays):
+        parts += [np.zeros(gap, np.float32), np.asarray(transmit(CFG, jnp.asarray(p)))]
+    parts.append(np.zeros(t_max + 500, np.float32))
+    cap = np.concatenate(parts)
+    chunk = 1024
+    cap = np.concatenate([cap, np.zeros((-len(cap)) % chunk, np.float32)])
+    half = (len(cap) // chunk // 2) * chunk
+    r1 = receive_stream_dynamic(CFG, jnp.asarray(cap[:half]), chunk, MAX)
+    r2 = receive_stream_dynamic(
+        CFG, jnp.asarray(cap[half:]), chunk, MAX, carry=r1.carry
+    )
+    # counters carry across the checkpoint: the final tally covers both halves
+    assert int(r2.carry.frames_ok) == 2
+    assert int(r2.carry.decode_errors) == 0
+
+
+def test_cli_dynamic_roundtrip(tmp_path, capsys):
+    import os
+
+    from anet.cli import main
+
+    payload = tmp_path / "p.bin"
+    payload.write_bytes(os.urandom(90))
+    cap = tmp_path / "c.f32"
+    back = tmp_path / "b.bin"
+    assert main(["modem-tx", str(payload), "--out", str(cap)]) == 0
+    # no --len: the receiver reads the length from the header
+    assert main(["modem-rx", str(cap), "--out", str(back)]) == 0
+    assert back.read_bytes() == payload.read_bytes()
+    out = capsys.readouterr().out
+    assert "len=90" in out
+
+
+def test_cli_stream_dynamic(tmp_path, capsys):
+    import os
+
+    from anet.cli import main
+
+    rng = np.random.default_rng(7)
+    blobs = [os.urandom(35), os.urandom(180)]
+    waves = []
+    for b in blobs:
+        waves.append(np.asarray(transmit(CFG, jnp.asarray(np.frombuffer(b, np.uint8)))))
+    cap = np.concatenate(
+        [np.zeros(600, np.float32), waves[0], np.zeros(900, np.float32), waves[1]]
+    )
+    f = tmp_path / "stream.f32"
+    cap.astype(np.float32).tofile(f)
+    back = tmp_path / "all.bin"
+    assert main(["modem-stream-rx", str(f), "--out", str(back)]) == 0
+    assert back.read_bytes() == b"".join(blobs)
+    out = capsys.readouterr().out
+    assert "len=35" in out and "len=180" in out
