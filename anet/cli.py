@@ -405,7 +405,7 @@ def _cmd_models(args) -> int:
     for m in list_models():
         c = m.config
         if _is_ofdm(c):
-            mod = "16QAM" if c.bits_per_carrier == 4 else "QPSK"
+            mod = {2: "QPSK", 4: "16QAM", 6: "64QAM"}[c.bits_per_carrier]
             kind = f"OFDM {c.n_carriers}x{mod}"
         else:
             kind = f"{c.num_tones:3d}-FSK @{c.symbol_rate_hz:5d} baud"

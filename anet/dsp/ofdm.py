@@ -54,7 +54,7 @@ class OfdmConfig:
     first_carrier: int = 16
     n_carriers: int = 96
     # Bits per carrier: 2 = QPSK (default), 4 = 16-QAM (double rate,
-    # ~7 dB more SNR required).
+    # ~7 dB more SNR required), 6 = 64-QAM (triple rate, ~13 dB more).
     bits_per_carrier: int = 2
     preamble_repeats: int = 2  # identical symbols in the preamble
     amplitude: float = 0.5
@@ -79,8 +79,10 @@ class OfdmConfig:
             raise ValueError("first_carrier must be >= 1 (DC is unusable)")
         if self.first_carrier + self.n_carriers > self.n_fft // 2:
             raise ValueError("carriers exceed the real-signal Nyquist bin")
-        if self.bits_per_carrier not in (2, 4):
-            raise ValueError("bits_per_carrier must be 2 (QPSK) or 4 (16-QAM)")
+        if self.bits_per_carrier not in (2, 4, 6):
+            raise ValueError(
+                "bits_per_carrier must be 2 (QPSK), 4 (16-QAM), or 6 (64-QAM)"
+            )
 
     # --- geometry ------------------------------------------------------------
 
@@ -207,7 +209,34 @@ def bits_to_qam16(bits: jnp.ndarray) -> jnp.ndarray:
     return (i + 1j * q).astype(jnp.complex64)
 
 
+# Gray-mapped 8-PAM amplitudes per axis for 64-QAM: bit triple
+# (sign, mid, inner) -> reflected-Gray amplitude; unit average symbol power.
+#   (0,00) -> -7  (0,01) -> -5  (0,11) -> -3  (0,10) -> -1
+#   (1,10) -> +1  (1,11) -> +3  (1,01) -> +5  (1,00) -> +7
+_QAM64_SCALE = 1.0 / np.sqrt(42.0)
+
+
+def _pam8(b_sign: jnp.ndarray, b_mid: jnp.ndarray, b_inner: jnp.ndarray) -> jnp.ndarray:
+    sign = 2.0 * b_sign.astype(jnp.float32) - 1.0  # 0 -> -1, 1 -> +1
+    m = b_mid.astype(jnp.int32)
+    # Gray-decode (mid, inner): 00 -> 0, 01 -> 1, 11 -> 2, 10 -> 3
+    v = 2 * m + (m ^ b_inner.astype(jnp.int32))
+    mag = 7.0 - 2.0 * v.astype(jnp.float32)  # 7, 5, 3, 1
+    return sign * mag * _QAM64_SCALE
+
+
+def bits_to_qam64(bits: jnp.ndarray) -> jnp.ndarray:
+    """0/1 [..., 6K] -> complex [..., K]; Gray per axis,
+    (b0, b1, b2) -> I, (b3, b4, b5) -> Q."""
+    six = bits.reshape(*bits.shape[:-1], bits.shape[-1] // 6, 6)
+    i = _pam8(six[..., 0], six[..., 1], six[..., 2])
+    q = _pam8(six[..., 3], six[..., 4], six[..., 5])
+    return (i + 1j * q).astype(jnp.complex64)
+
+
 def bits_to_carriers(config: OfdmConfig, bits: jnp.ndarray) -> jnp.ndarray:
+    if config.bits_per_carrier == 6:
+        return bits_to_qam64(bits)
     if config.bits_per_carrier == 4:
         return bits_to_qam16(bits)
     return bits_to_qpsk(bits)
@@ -222,6 +251,19 @@ def _pam4_llrs(a: jnp.ndarray, weight: jnp.ndarray):
     llr_sign = a * weight  # bit 1 <=> positive side
     llr_inner = (2.0 * _QAM16_SCALE - jnp.abs(a)) * weight  # bit 1 <=> inner
     return llr_sign, llr_inner
+
+
+def _pam8_llrs(a: jnp.ndarray, weight: jnp.ndarray):
+    """Max-log LLRs for one Gray 8-PAM axis (positive = bit 1).
+
+    Decision boundaries in unit-constellation scale: sign at 0, mid bit at
+    |a| = 4 (bit 1 inside), inner bit at |a| = 2 and 6 (bit 1 between).
+    """
+    mag = jnp.abs(a)
+    llr_sign = a * weight
+    llr_mid = (4.0 * _QAM64_SCALE - mag) * weight
+    llr_inner = (2.0 * _QAM64_SCALE - jnp.abs(mag - 4.0 * _QAM64_SCALE)) * weight
+    return llr_sign, llr_mid, llr_inner
 
 
 def transmit(config: OfdmConfig, payload: jnp.ndarray) -> jnp.ndarray:
@@ -283,7 +325,13 @@ def _equalized_bits(config: OfdmConfig, samples: jnp.ndarray, s_data: int):
     z = carriers[..., 1:, :] * jnp.conj(h[..., None, :])  # matched equalization
     h_pow = jnp.maximum(jnp.abs(h[..., None, :]) ** 2, 1e-12)
     z_eq = z / h_pow  # unit-constellation symbol estimate
-    if config.bits_per_carrier == 4:
+    if config.bits_per_carrier == 6:
+        li = _pam8_llrs(jnp.real(z_eq), h_pow)
+        lq = _pam8_llrs(jnp.imag(z_eq), h_pow)
+        llrs = jnp.stack([*li, *lq], axis=-1).reshape(
+            *z.shape[:-2], s_data * config.bits_per_symbol
+        )
+    elif config.bits_per_carrier == 4:
         li_s, li_i = _pam4_llrs(jnp.real(z_eq), h_pow)
         lq_s, lq_i = _pam4_llrs(jnp.imag(z_eq), h_pow)
         llrs = jnp.stack([li_s, li_i, lq_s, lq_i], axis=-1).reshape(

@@ -15,7 +15,8 @@ The registry maps a model name to a (ModemConfig, notes) pair. Families:
                       equalization; the wideband family.
 - ``ofdm-coded``    — OFDM with rate-1/2 soft-Viterbi coding + interleaver,
                       14.4 kbps net; the reverberant-room workhorse.
-- ``ofdm-turbo``    — coded 16-QAM OFDM, 57.6 kbps air / 28.8 kbps net;
+- ``ofdm-turbo``    — coded 16-QAM OFDM, 57.6 kbps air / 28.8 kbps net.
+- ``ofdm-max``      — coded 64-QAM OFDM, 86.4 kbps air / 43.2 kbps net;
                       the highest-rate preset.
 
 MFSK presets keep the orthogonal tone plan (spacing = symbol rate), so
@@ -73,6 +74,7 @@ OPERATING_SNR_DB = {
     "ofdm-fast": 14.0,
     "ofdm-coded": 4.0,
     "ofdm-turbo": 10.0,
+    "ofdm-max": 18.0,
 }
 
 
@@ -225,10 +227,21 @@ register(
 
 register(
     ModemModel(
+        "ofdm-max",
+        OfdmConfig(bits_per_carrier=6, fec="conv", fec_interleave=32),
+        "64-QAM coded OFDM: 86.4 kbps on the air, 43.2 kbps net with soft "
+        "Viterbi + interleaving; the highest-rate preset (~18 dB), headroom "
+        "for two simultaneous high-quality Opus streams.",
+    )
+)
+
+
+register(
+    ModemModel(
         "ofdm-turbo",
         OfdmConfig(bits_per_carrier=4, fec="conv", fec_interleave=32),
         "16-QAM coded OFDM: 57.6 kbps on the air, 28.8 kbps net with soft "
-        "Viterbi + interleaving; the highest-rate preset (needs ~14 dB), "
-        "enough for a real-time 24 kbps Opus stream over sound.",
+        "Viterbi + interleaving (~10 dB); enough for a real-time 24 kbps "
+        "Opus stream over sound.",
     )
 )

@@ -225,3 +225,57 @@ def test_qam16_soft_fec_composition():
     capu = jnp.concatenate([jnp.zeros(300), wu, jnp.zeros(300)])
     ru = ofdm.receive_frame(uncoded, awgn(jax.random.PRNGKey(2), capu, 14.0), 128)
     assert not bool(ru.frame.ok)
+
+
+def test_qam64_constellation_gray_mapping():
+    """All 64 points: exact Gray-PAM8 amplitudes, unit average power, and
+    adjacent amplitude levels differ in exactly one bit."""
+    from anet.dsp.ofdm import _QAM64_SCALE, bits_to_qam64
+
+    codes = np.array(
+        [[(v >> (5 - k)) & 1 for k in range(6)] for v in range(64)], np.uint8
+    )
+    pts = np.asarray(bits_to_qam64(jnp.asarray(codes.reshape(-1))))
+    assert pts.shape == (64,)
+    levels = np.array([-7, -5, -3, -1, 1, 3, 5, 7]) * _QAM64_SCALE
+    for axis in (pts.real, pts.imag):
+        assert np.allclose(sorted(set(np.round(axis, 6))), np.round(levels, 6))
+    np.testing.assert_allclose(np.mean(np.abs(pts) ** 2), 1.0, rtol=1e-6)
+    # Gray property per axis: sort codes by I amplitude, neighbors differ 1 bit
+    order = np.argsort(pts.real[::8])  # Q fixed, I varies with bits 0-2
+    i_bits = codes[::8][order][:, :3]
+    for a, b in zip(i_bits, i_bits[1:]):
+        assert int(np.sum(a ^ b)) == 1
+
+
+def test_qam64_llr_hard_decisions_match_constellation():
+    """Clean equalized points decide back to the bits that produced them."""
+    from anet.dsp.ofdm import _pam8_llrs, bits_to_qam64
+
+    codes = np.array(
+        [[(v >> (5 - k)) & 1 for k in range(6)] for v in range(64)], np.uint8
+    )
+    pts = np.asarray(bits_to_qam64(jnp.asarray(codes.reshape(-1))))
+    w = jnp.ones(64)
+    li = _pam8_llrs(jnp.asarray(pts.real), w)
+    lq = _pam8_llrs(jnp.asarray(pts.imag), w)
+    hard = np.stack([np.asarray(x) > 0 for x in (*li, *lq)], axis=-1).astype(np.uint8)
+    assert np.array_equal(hard, codes)
+
+
+def test_qam64_coded_loopback_at_operating_snr():
+    """ofdm-max decodes cleanly at its advertised 18 dB threshold + margin."""
+    from anet.channel import awgn
+    from anet.models import get_model
+
+    cfg = get_model("ofdm-max").config
+    assert cfg.bit_rate_bps == pytest.approx(86_400)
+    payload = jnp.asarray(
+        np.random.default_rng(8).integers(0, 256, 150, np.uint8)
+    )
+    cap = jnp.concatenate([jnp.zeros(250), ofdm.transmit(cfg, payload), jnp.zeros(250)])
+    for seed in range(3):
+        noisy = awgn(jax.random.PRNGKey(seed), cap, 20.0)
+        r = ofdm.receive_frame(cfg, noisy, 150)
+        assert bool(r.frame.ok), f"seed {seed} failed at 20 dB"
+        assert np.array_equal(np.asarray(r.frame.payload), np.asarray(payload))
