@@ -186,6 +186,19 @@ def _cmd_modem_tx(args) -> int:
     return 0
 
 
+def _link_line(cfg, snr_db: float) -> str:
+    """One-line link-adaptation hint from a measured demod SNR."""
+    from anet.dsp.family import waveform_snr_db
+    from anet.models import net_bit_rate_bps, suggest_model
+
+    w = float(waveform_snr_db(cfg, snr_db))
+    m = suggest_model(w)
+    return (
+        f"link: waveform snr ~ {w:.1f} dB -> suggest {m.name} "
+        f"({net_bit_rate_bps(m):.0f} bps net)"
+    )
+
+
 def _cmd_modem_rx(args) -> int:
     import numpy as np
 
@@ -223,6 +236,8 @@ def _cmd_modem_rx(args) -> int:
             f"| ok={bool(f.ok)} len={plen} magic={bool(f.magic_ok)} "
             f"crc={bool(f.payload_crc_ok)} snr={float(f.snr_db):.1f} dB"
         )
+        if bool(f.ok):
+            print(_link_line(cfg, float(f.snr_db)))
         if args.out:
             with open(args.out, "wb") as fh:
                 fh.write(bytes(np.asarray(f.payload[:plen])))
@@ -256,6 +271,8 @@ def _cmd_modem_rx(args) -> int:
             f"| ok={bool(f.ok)} magic={bool(f.magic_ok)} crc={bool(f.payload_crc_ok)} "
             f"snr={float(f.snr_db):.1f} dB" + extra
         )
+    if bool(f.ok):
+        print(_link_line(cfg, float(f.snr_db)))
     if args.out:
         with open(args.out, "wb") as fh:
             fh.write(bytes(np.asarray(f.payload)))
@@ -315,6 +332,9 @@ def _cmd_modem_stream(args) -> int:
             f"{int(res.carry.frames_ok)} ok, "
             f"{int(res.carry.decode_errors)} decode errors"
         )
+        if ok.any():
+            snr = float(np.asarray(res.steps.frame.snr_db)[ok].mean())
+            print(_link_line(cfg, snr))
         return 0 if int(res.carry.frames_ok) > 0 else 2
 
     capture = np.concatenate(
@@ -347,6 +367,9 @@ def _cmd_modem_stream(args) -> int:
         f"total: {int(res.carry.frames_detected)} detected, "
         f"{int(res.carry.frames_ok)} ok, {int(res.carry.decode_errors)} decode errors"
     )
+    if ok.any():
+        snr = float(np.asarray(res.steps.frame.snr_db)[ok].mean())
+        print(_link_line(cfg, snr))
     return 0 if int(res.carry.frames_ok) > 0 else 2
 
 

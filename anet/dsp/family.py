@@ -67,6 +67,23 @@ def frame_samples(config, payload_len: int) -> int:
     return frame_num_samples(config, payload_len)
 
 
+def waveform_snr_db(config, snr_db):
+    """Normalize a demod SNR estimate to waveform-scale AWGN dB.
+
+    FrameResult.snr_db means different things per family: MFSK reports
+    in-bin SNR (the filterbank's 10*log10(sps/2) coherent processing gain
+    is included — measured exact across 5-15 dB), while OFDM's EVM-based
+    estimate is already waveform-scale (within 0.3 dB). This converts both
+    to the scale of anet.channel.awgn / models.OPERATING_SNR_DB, so either
+    family's estimate feeds models.suggest_model directly.
+    """
+    if is_ofdm(config):
+        return snr_db
+    import numpy as np
+
+    return snr_db - 10.0 * np.log10(config.samples_per_symbol / 2.0)
+
+
 def preamble_template(config) -> jnp.ndarray:
     if is_ofdm(config):
         from anet.dsp import ofdm

@@ -90,11 +90,10 @@ def suggest_model(snr_db: float, margin_db: float = 2.0) -> ModemModel:
     """Link adaptation: the fastest preset whose measured operating
     threshold fits the reported SNR minus a safety margin.
 
-    Feed it the snr_db estimate from any FrameResult (MFSK estimates are
-    in-bin — subtract the ~10*log10(sps/2) processing gain first if you
-    measured through the filterbank; OFDM estimates are EVM-based waveform
-    SNR and compare directly). Falls back to the most robust preset when
-    nothing fits.
+    Feed it a waveform-scale SNR: pass any FrameResult.snr_db through
+    anet.dsp.family.waveform_snr_db(config, snr_db) first (it normalizes
+    the MFSK filterbank's processing gain; OFDM estimates pass through).
+    Falls back to the most robust preset when nothing fits.
     """
     usable = [
         m for m in list_models()

@@ -141,3 +141,41 @@ def test_cli_models_snr_suggestion(capsys):
     assert main(["models", "--snr", "16", "--margin", "1"]) == 0
     out = capsys.readouterr().out
     assert "ofdm" in out and "bps net" in out
+
+
+def test_waveform_snr_normalization():
+    """waveform_snr_db makes both families' estimates comparable to the
+    AWGN scale OPERATING_SNR_DB uses (MFSK measured exact, OFDM ~0.3 dB)."""
+    import jax
+    import jax.numpy as jnp
+
+    from anet.channel import awgn
+    from anet.dsp import ofdm
+    from anet.dsp.family import waveform_snr_db
+    from anet.dsp.ofdm import OfdmConfig
+    from anet.dsp.pipeline import receive_frame, transmit
+
+    payload = jnp.asarray(np.random.default_rng(0).integers(0, 256, 128, np.uint8))
+    cfg = ModemConfig()
+    wave = transmit(cfg, payload)  # unpadded: exact waveform SNR
+    noisy = jnp.concatenate([awgn(jax.random.PRNGKey(0), wave, 12.0), jnp.zeros(10)])
+    r = receive_frame(cfg, noisy, 128)
+    assert abs(float(waveform_snr_db(cfg, r.frame.snr_db)) - 12.0) < 1.0
+
+    oc = OfdmConfig()
+    ow = ofdm.transmit(oc, payload)
+    noisy_o = jnp.concatenate([awgn(jax.random.PRNGKey(0), ow, 15.0), jnp.zeros(10)])
+    ro = ofdm.receive_frame(oc, noisy_o, 128)
+    assert abs(float(waveform_snr_db(oc, ro.frame.snr_db)) - 15.0) < 1.0
+
+
+def test_cli_modem_rx_prints_link_suggestion(tmp_path, capsys):
+    import os
+
+    payload = tmp_path / "p.bin"
+    payload.write_bytes(os.urandom(64))
+    cap = tmp_path / "c.f32"
+    assert main(["modem-tx", str(payload), "--out", str(cap)]) == 0
+    assert main(["modem-rx", str(cap), "--len", "64"]) == 0
+    out = capsys.readouterr().out
+    assert "link: waveform snr ~" in out and "suggest" in out
