@@ -291,6 +291,34 @@ def _cmd_modem_stream(args) -> int:
     chunk = args.chunk
     import jax.numpy as jnp
 
+    carry = None
+    if args.resume:
+        from anet.stream import load_carry
+
+        ckpt = load_carry(args.resume)
+        carry = ckpt.carry
+        capture = np.concatenate([np.asarray(ckpt.pending), capture])
+        print(f"resumed stream state from {args.resume} "
+              f"({int(carry.samples_seen)} samples seen, "
+              f"{int(carry.frames_ok)} frames ok)")
+
+    pending = np.zeros(0, np.float32)
+    if args.save_state:
+        # hold unconsumed tail samples in the checkpoint instead of padding
+        # with zeros — padding would splice silence into the middle of a
+        # frame that straddles this run and the next
+        rem = len(capture) % chunk
+        if rem:
+            capture, pending = capture[:-rem], capture[-rem:]
+
+    def _maybe_save(final_carry):
+        if args.save_state:
+            from anet.stream import save_carry
+
+            save_carry(args.save_state, final_carry, pending)
+            print(f"stream state -> {args.save_state} "
+                  f"({len(pending)} pending samples)")
+
     if args.len is None:
         from anet.dsp.family import frame_samples
         from anet.stream import receive_stream_dynamic
@@ -302,14 +330,18 @@ def _cmd_modem_stream(args) -> int:
         if args.track:
             print("--track needs an explicit --len", file=sys.stderr)
             return 2
-        # pad a full max-length window past the capture so a trailing
-        # frame still completes, then round up to whole chunks
-        pad = frame_samples(cfg, args.max_len)
-        capture = np.concatenate([capture, np.zeros(pad, np.float32)])
-        capture = np.concatenate(
-            [capture, np.zeros((-len(capture)) % chunk, np.float32)]
+        if not args.save_state:
+            # pad a full max-length window past the capture so a trailing
+            # frame still completes, then round up to whole chunks (when
+            # checkpointing, the next run's samples provide the tail)
+            pad = frame_samples(cfg, args.max_len)
+            capture = np.concatenate([capture, np.zeros(pad, np.float32)])
+            capture = np.concatenate(
+                [capture, np.zeros((-len(capture)) % chunk, np.float32)]
+            )
+        res = receive_stream_dynamic(
+            cfg, jnp.asarray(capture), chunk, args.max_len, carry=carry
         )
-        res = receive_stream_dynamic(cfg, jnp.asarray(capture), chunk, args.max_len)
         det = np.asarray(res.steps.detected)
         ok = np.asarray(res.steps.frame.ok)
         starts = np.asarray(res.steps.frame_start)
@@ -335,6 +367,7 @@ def _cmd_modem_stream(args) -> int:
         if ok.any():
             snr = float(np.asarray(res.steps.frame.snr_db)[ok].mean())
             print(_link_line(cfg, snr))
+        _maybe_save(res.carry)
         return 0 if int(res.carry.frames_ok) > 0 else 2
 
     capture = np.concatenate(
@@ -346,7 +379,7 @@ def _cmd_modem_stream(args) -> int:
               "prefix for timing tolerance", file=sys.stderr)
         track = False
     res = receive_stream(
-        cfg, jnp.asarray(capture), chunk, args.len, track=track
+        cfg, jnp.asarray(capture), chunk, args.len, carry=carry, track=track
     )
     det = np.asarray(res.steps.detected)
     ok = np.asarray(res.steps.frame.ok)
@@ -370,6 +403,7 @@ def _cmd_modem_stream(args) -> int:
     if ok.any():
         snr = float(np.asarray(res.steps.frame.snr_db)[ok].mean())
         print(_link_line(cfg, snr))
+    _maybe_save(res.carry)
     return 0 if int(res.carry.frames_ok) > 0 else 2
 
 
@@ -504,6 +538,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--out", help="concatenate recovered payloads here")
     p.add_argument("--track", action="store_true",
                    help="symbol-clock tracking per frame (MFSK; slower)")
+    p.add_argument("--resume", metavar="STATE.npz",
+                   help="continue from a saved stream checkpoint")
+    p.add_argument("--save-state", metavar="STATE.npz",
+                   help="checkpoint the final stream state here")
     p.set_defaults(fn=_cmd_modem_stream)
 
     p = sub.add_parser("sweep", help="BER/FER sweep (one JSON line per point)")

@@ -47,6 +47,8 @@ __all__ = [
     "StreamResult",
     "family_geometry",
     "init_carry",
+    "load_carry",
+    "save_carry",
     "stream_step",
     "stream_step_dynamic",
     "receive_stream",
@@ -203,6 +205,44 @@ def stream_step(
     return new_carry, out
 
 
+
+
+class StreamCheckpoint(NamedTuple):
+    """A saved receiver state: the scan carry plus any capture tail that
+    was not yet a whole chunk (so no padding zeros are ever spliced into
+    the middle of a resumed stream)."""
+
+    carry: StreamCarry
+    pending: "jnp.ndarray"  # float32 [..., r], r < chunk_size unconsumed samples
+
+
+def save_carry(path, carry: StreamCarry, pending=None) -> None:
+    """Checkpoint stream state to an .npz file (SURVEY.md §5
+    checkpoint/resume). The carry is the receiver's entire memory, so a
+    restored run continues bit-exactly where the saved one stopped.
+    ``pending`` holds trailing samples short of a whole chunk; prepend them
+    to the next capture on resume."""
+    import numpy as np
+
+    fields = {k: np.asarray(v) for k, v in carry._asdict().items()}
+    fields["pending"] = (
+        np.zeros(0, np.float32) if pending is None else np.asarray(pending, np.float32)
+    )
+    np.savez_compressed(path, **fields)
+
+
+def load_carry(path) -> StreamCheckpoint:
+    """Restore a checkpoint written by save_carry. Geometry (buffer length =
+    frame + chunk + margin) is validated by the next stream step."""
+    import numpy as np
+
+    with np.load(path) as z:
+        missing = [f for f in StreamCarry._fields if f not in z]
+        if missing:
+            raise ValueError(f"{path} is not a stream checkpoint (missing {missing})")
+        carry = StreamCarry(**{f: jnp.asarray(z[f]) for f in StreamCarry._fields})
+        pending = jnp.asarray(z["pending"]) if "pending" in z else jnp.zeros(0)
+        return StreamCheckpoint(carry=carry, pending=pending)
 
 
 def _find_candidate(

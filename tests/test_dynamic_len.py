@@ -201,3 +201,42 @@ def test_cli_stream_dynamic(tmp_path, capsys):
     assert back.read_bytes() == b"".join(blobs)
     out = capsys.readouterr().out
     assert "len=35" in out and "len=180" in out
+
+
+def test_cli_stream_checkpoint_resume(tmp_path, capsys):
+    """Split a capture across two CLI invocations with --save-state /
+    --resume; a frame straddling the split decodes in the second run."""
+    import os
+
+    from anet.cli import main
+
+    blob_a, blob_b = os.urandom(120), os.urandom(120)
+    wa = np.asarray(transmit(CFG, jnp.asarray(np.frombuffer(blob_a, np.uint8))))
+    wb = np.asarray(transmit(CFG, jnp.asarray(np.frombuffer(blob_b, np.uint8))))
+    cap = np.concatenate(
+        [np.zeros(600, np.float32), wa, np.zeros(900, np.float32), wb]
+    ).astype(np.float32)
+    # split mid-second-frame, NOT on a chunk boundary (exercises the
+    # pending-tail mechanism: no zeros may be spliced into frame b)
+    split = 600 + len(wa) + 900 + len(wb) // 2 + 37
+    f1, f2 = tmp_path / "h1.f32", tmp_path / "h2.f32"
+    cap[:split].tofile(f1)
+    cap[split:].tofile(f2)
+    state = tmp_path / "state.npz"
+    o1, o2 = tmp_path / "o1.bin", tmp_path / "o2.bin"
+    rc1 = main([
+        "modem-stream-rx", str(f1), "--len", "120", "--out", str(o1),
+        "--save-state", str(state),
+    ])
+    assert state.exists()
+    rc2 = main([
+        "modem-stream-rx", str(f2), "--len", "120", "--out", str(o2),
+        "--resume", str(state),
+    ])
+    assert rc2 == 0
+    out = capsys.readouterr().out
+    assert "resumed stream state" in out
+    # frame a completes within the first half; frame b straddles the split
+    # and must decode in the resumed run
+    assert rc1 == 0 and o1.read_bytes() == blob_a
+    assert o2.read_bytes() == blob_b
