@@ -418,6 +418,10 @@ def _cmd_sweep(args) -> int:
     mesh = make_mesh()
     snrs = [args.snr_min + i * args.snr_step for i in range(args.snr_points)]
     frames = args.frames - (args.frames % mesh.devices.size) or mesh.devices.size
+    # --echo E adds two room reflections (E at 3 samples, 0.4E at 5) so the
+    # sweep measures frequency-selective thresholds, not just flat AWGN —
+    # dense constellations lose far more margin to echo than to noise.
+    taps = (1.0, 0.0, 0.0, args.echo, 0.0, 0.4 * args.echo) if args.echo else None
     pt = ber_sweep(
         cfg,
         mesh,
@@ -425,7 +429,7 @@ def _cmd_sweep(args) -> int:
         snr_grid_db=snrs,
         frames_per_point=frames,
         payload_len=args.payload,
-        channel=ChannelConfig(),
+        channel=ChannelConfig(multipath_taps=taps),
     )
     import numpy as np
 
@@ -552,6 +556,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--frames", type=int, default=64)
     p.add_argument("--payload", type=int, default=64)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--echo", type=float, default=0.0,
+                   help="room echo amplitude (adds two reflections; 0 = off)")
     p.set_defaults(fn=_cmd_sweep)
 
     p = sub.add_parser("models", help="list modem model presets")

@@ -179,3 +179,14 @@ def test_cli_modem_rx_prints_link_suggestion(tmp_path, capsys):
     assert main(["modem-rx", str(cap), "--len", "64"]) == 0
     out = capsys.readouterr().out
     assert "link: waveform snr ~" in out and "suggest" in out
+
+
+def test_cli_sweep_echo_flag(capsys):
+    """--echo adds multipath; coded OFDM still sweeps clean at high SNR."""
+    rc = main([
+        "sweep", "--model", "ofdm-coded", "--snr-points", "1", "--snr-min",
+        "14", "--frames", "8", "--payload", "32", "--echo", "0.25",
+    ])
+    assert rc == 0
+    point = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert point["fer"] == 0.0
