@@ -240,3 +240,47 @@ def test_cli_stream_checkpoint_resume(tmp_path, capsys):
     # and must decode in the resumed run
     assert rc1 == 0 and o1.read_bytes() == blob_a
     assert o2.read_bytes() == blob_b
+
+
+def test_stream_dynamic_ofdm():
+    """The dynamic streaming receiver is family-generic: OFDM frames of
+    different sizes decode from one scan with lengths from their headers."""
+    cfg = OfdmConfig()
+    rng = np.random.default_rng(9)
+    pays = [rng.integers(0, 256, n, np.uint8) for n in (25, 130)]
+    t_max = frame_samples(cfg, MAX)
+    parts = []
+    for gap, p in zip((500, 800), pays):
+        parts += [
+            np.zeros(gap, np.float32),
+            np.asarray(ofdm.transmit(cfg, jnp.asarray(p))),
+        ]
+    parts.append(np.zeros(t_max + 300, np.float32))
+    cap = np.concatenate(parts)
+    chunk = 640  # = 2 OFDM symbols
+    cap = np.concatenate([cap, np.zeros((-len(cap)) % chunk, np.float32)])
+    res = receive_stream_dynamic(cfg, jnp.asarray(cap), chunk, MAX)
+    assert int(res.carry.frames_ok) == 2
+    idx = np.nonzero(np.asarray(res.steps.detected))[0]
+    assert np.asarray(res.steps.frame.payload_len)[idx].tolist() == [25, 130]
+    payloads = np.asarray(res.steps.frame.payload)
+    for i, p in zip(idx, pays):
+        assert np.array_equal(payloads[i, : len(p)], p)
+
+
+def test_stream_dynamic_survives_noise():
+    rng = np.random.default_rng(10)
+    pays = [rng.integers(0, 256, n, np.uint8) for n in (50, 180)]
+    t_max = frame_samples(CFG, MAX)
+    parts = []
+    for gap, p in zip((800, 1200), pays):
+        parts += [np.zeros(gap, np.float32), np.asarray(transmit(CFG, jnp.asarray(p)))]
+    parts.append(np.zeros(t_max + 400, np.float32))
+    cap = np.concatenate(parts)
+    chunk = 1024
+    cap = np.concatenate([cap, np.zeros((-len(cap)) % chunk, np.float32)])
+    noisy = awgn(jax.random.PRNGKey(3), jnp.asarray(cap), 10.0)
+    res = receive_stream_dynamic(CFG, noisy, chunk, MAX)
+    assert int(res.carry.frames_ok) == 2
+    idx = np.nonzero(np.asarray(res.steps.detected))[0]
+    assert np.asarray(res.steps.frame.payload_len)[idx].tolist() == [50, 180]
