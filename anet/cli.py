@@ -347,12 +347,12 @@ def _cmd_modem_stream(args) -> int:
         starts = np.asarray(res.steps.frame_start)
         lens = np.asarray(res.steps.frame.payload_len)
         payloads = np.asarray(res.steps.frame.payload)
+        snrs = np.asarray(res.steps.frame.snr_db)
         out = open(args.out, "wb") if args.out else None
         for i in np.nonzero(det)[0]:
             print(
                 f"frame @ sample {int(starts[i])}: ok={bool(ok[i])} "
-                f"len={int(lens[i])} "
-                f"snr={float(np.asarray(res.steps.frame.snr_db)[i]):.1f} dB"
+                f"len={int(lens[i])} snr={float(snrs[i]):.1f} dB"
             )
             if out and ok[i]:
                 out.write(bytes(payloads[i][: int(lens[i])]))
@@ -365,8 +365,7 @@ def _cmd_modem_stream(args) -> int:
             f"{int(res.carry.decode_errors)} decode errors"
         )
         if ok.any():
-            snr = float(np.asarray(res.steps.frame.snr_db)[ok].mean())
-            print(_link_line(cfg, snr))
+            print(_link_line(cfg, float(snrs[ok].mean())))
         _maybe_save(res.carry)
         return 0 if int(res.carry.frames_ok) > 0 else 2
 

@@ -82,6 +82,25 @@ def _be_bytes_to_u32(data: jnp.ndarray) -> jnp.ndarray:
     return jnp.sum(data.astype(jnp.uint32) << shifts, axis=-1, dtype=jnp.uint32)
 
 
+def _be16(data: jnp.ndarray) -> jnp.ndarray:
+    """uint8[..., 2] -> uint32[...] big-endian."""
+    return jnp.sum(
+        data.astype(jnp.uint32) << jnp.array([8, 0], dtype=jnp.uint32),
+        axis=-1,
+        dtype=jnp.uint32,
+    )
+
+
+def _parse_header(header: jnp.ndarray):
+    """The 8 header bytes -> (magic, declared length, header_crc_ok).
+
+    Shared by the fixed- and dynamic-length parsers."""
+    magic = _be_bytes_to_u32(header[..., :4])
+    length = _be16(header[..., 4:6])
+    hcrc_calc = crc32_device(header[..., :6]) & jnp.uint32(0xFFFF)
+    return magic, length, hcrc_calc == _be16(header[..., 6:8])
+
+
 def data_section_air_bits_array(config, payload: jnp.ndarray) -> jnp.ndarray:
     """payload uint8[..., N] -> on-air data-section bits uint8[..., bits].
 
@@ -247,22 +266,8 @@ def frame_result_from_bits_dynamic(
     n_bytes = data_section_bytes(max_payload_len)
     section = bits_to_bytes(bits[..., : n_bytes * 8])
 
-    header = section[..., :HEADER_BYTES]
-    magic = _be_bytes_to_u32(header[..., :4])
-    length = jnp.sum(
-        header[..., 4:6].astype(jnp.uint32) << jnp.array([8, 0], dtype=jnp.uint32),
-        axis=-1,
-        dtype=jnp.uint32,
-    )
-    hcrc_rx = jnp.sum(
-        header[..., 6:8].astype(jnp.uint32) << jnp.array([8, 0], dtype=jnp.uint32),
-        axis=-1,
-        dtype=jnp.uint32,
-    )
-    hcrc_calc = crc32_device(header[..., :6]) & jnp.uint32(0xFFFF)
-
+    magic, length, header_crc_ok = _parse_header(section[..., :HEADER_BYTES])
     magic_ok = magic == jnp.uint32(constants.MAGIC_WORD)
-    header_crc_ok = hcrc_calc == hcrc_rx
     length_ok = length <= jnp.uint32(max_payload_len)
     plen = jnp.clip(length, 0, max_payload_len).astype(jnp.int32)
 
@@ -328,12 +333,9 @@ def dynamic_frame_samples(config, payload_len: jnp.ndarray) -> jnp.ndarray:
     n_bits = 8 * (OVERHEAD_BYTES + payload_len.astype(jnp.int32))
     from anet.dsp.family import is_ofdm
 
+    syms = (n_bits + config.bits_per_symbol - 1) // config.bits_per_symbol
     if is_ofdm(config):
-        bps = config.bits_per_symbol
-        syms = (n_bits + bps - 1) // bps
         return config.preamble_samples + (1 + syms) * config.symbol_samples
-    bps = config.bits_per_symbol
-    syms = (n_bits + bps - 1) // bps
     return (config.preamble_symbols + syms) * config.samples_per_symbol
 
 
@@ -365,29 +367,13 @@ def frame_result_from_bits(
         bits = viterbi_decode_soft(coded, 8 * n_bytes)
     section = bits_to_bytes(bits[..., : n_bytes * 8])
 
-    header = section[..., :HEADER_BYTES]
     payload = section[..., HEADER_BYTES : HEADER_BYTES + payload_len]
     trailer = section[..., HEADER_BYTES + payload_len :]
 
-    magic = _be_bytes_to_u32(header[..., :4])
-    length = jnp.sum(
-        header[..., 4:6].astype(jnp.uint32) << jnp.array([8, 0], dtype=jnp.uint32),
-        axis=-1,
-        dtype=jnp.uint32,
-    )
-    hcrc_rx = jnp.sum(
-        header[..., 6:8].astype(jnp.uint32) << jnp.array([8, 0], dtype=jnp.uint32),
-        axis=-1,
-        dtype=jnp.uint32,
-    )
-    hcrc_calc = crc32_device(header[..., :6]) & jnp.uint32(0xFFFF)
-    crc_rx = _be_bytes_to_u32(trailer)
-    crc_calc = crc32_device(payload)
-
+    magic, length, header_crc_ok = _parse_header(section[..., :HEADER_BYTES])
     magic_ok = magic == jnp.uint32(constants.MAGIC_WORD)
     length_ok = length == jnp.uint32(payload_len)
-    header_crc_ok = hcrc_calc == hcrc_rx
-    payload_crc_ok = crc_calc == crc_rx
+    payload_crc_ok = crc32_device(payload) == _be_bytes_to_u32(trailer)
     ok = magic_ok & length_ok & header_crc_ok & payload_crc_ok
     return FrameResult(
         payload=payload,

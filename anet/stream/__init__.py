@@ -205,8 +205,6 @@ def stream_step(
     return new_carry, out
 
 
-
-
 class StreamCheckpoint(NamedTuple):
     """A saved receiver state: the scan carry plus any capture tail that
     was not yet a whole chunk (so no padding zeros are ever spliced into
