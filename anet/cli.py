@@ -556,7 +556,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--payload", type=int, default=64)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--echo", type=float, default=0.0,
-                   help="room echo amplitude (adds two reflections; 0 = off)")
+                   help="room echo amplitude: two reflections at 3 and 5 "
+                        "sample lags (0 = off); for longer reverb use "
+                        "ChannelConfig(multipath_taps=...) directly")
     p.set_defaults(fn=_cmd_sweep)
 
     p = sub.add_parser("models", help="list modem model presets")

@@ -333,6 +333,10 @@ def stream_step_dynamic(
     frame's actual length, so back-to-back short frames separated by at
     least one chunk both decode. init_carry with payload_len =
     max_payload_len. Uncoded configs only.
+
+    A frame whose header declares a length above ``max_payload_len`` is
+    skipped silently (its header gate fails ``length_ok``); later frames
+    in the stream are unaffected.
     """
     from anet.dsp.family import aligned_demod_dynamic_fn, frame_samples
     from anet.dsp.frame import dynamic_frame_samples
