@@ -403,7 +403,7 @@ def receive_frame(
     if n < t:
         raise ValueError(f"capture of {n} samples cannot hold a {t}-sample frame")
     template = preamble_waveform(config)
-    corr = correlate_template(capture, template)
+    corr = correlate_template(capture, template, method="auto")
     k = template.shape[-1]
     energy = sliding_window_energy(capture, k)
     t_energy = jnp.sum(template * template)
@@ -411,7 +411,8 @@ def receive_frame(
     offset = jnp.argmax(quality, axis=-1).astype(jnp.int32)
     best_q = jnp.take_along_axis(quality, offset[..., None], axis=-1)[..., 0]
     start = jnp.clip(offset, 0, n - t)
-    idx = start[..., None] + jnp.arange(t)
-    aligned = jnp.take_along_axis(capture, idx, axis=-1)
+    from anet.dsp.sync import aligned_gather
+
+    aligned = aligned_gather(capture, start, t)
     frame = demodulate_frame(config, aligned, payload_len)
     return OfdmReceiveResult(frame=frame, offset=offset, quality=best_q)

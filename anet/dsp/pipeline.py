@@ -23,7 +23,7 @@ from anet.dsp.frame import (
     modulate_frame,
 )
 from anet.dsp.params import ModemConfig
-from anet.dsp.sync import SyncResult, locate_preamble
+from anet.dsp.sync import SyncResult, aligned_gather, locate_preamble
 
 
 def transmit(config: ModemConfig, payload: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
@@ -41,7 +41,7 @@ def receive_frame(
     capture: jnp.ndarray,
     payload_len: int,
     *,
-    sync_method: str = "fft",
+    sync_method: str = "auto",
     compute_dtype=jnp.float32,
 ) -> ReceiveResult:
     """Locate and demodulate one frame inside a longer capture.
@@ -58,8 +58,7 @@ def receive_frame(
     sync = locate_preamble(config, capture, method=sync_method)
     # Clamp so the gathered window stays in bounds even on a bogus lock.
     start = jnp.clip(sync.offset, 0, n - t)
-    window_idx = start[..., None] + jnp.arange(t)
-    aligned = jnp.take_along_axis(capture, window_idx, axis=-1)
+    aligned = aligned_gather(capture, start, t)
     frame = demodulate_frame(
         config, aligned, payload_len, compute_dtype=compute_dtype
     )
@@ -78,7 +77,7 @@ def receive_frame_tracked(
     capture: jnp.ndarray,
     payload_len: int,
     *,
-    sync_method: str = "fft",
+    sync_method: str = "auto",
     loop_gain: float = 0.35,
     compute_dtype=jnp.float32,
 ) -> TrackedReceiveResult:
@@ -157,14 +156,13 @@ def receive_frame_dynamic(
             f"capture of {n} samples cannot hold a {t}-sample max-length frame"
         )
     template = preamble_template(config)
-    corr = correlate_template(capture, template)
+    corr = correlate_template(capture, template, method="auto")
     energy = sliding_window_energy(capture, template.shape[-1])
     quality = normalized_match_quality(corr, energy, jnp.sum(template * template))
     offset = jnp.argmax(quality, axis=-1).astype(jnp.int32)
     best_q = jnp.take_along_axis(quality, offset[..., None], axis=-1)[..., 0]
     start = jnp.clip(offset, 0, n - t)
-    idx = start[..., None] + jnp.arange(t)
-    aligned = jnp.take_along_axis(capture, idx, axis=-1)
+    aligned = aligned_gather(capture, start, t)
     frame = aligned_demod_dynamic_fn(config, max_payload_len, compute_dtype)(aligned)
     return DynamicReceiveResult(frame=frame, offset=offset, quality=best_q)
 

@@ -4,17 +4,25 @@ The PHY-layer analog of the reference's magic-word filtering on discovery
 datagrams (discovery.kt:87-89, network.cpp:474-484): a receiver locks onto
 a frame only after the known preamble correlates above threshold.
 
-The preamble is an alternating lowest/highest-tone pattern — maximally
-distinctive against both noise and the data section. Correlation runs in
-the frequency domain (rfft multiply irfft), O(N log N) and batched; the
-time-domain matched filter is also provided for short captures and as the
-golden model for the Pallas kernel.
+The preamble is a fixed PN tone pattern — maximally distinctive against
+both noise and the data section. Three correlation backends:
+
+- ``matmul`` — block-Toeplitz matched filter: the lag axis is tiled into
+  MXU-sized blocks and each block of lags is one ``[n_blocks, K+B-1] x
+  [K+B-1, B]`` matmul against a banded template matrix. O(N*K) FLOPs but
+  they are *matmul* FLOPs, so on TPU this is the fast path — and the only
+  one that runs on backends where ``irfft`` is unimplemented (the remote
+  TPU plugin, CLAUDE.md). The streaming receiver's hot loop uses it.
+- ``fft`` — rfft multiply irfft, O(N log N); best for long one-shot
+  captures on CPU.
+- ``direct`` — materialized sliding windows; golden model for tests.
 """
 
 from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from anet.dsp.mod import synthesize_tones
@@ -57,22 +65,35 @@ def correlate_template(
     template: jnp.ndarray,
     method: str = "fft",
     fft_len: int | None = None,
+    block: int | None = None,
 ) -> jnp.ndarray:
     """Cross-correlate [..., N] samples with a [K] template.
 
-    Returns [..., N - K + 1] valid-mode correlation. The default FFT size
-    next_pow2(N + K - 1) avoids all circular wraparound; callers that only
-    consume the valid lags [0, N - K] may pass fft_len = next_pow2(N) —
-    the aliased contributions land outside that range (the streaming
-    receiver's per-chunk hot loop uses this to halve the FFT).
+    Returns [..., N - K + 1] valid-mode correlation (float32).
+
+    method="matmul" is the TPU path (see module docstring); ``block`` is
+    its lag-tile width (lane-aligned, default min(512, out_len) rounded to
+    128). method="fft": the default FFT size next_pow2(N + K - 1) avoids
+    all circular wraparound; callers that only consume the valid lags
+    [0, N - K] may pass fft_len = next_pow2(N) — the aliased contributions
+    land outside that range.
     """
     n = samples.shape[-1]
     k = template.shape[-1]
     if k > n:
         raise ValueError(f"template ({k}) longer than capture ({n})")
+    if method == "auto":
+        # FFT wins for long one-shot captures on CPU; the remote TPU
+        # backend has no irfft at all (CLAUDE.md), and the MXU makes the
+        # block-Toeplitz matmul the fast path there anyway.
+        import jax
+
+        method = "fft" if jax.default_backend() == "cpu" else "matmul"
     if method == "direct":
         windows = _sliding_windows(samples, k)  # [..., N-K+1, K]
         return jnp.einsum("...nk,k->...n", windows, template)
+    if method == "matmul":
+        return _correlate_matmul(samples, template, block)
     # FFT path: correlation = irfft(rfft(x) * conj(rfft(template)))
     if fft_len is None:
         fft_len = _next_pow2(n + k - 1)
@@ -84,6 +105,53 @@ def correlate_template(
     return corr[..., : n - k + 1]
 
 
+def _correlate_matmul(
+    samples: jnp.ndarray, template: jnp.ndarray, block: int | None = None
+) -> jnp.ndarray:
+    """Valid-mode correlation as a block-Toeplitz matmul (MXU-native).
+
+    For a block of B consecutive lags starting at m*B:
+      corr[mB + j] = sum_k x[mB + j + k] * t[k]   (j in [0, B))
+    which is one row of Y @ T with
+      Y[m, p] = x[m*B + p]            (p in [0, K+B-1))   — overlapped rows
+      T[p, j] = t[p - j] if 0 <= p-j < K else 0           — banded, static
+    so the whole correlation is a single [..., n_blocks, K+B-1] x
+    [K+B-1, B] contraction: large, static, and tiled by XLA straight onto
+    the MXU. Y is assembled from shifted reshapes of the padded input
+    (slices + concat — no gather), costing a ~(K/B + 1)x data expansion in
+    exchange for contraction dims in the hundreds-to-thousands.
+    """
+    n = samples.shape[-1]
+    k = template.shape[-1]
+    out_len = n - k + 1
+    if block is None:
+        block = min(512, max(128, _next_pow2(out_len)))
+    b = block
+    n_blocks = -(-out_len // b)
+    w = k + b - 1  # overlapped row width
+    r = -(-w // b)  # shifted reshapes needed to cover a row
+    pad = (n_blocks + r) * b - n
+    x = jnp.pad(samples, [(0, 0)] * (samples.ndim - 1) + [(0, max(pad, 0))])
+    xr = x.reshape(x.shape[:-1] + (n_blocks + r, b))
+    # Y[m] = x[m*b : m*b + w]: r shifted views of the reshaped rows.
+    y = jnp.concatenate(
+        [xr[..., s : s + n_blocks, :] for s in range(r)], axis=-1
+    )[..., :w]
+    # Banded template matrix [w, b] — a trace-time constant under jit.
+    p = jnp.arange(w)[:, None]
+    j = jnp.arange(b)[None, :]
+    idx = p - j
+    tmat = jnp.where(
+        (idx >= 0) & (idx < k),
+        template[jnp.clip(idx, 0, k - 1)],
+        jnp.zeros((), template.dtype),
+    )
+    corr = jnp.einsum(
+        "...mw,wj->...mj", y, tmat, preferred_element_type=jnp.float32
+    )
+    return corr.reshape(samples.shape[:-1] + (n_blocks * b,))[..., :out_len]
+
+
 def _sliding_windows(samples: jnp.ndarray, k: int) -> jnp.ndarray:
     n = samples.shape[-1]
     starts = jnp.arange(n - k + 1)
@@ -93,11 +161,46 @@ def _sliding_windows(samples: jnp.ndarray, k: int) -> jnp.ndarray:
 
 
 def sliding_window_energy(samples: jnp.ndarray, k: int) -> jnp.ndarray:
-    """Energy of every k-sample window: [..., N] -> [..., N - k + 1]."""
+    """Energy of every k-sample window: [..., N] -> [..., N - k + 1] (f32).
+
+    Built on a prefix sum of the squared samples. On TPU a minor-axis
+    ``cumsum`` lowers to a long relayout chain (measured 4.4 Gsamp/s at
+    the streaming receiver's working size — a top-2 cost); the blocked
+    matmul prefix sum below reaches ~9 G. CPU keeps the plain cumsum.
+    """
     sq = samples * samples
-    csum = jnp.cumsum(sq, axis=-1)
+    if jax.default_backend() == "cpu":
+        csum = jnp.cumsum(sq.astype(jnp.float32), axis=-1)
+    else:
+        csum = _blocked_cumsum(sq)
     csum = jnp.concatenate([jnp.zeros_like(csum[..., :1]), csum], axis=-1)
     return csum[..., k:] - csum[..., : csum.shape[-1] - k]
+
+
+def _blocked_cumsum(x: jnp.ndarray) -> jnp.ndarray:
+    """Inclusive prefix sum along the last axis as two triangular matmuls.
+
+    Reshape to [..., rows, 128]; within-row prefix = one [128, 128]
+    upper-triangular matmul (MXU), cross-row carry = a strictly-upper
+    [rows, rows] matmul on the row totals, broadcast back. Accumulation is
+    f32 (preferred_element_type) whatever the input dtype; output f32.
+    """
+    n = x.shape[-1]
+    pad = (-n) % _LANE
+    xp = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, pad)])
+    m = xp.shape[-1] // _LANE
+    xr = xp.reshape(xp.shape[:-1] + (m, _LANE))
+    triu = jnp.triu(jnp.ones((_LANE, _LANE), x.dtype))
+    within = jnp.einsum(
+        "...mj,ji->...mi", xr, triu, preferred_element_type=jnp.float32
+    )
+    row_tot = within[..., -1]  # [..., m]
+    carry = jnp.triu(jnp.ones((m, m), jnp.float32), k=1)
+    row_pref = jnp.einsum(
+        "...m,mn->...n", row_tot, carry, preferred_element_type=jnp.float32
+    )
+    out = within + row_pref[..., None]
+    return out.reshape(x.shape[:-1] + (m * _LANE,))[..., :n]
 
 
 def normalized_match_quality(
@@ -118,8 +221,84 @@ def _next_pow2(n: int) -> int:
     return 1 << (n - 1).bit_length()
 
 
+_LANE = 128  # TPU lane width; the coarse/fine split of aligned_gather
+
+
+def aligned_gather(
+    buffer: jnp.ndarray,
+    start: jnp.ndarray,
+    size: int,
+    compute_dtype=None,
+) -> jnp.ndarray:
+    """Slice ``size`` samples starting at per-stream dynamic offsets:
+    out[..., i] = buffer[..., start[...] + i]. Callers guarantee
+    start + size <= buffer length.
+
+    This is the timing-alignment step between sync and demod, and it is
+    hot: a plain ``take_along_axis`` over the minor (lane) axis lowers to
+    a scalar-core gather — measured ~0.2 GB/s on v5e, 800 ms per stream
+    step, the whole streaming receiver's bottleneck. Instead split each
+    start into a coarse row index (multiple of 128) and a fine lane
+    offset:
+
+    - coarse: one [rows, 128] slab per stream via vmapped dynamic_slice —
+      consecutive rows, so XLA lowers it to one big DMA per stream;
+    - fine: shift by ``start % 128`` lanes with a pair of one-hot
+      selection matmuls (this row and the next) — MXU work, and *exact*
+      at the default f32 path (``Precision.HIGHEST``: every product is
+      1.0 * x or 0.0 * x, and f32 operands split losslessly into bf16
+      triples).
+
+    ~80x faster than the lane gather on the chip, and the same code path
+    runs on CPU (where both pieces are cheap). Pass
+    ``compute_dtype=jnp.bfloat16`` to run the selection matmuls in bf16
+    (faster; output then equals the bf16-rounded samples — free when the
+    consumer demodulates in bf16 anyway).
+    """
+    if start.ndim == 0:
+        return jax.lax.dynamic_slice_in_dim(buffer, start, size, axis=-1)
+    if compute_dtype is None or compute_dtype == jnp.float32:
+        sel_dtype, precision = buffer.dtype, jax.lax.Precision.HIGHEST
+    else:
+        sel_dtype, precision = compute_dtype, None
+    out_pad = -(-size // _LANE) * _LANE
+    rt = out_pad // _LANE
+    length = buffer.shape[-1]
+    # Pad so every coarse read (incl. the +1 slack row when start % 128
+    # == 0) stays in range; padded lanes only ever multiply a 0 weight.
+    pad = (-length) % _LANE + _LANE
+    x = jnp.pad(buffer, [(0, 0)] * (buffer.ndim - 1) + [(0, pad)])
+    rows_total = x.shape[-1] // _LANE
+    xr = x.reshape(x.shape[:-1] + (rows_total, _LANE))
+    hi = start // _LANE
+    lo = start % _LANE
+    slab = lambda xb, h: jax.lax.dynamic_slice(xb, (h, 0), (rt + 1, _LANE))
+    for _ in range(start.ndim - 1):
+        slab = jax.vmap(slab)
+    rows = jax.vmap(slab)(xr, hi).astype(sel_dtype)  # [..., rt+1, 128]
+    lane = jnp.arange(_LANE)
+    shift = lo[..., None, None]
+    sel_lo = (lane[:, None] == lane[None, :] + shift).astype(sel_dtype)
+    sel_hi = (lane[:, None] == lane[None, :] + shift - _LANE).astype(sel_dtype)
+    out = jnp.einsum(
+        "...rp,...pu->...ru",
+        rows[..., :rt, :],
+        sel_lo,
+        precision=precision,
+        preferred_element_type=jnp.float32,
+    ) + jnp.einsum(
+        "...rp,...pu->...ru",
+        rows[..., 1 : rt + 1, :],
+        sel_hi,
+        precision=precision,
+        preferred_element_type=jnp.float32,
+    )
+    out = out.astype(buffer.dtype)
+    return out.reshape(buffer.shape[:-1] + (out_pad,))[..., :size]
+
+
 def locate_preamble(
-    config: ModemConfig, samples: jnp.ndarray, method: str = "fft"
+    config: ModemConfig, samples: jnp.ndarray, method: str = "auto"
 ) -> SyncResult:
     """Find the preamble start in a capture.
 

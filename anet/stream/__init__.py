@@ -156,7 +156,7 @@ def stream_step(
     t_frame, template, demod = family_geometry(config, payload_len, compute_dtype)
     margin = _track_margin(config, track)
     buffer, samples_seen, start_idx, start_abs, best_q, candidate = _find_candidate(
-        carry, chunk, t_frame, template, margin, detect_threshold
+        carry, chunk, t_frame, template, margin, detect_threshold, compute_dtype
     )
 
     # Fixed-cost demod at the candidate position. A lock counts as a real
@@ -176,7 +176,9 @@ def stream_step(
                 "error in the cyclic prefix"
             )
         # include the margin tail: slow-clock frames stretch past t_frame
-        aligned = _batched_dynamic_slice(buffer, start_idx, t_frame + margin)
+        aligned = _batched_dynamic_slice(
+            buffer, start_idx, t_frame + margin, compute_dtype
+        )
         frame, _ = tracked_frame_result(
             config,
             aligned,
@@ -185,7 +187,7 @@ def stream_step(
             compute_dtype=compute_dtype,
         )
     else:
-        aligned = _batched_dynamic_slice(buffer, start_idx, t_frame)
+        aligned = _batched_dynamic_slice(buffer, start_idx, t_frame, compute_dtype)
         frame = demod(aligned)
     detected = candidate & frame.magic_ok & frame.header_crc_ok
     frame = frame._replace(ok=frame.ok & detected)
@@ -250,6 +252,7 @@ def _find_candidate(
     template: jnp.ndarray,
     margin: int,
     detect_threshold: float,
+    compute_dtype=jnp.float32,
 ):
     """Shared front half of the stream steps: slide the buffer, correlate
     the preamble template over the just-completed window, and nominate at
@@ -280,16 +283,24 @@ def _find_candidate(
     w0 = length - t_frame - chunk_size - margin + 1
     # Correlate template against starts [w0, w0 + chunk_size).
     seg = jax.lax.dynamic_slice_in_dim(buffer, w0, chunk_size + k - 1, axis=-1)
-    # fft_len = next_pow2(len(seg)): wraparound only touches lags past the
-    # valid window, and the FFT stays half the size of the general default.
-    fft_len = 1 << (seg.shape[-1] - 1).bit_length()
-    corr = correlate_template(seg, template, fft_len=fft_len)  # [..., chunk_size]
+    # Block-Toeplitz matmul correlation: the MXU formulation, and the only
+    # backend-portable one (irfft is unimplemented on the remote TPU
+    # plugin — CLAUDE.md). One code path for CPU tests and chip runs.
+    # Correlation and window energy both run in compute_dtype (bf16 on
+    # the chip: 4x MXU rate; the 0.45 detection threshold has >50x that
+    # margin) with f32 accumulation; quality math is f32.
+    seg_c = seg.astype(compute_dtype)
+    corr = correlate_template(
+        seg_c, template.astype(compute_dtype), method="matmul"
+    )  # [..., chunk_size], f32 accumulation
     t_energy = jnp.sum(template * template)
-    local_e = sliding_window_energy(seg, k)  # [..., chunk_size]
+    local_e = sliding_window_energy(seg_c, k)  # [..., chunk_size], f32
     quality = normalized_match_quality(corr, local_e, t_energy)
 
     best_rel = jnp.argmax(quality, axis=-1).astype(jnp.int32)
-    best_q = jnp.take_along_axis(quality, best_rel[..., None], axis=-1)[..., 0]
+    # max == quality[argmax]; a one-element lane gather is scalar-core
+    # work on TPU, the reduction is free on the VPU.
+    best_q = jnp.max(quality, axis=-1)
     start_idx = w0 + best_rel  # buffer index of candidate frame start
     start_abs = buffer_abs0 + start_idx
 
@@ -300,12 +311,13 @@ def _find_candidate(
     return buffer, samples_seen, start_idx, start_abs, best_q, candidate
 
 
-def _batched_dynamic_slice(buffer: jnp.ndarray, start: jnp.ndarray, size: int) -> jnp.ndarray:
+def _batched_dynamic_slice(
+    buffer: jnp.ndarray, start: jnp.ndarray, size: int, compute_dtype=None
+) -> jnp.ndarray:
     """dynamic_slice along the last axis with batched start indices."""
-    if start.ndim == 0:
-        return jax.lax.dynamic_slice_in_dim(buffer, start, size, axis=-1)
-    idx = start[..., None] + jnp.arange(size)
-    return jnp.take_along_axis(buffer, idx, axis=-1)
+    from anet.dsp.sync import aligned_gather
+
+    return aligned_gather(buffer, start, size, compute_dtype)
 
 
 class DynamicStreamStepOutput(NamedTuple):
@@ -344,9 +356,9 @@ def stream_step_dynamic(
     t_max = frame_samples(config, max_payload_len)
     template = family_geometry(config, max_payload_len, compute_dtype)[1]
     buffer, samples_seen, start_idx, start_abs, best_q, candidate = _find_candidate(
-        carry, chunk, t_max, template, 0, detect_threshold
+        carry, chunk, t_max, template, 0, detect_threshold, compute_dtype
     )
-    aligned = _batched_dynamic_slice(buffer, start_idx, t_max)
+    aligned = _batched_dynamic_slice(buffer, start_idx, t_max, compute_dtype)
     frame = aligned_demod_dynamic_fn(config, max_payload_len, compute_dtype)(aligned)
     # The header gate (magic + CRC, 48 bits) also vouches for the declared
     # length, so the dedupe cursor can trust it.

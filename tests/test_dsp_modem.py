@@ -107,7 +107,7 @@ def test_tone_energies_batched():
 
 # --- sync -------------------------------------------------------------------
 
-@pytest.mark.parametrize("method", ["fft", "direct"])
+@pytest.mark.parametrize("method", ["fft", "direct", "matmul"])
 @pytest.mark.parametrize("offset", [0, 1, 63, 500])
 def test_preamble_located_at_any_offset(method, offset):
     template = preamble_waveform(CFG_SMALL)
@@ -137,6 +137,37 @@ def test_pure_noise_low_quality():
     noise = jax.random.normal(jax.random.PRNGKey(1), (8000,))
     res = locate_preamble(CFG_SMALL, noise)
     assert float(res.quality) < 0.5
+
+
+@pytest.mark.parametrize("size,n", [(256, 768), (300, 1000), (128, 257), (36352, 44544)])
+def test_aligned_gather_matches_take(size, n):
+    """The coarse/fine MXU gather is bit-exact vs take_along_axis."""
+    from anet.dsp.sync import aligned_gather
+
+    rng = np.random.default_rng(size)
+    x = jnp.asarray(rng.normal(size=(5, n)), jnp.float32)
+    starts = jnp.asarray(rng.integers(0, n - size + 1, 5), jnp.int32)
+    ref = jnp.take_along_axis(x, starts[:, None] + jnp.arange(size), axis=-1)
+    got = aligned_gather(x, starts, size)
+    assert np.array_equal(np.asarray(got), np.asarray(ref))
+    # unbatched scalar start path
+    got1 = aligned_gather(x[0], starts[0], size)
+    assert np.array_equal(np.asarray(got1), np.asarray(ref[0]))
+
+
+@pytest.mark.parametrize("n,k,block", [(777, 129, None), (2048, 512, 128),
+                                       (300, 300, 512), (1000, 37, 256)])
+def test_correlate_matmul_matches_direct(n, k, block):
+    """The block-Toeplitz MXU formulation is exactly valid-mode xcorr."""
+    from anet.dsp.sync import correlate_template
+
+    rng = np.random.default_rng(n + k)
+    x = jnp.asarray(rng.normal(size=(3, n)), jnp.float32)
+    t = jnp.asarray(rng.normal(size=k), jnp.float32)
+    ref = correlate_template(x, t, method="direct")
+    got = correlate_template(x, t, method="matmul", block=block)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-4)
 
 
 # --- framing ----------------------------------------------------------------
