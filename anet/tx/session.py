@@ -10,6 +10,10 @@ Parity with MulticastAudioOutput.kt:18-159:
   ms of audio (capacity 1200 ms, drain 1000 ms/s — :79-86);
 - fans each encoded frame to every receiver (:88-96), aggregating per-
   receiver failures so one dead sink doesn't stall the rest;
+- a dead receiver is re-established in the background with the firmware's
+  recovery policy (network.cpp:437-446, constants network.hpp:7-8): bursts
+  of immediate retries separated by cooldowns, forever, rejoining the
+  fan-out set on success with its accumulated stats;
 - exposes a blocking file-like adapter whose flush() emits the final
   padded frame (:133-155).
 
@@ -23,10 +27,11 @@ import dataclasses
 import io
 import logging
 import threading
-from typing import Dict, List, Optional
+from typing import Dict, List, Optional, Set, Tuple
 
 from anet import constants
 from anet.codec import AudioFormat, OpusEncoder
+from anet.net.reconnect import ReconnectPolicy
 from anet.net.session import RemoteAudioReceiver, SessionError
 from anet.proto import ReceiverError
 from anet.utils import LeakyBucket
@@ -56,12 +61,24 @@ class MulticastAudioOutput:
         paced: bool = True,
         adaptive_quality: bool = True,
         upgrade_after_clean_frames: int = 500,
+        auto_reconnect: bool = True,
+        reconnect_cooldown_s: float = constants.RECONNECT_COOLDOWN_MS / 1000.0,
+        reconnect_max_cooldowns: Optional[int] = None,
     ) -> None:
         self.encoder = OpusEncoder(fmt, bitrate_bps=bitrate_bps)
         self._pacing = pacing if pacing is not None else (LeakyBucket() if paced else None)
         self._receivers: List[RemoteAudioReceiver] = []
         self._stats: Dict[RemoteAudioReceiver, ReceiverStats] = {}
         self._lock = threading.Lock()
+        # background session recovery (network.cpp:437-446 behavior)
+        self._auto_reconnect = auto_reconnect
+        self._reconnect_cooldown_s = reconnect_cooldown_s
+        self._reconnect_max_cooldowns = reconnect_max_cooldowns
+        self._endpoints: Dict[RemoteAudioReceiver, Tuple[str, int]] = {}
+        self._endpoint_stats: Dict[Tuple[str, int], ReceiverStats] = {}
+        self._reconnecting: Set[Tuple[str, int]] = set()
+        self._reconnect_threads: List[threading.Thread] = []
+        self._closing = threading.Event()
         # quality-downgrade reaction (hardware/README.md:35 promised this;
         # the reference never built either end of the loop — anet does)
         self._adaptive = adaptive_quality
@@ -79,8 +96,14 @@ class MulticastAudioOutput:
     def add_receiver(self, host: str, port: int = constants.TCP_AUDIO_PORT) -> RemoteAudioReceiver:
         """Connect + negotiate + join the fan-out set
         (MulticastAudioOutput.kt:58-70)."""
-        stats = ReceiverStats()
+        stats = self._endpoint_stats.setdefault((host, port), ReceiverStats())
+        receiver = self._connect_endpoint(host, port, stats)
+        self._attach(receiver, stats)
+        return receiver
 
+    def _connect_endpoint(
+        self, host: str, port: int, stats: ReceiverStats
+    ) -> RemoteAudioReceiver:
         def on_feedback(err: ReceiverError) -> None:
             if err.audio_underflow:
                 stats.underflows_reported += 1
@@ -90,20 +113,80 @@ class MulticastAudioOutput:
             if err.audio_underflow or err.audio_decode_error:
                 self._degrade_quality()
 
-        receiver = RemoteAudioReceiver(host, port, on_feedback=on_feedback).connect()
+        return RemoteAudioReceiver(host, port, on_feedback=on_feedback).connect()
+
+    def _attach(self, receiver: RemoteAudioReceiver, stats: ReceiverStats) -> None:
         with self._lock:
             self._receivers.append(receiver)
             self._stats[receiver] = stats
+            self._endpoints[receiver] = (receiver.host, receiver.port)
             self._on_receivers_changed()
-        return receiver
 
     def remove_receiver(self, receiver: RemoteAudioReceiver) -> None:
+        """Deliberate removal: leaves the fan-out set and is NOT resurrected."""
         with self._lock:
+            self._endpoint_stats.pop(self._endpoints.pop(receiver, None), None)
             if receiver in self._receivers:
                 self._receivers.remove(receiver)
                 receiver.close()
                 if self._receivers:
                     self._on_receivers_changed()
+
+    # --- session recovery (network.cpp:182-199,437-446 behavior) -------------
+
+    def _drop_dead(self, receiver: RemoteAudioReceiver) -> None:
+        """A send failed: leave the set now, rejoin via background reconnect."""
+        with self._lock:
+            endpoint = self._endpoints.pop(receiver, None)
+            if receiver in self._receivers:
+                self._receivers.remove(receiver)
+                receiver.close()
+                if self._receivers:
+                    self._on_receivers_changed()
+            if (
+                endpoint is None
+                or not self._auto_reconnect
+                or self._closing.is_set()
+                or endpoint in self._reconnecting
+            ):
+                return
+            self._reconnecting.add(endpoint)
+            thread = threading.Thread(
+                target=self._reconnect_loop,
+                args=(endpoint,),
+                daemon=True,
+                name=f"anet-reconnect-{endpoint[0]}:{endpoint[1]}",
+            )
+            self._reconnect_threads.append(thread)
+        thread.start()
+
+    def _reconnect_loop(self, endpoint: Tuple[str, int]) -> None:
+        host, port = endpoint
+        stats = self._endpoint_stats.setdefault(endpoint, ReceiverStats())
+        policy = ReconnectPolicy(cooldown_s=self._reconnect_cooldown_s)
+        try:
+            receiver = policy.run(
+                lambda: self._connect_endpoint(host, port, stats),
+                max_cooldowns=self._reconnect_max_cooldowns,
+                should_continue=lambda: not self._closing.is_set(),
+            )
+        except Exception as e:  # noqa: BLE001 — bounded out or aborted
+            logger.warning(
+                "giving up on %s:%d after %d attempts: %s",
+                host, port, policy.attempts, e,
+            )
+            with self._lock:
+                self._reconnecting.discard(endpoint)
+            return
+        with self._lock:
+            self._reconnecting.discard(endpoint)
+            if self._closing.is_set():
+                receiver.close()
+                return
+        logger.info(
+            "receiver %s:%d re-established after %d attempts", host, port, policy.attempts
+        )
+        self._attach(receiver, stats)
 
     @property
     def receivers(self) -> List[RemoteAudioReceiver]:
@@ -194,7 +277,8 @@ class MulticastAudioOutput:
                 logger.info("quality restored to %d bps", new_rate)
 
     def _fan_out(self, frame: bytes) -> None:
-        """Send one frame to every receiver; drop the dead, keep going."""
+        """Send one frame to every receiver; drop the dead (scheduling their
+        background reconnect), keep going."""
         dead: List[RemoteAudioReceiver] = []
         errors: List[BaseException] = []
         for receiver in self.receivers:
@@ -205,16 +289,19 @@ class MulticastAudioOutput:
                 errors.append(e)
                 dead.append(receiver)
         for receiver in dead:
-            logger.warning("dropping dead receiver %s", receiver.host)
-            self.remove_receiver(receiver)
-        if errors and not self.receivers:
-            raise CombinedError(errors)  # nobody left to hear us
+            logger.warning("receiver %s died; reconnecting in background", receiver.host)
+            self._drop_dead(receiver)
+        if errors and not self.receivers and not self._reconnecting:
+            raise CombinedError(errors)  # nobody left to hear us, nobody coming back
 
     def close(self) -> None:
+        self._closing.set()
         for receiver in self.receivers:
             receiver.close()
         with self._lock:
             self._receivers.clear()
+        for thread in self._reconnect_threads:
+            thread.join(timeout=2.0)
         self.encoder.close()
 
     # --- OutputStream adapter (:133-155) -------------------------------------
