@@ -23,6 +23,8 @@
 #include <cerrno>
 #include <cstdint>
 #include <cstring>
+#include <ifaddrs.h>
+#include <net/if.h>
 #include <netinet/in.h>
 #include <sys/socket.h>
 #include <sys/time.h>
@@ -278,6 +280,36 @@ int anet_discovery_responder_run(uint16_t port, uint32_t magic,
 uint32_t anet_broadcast_address(uint32_t ip_host_order,
                                 uint32_t netmask_host_order) {
   return (ip_host_order & netmask_host_order) | ~netmask_host_order;
+}
+
+// ---------------------------------------------------------------------------
+// interface enumeration (discovery.kt:33-40 parity)
+// ---------------------------------------------------------------------------
+
+// List every usable IPv4 interface for directed-broadcast discovery: up,
+// broadcast-capable, non-loopback, with an address and a netmask. Writes
+// up to `cap` (address, netmask) pairs in host byte order. Returns the
+// number written, or -errno when getifaddrs itself fails. The reference
+// transmitter walks NetworkInterface.getNetworkInterfaces() the same way
+// (discovery.kt:33-40: skip loopback/down, take each InterfaceAddress's
+// broadcast); anet computes the broadcast from (addr, mask) so the caller
+// can also log the subnet it is probing.
+int anet_list_interfaces(uint32_t* addrs, uint32_t* masks, int cap) {
+  struct ifaddrs* head = nullptr;
+  if (getifaddrs(&head) != 0) return -errno;
+  int n = 0;
+  for (struct ifaddrs* ifa = head; ifa && n < cap; ifa = ifa->ifa_next) {
+    if (!ifa->ifa_addr || !ifa->ifa_netmask) continue;
+    if (ifa->ifa_addr->sa_family != AF_INET) continue;
+    if (!(ifa->ifa_flags & IFF_UP)) continue;
+    if (ifa->ifa_flags & IFF_LOOPBACK) continue;
+    if (!(ifa->ifa_flags & IFF_BROADCAST)) continue;
+    addrs[n] = ntohl(((sockaddr_in*)ifa->ifa_addr)->sin_addr.s_addr);
+    masks[n] = ntohl(((sockaddr_in*)ifa->ifa_netmask)->sin_addr.s_addr);
+    ++n;
+  }
+  freeifaddrs(head);
+  return n;
 }
 
 }  // extern "C"

@@ -39,18 +39,31 @@ class DiscoveredReceiver:
         return self.response.device_name
 
 
-def _broadcast_targets() -> List[str]:
+def _broadcast_targets(interfaces: Optional[List[tuple]] = None) -> List[str]:
     """Directed broadcast addresses of all non-loopback interfaces, plus
-    the limited broadcast address (discovery.kt:33-40 enumerates interfaces;
-    255.255.255.255 covers platforms where enumeration is unavailable)."""
+    the limited broadcast address (discovery.kt:33-40 enumerates every
+    interface's real (address, netmask); 255.255.255.255 covers receivers
+    on the same link regardless of subnetting).
+
+    ``interfaces`` overrides enumeration for tests: (addr, netmask) pairs
+    as from native.list_interfaces()."""
     targets = {"255.255.255.255", "127.255.255.255"}
-    try:
-        host = socket.gethostbyname(socket.gethostname())
-        if not host.startswith("127."):
-            # Assume /24 when the netmask is unknown; directed broadcast.
-            targets.add(native.broadcast_address(host, "255.255.255.0"))
-    except OSError:
-        pass
+    if interfaces is None:
+        interfaces = native.list_interfaces()
+    for addr, netmask in interfaces:
+        try:
+            targets.add(native.broadcast_address(addr, netmask))
+        except OSError:
+            continue
+    if not interfaces:
+        # Enumeration unavailable: fall back to the historical /24 guess
+        # from the host's primary address.
+        try:
+            host = socket.gethostbyname(socket.gethostname())
+            if not host.startswith("127."):
+                targets.add(native.broadcast_address(host, "255.255.255.0"))
+        except OSError:
+            pass
     return sorted(targets)
 
 

@@ -66,6 +66,12 @@ def load() -> Optional[ctypes.CDLL]:
     ]
     lib.anet_broadcast_address.restype = ctypes.c_uint32
     lib.anet_broadcast_address.argtypes = [ctypes.c_uint32, ctypes.c_uint32]
+    lib.anet_list_interfaces.restype = ctypes.c_int
+    lib.anet_list_interfaces.argtypes = [
+        ctypes.POINTER(ctypes.c_uint32),
+        ctypes.POINTER(ctypes.c_uint32),
+        ctypes.c_int,
+    ]
     _lib = lib
     return _lib
 
@@ -151,6 +157,56 @@ def broadcast_address(ip: str, netmask: str) -> str:
     else:
         out = (ip_i & mask_i) | (~mask_i & 0xFFFFFFFF)
     return socket.inet_ntoa(struct.pack("!I", out & 0xFFFFFFFF))
+
+
+def list_interfaces() -> List[tuple]:
+    """(address, netmask) of every usable IPv4 interface: up, non-loopback,
+    broadcast-capable — the set the reference transmitter probes
+    (discovery.kt:33-40). Native getifaddrs when the library is present;
+    SIOCGIFCONF/SIOCGIFNETMASK ioctls otherwise (Linux); [] if neither
+    works (the caller falls back to 255.255.255.255 + a /24 guess)."""
+    import socket
+    import struct
+
+    lib = load()
+    if lib is not None:
+        cap = 64
+        addrs = (ctypes.c_uint32 * cap)()
+        masks = (ctypes.c_uint32 * cap)()
+        n = lib.anet_list_interfaces(addrs, masks, cap)
+        if n >= 0:
+            return [
+                (
+                    socket.inet_ntoa(struct.pack("!I", addrs[i])),
+                    socket.inet_ntoa(struct.pack("!I", masks[i])),
+                )
+                for i in range(n)
+            ]
+    # ioctl fallback (Linux): walk named interfaces, query address+netmask.
+    try:
+        import fcntl
+    except ImportError:
+        return []
+    SIOCGIFADDR, SIOCGIFNETMASK, SIOCGIFFLAGS = 0x8915, 0x891B, 0x8913
+    IFF_UP, IFF_LOOPBACK, IFF_BROADCAST = 0x1, 0x8, 0x2
+    out = []
+    try:
+        names = [name for _, name in socket.if_nameindex()]
+    except OSError:
+        return []
+    with socket.socket(socket.AF_INET, socket.SOCK_DGRAM) as s:
+        for name in names:
+            ifreq = struct.pack("256s", name.encode()[:15])
+            try:
+                flags = struct.unpack_from("H", fcntl.ioctl(s, SIOCGIFFLAGS, ifreq), 16)[0]
+                if not (flags & IFF_UP) or (flags & IFF_LOOPBACK) or not (flags & IFF_BROADCAST):
+                    continue
+                addr = socket.inet_ntoa(fcntl.ioctl(s, SIOCGIFADDR, ifreq)[20:24])
+                mask = socket.inet_ntoa(fcntl.ioctl(s, SIOCGIFNETMASK, ifreq)[20:24])
+            except OSError:
+                continue  # interface without an IPv4 address
+            out.append((addr, mask))
+    return out
 
 
 def validate_discovery_request(datagram: bytes, magic: int) -> bool:

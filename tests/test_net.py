@@ -73,6 +73,38 @@ def test_broadcast_address_math(ip, mask, expected):
     assert native.broadcast_address(ip, mask) == expected
 
 
+def test_list_interfaces_native_and_fallback_agree():
+    """Both enumeration paths (getifaddrs in the C++ core, ioctl fallback)
+    must report the same up/broadcast/non-loopback IPv4 interfaces."""
+    native_list = native.list_interfaces()
+    saved = native._lib, native._load_failed
+    try:
+        native._lib, native._load_failed = None, True
+        fallback_list = native.list_interfaces()
+    finally:
+        native._lib, native._load_failed = saved
+    if native.available():
+        assert sorted(native_list) == sorted(fallback_list)
+    for addr, mask in native_list:
+        assert not addr.startswith("127.")
+        # the netmask parses and produces a directed broadcast
+        assert native.broadcast_address(addr, mask)
+
+
+def test_broadcast_targets_multihomed_non24():
+    """A multi-homed host with non-/24 masks probes every interface's REAL
+    directed broadcast (discovery.kt:33-40) — the old behavior guessed a
+    single /24 from gethostbyname and missed receivers on a /16 LAN."""
+    from anet.net.discovery import _broadcast_targets
+
+    targets = _broadcast_targets(
+        [("10.2.3.4", "255.255.0.0"), ("192.168.160.1", "255.255.224.0")]
+    )
+    assert "10.2.255.255" in targets  # /16 directed broadcast, not 10.2.3.255
+    assert "192.168.191.255" in targets  # /19
+    assert "255.255.255.255" in targets  # limited broadcast always included
+
+
 def test_validate_discovery_request():
     good = BroadcastMessage(constants.MAGIC_WORD, discovery_request=True).encode()
     assert native.validate_discovery_request(good, constants.MAGIC_WORD)
