@@ -25,6 +25,7 @@ import dataclasses
 import json
 from typing import NamedTuple, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -62,6 +63,15 @@ class OfdmConfig:
     # acoustic channels vary slowly in frequency relative to the carrier
     # spacing, so averaging neighbors halves the estimate's noise variance.
     pilot_smoothing: bool = True
+    # Sample-clock drift compensation (speaker DAC vs mic ADC crystals,
+    # ~±100 ppm): a timing slip of tau samples rotates carrier m by
+    # 2*pi*m*tau/N, and tau grows linearly over the frame, so by a dozen
+    # symbols the top carriers rotate past the QPSK decision boundary even
+    # though the slip is still inside the CP. Tracking seeds a slope
+    # estimate from the repeated preamble symbols (Schmidl-Cox style,
+    # decision-free) and refines it per data symbol with a second-order
+    # decision-directed loop — the OFDM analog of anet.dsp.clock.
+    clock_tracking: bool = True
     # FEC surface shared with ModemConfig (see frame_result_from_bits)
     fec: str = "none"
     fec_interleave: int = 0
@@ -299,21 +309,174 @@ def transmit(config: OfdmConfig, payload: jnp.ndarray) -> jnp.ndarray:
 # --- demodulation ------------------------------------------------------------
 
 
+def _timing_bias(config: OfdmConfig) -> int:
+    """FFT-window advance into the cyclic prefix, in samples.
+
+    A window that starts exactly at the symbol boundary has zero tolerance
+    for LATE timing: any forward slip (receiver clock fast, matched-filter
+    alignment one sample off) pulls the next symbol's first samples into
+    the window — inter-symbol interference the CP cannot absorb, because
+    the CP only cyclically extends the symbol BACKWARD in time. Starting
+    every window ``bias`` samples early instead keeps it inside the CP
+    (a pure cyclic shift, i.e. a per-carrier rotation e^{-j2pi*m*bias/N}
+    identical on every symbol — cancelled entirely by the pilot-relative
+    equalizer) and buys ``bias`` samples of forward-slip margin, at the
+    cost of ``bias`` samples of echo margin (cp_len - bias remains).
+    """
+    return config.cp_len // 4
+
+
 def _extract_carriers(config: OfdmConfig, samples: jnp.ndarray, n_symbols: int) -> jnp.ndarray:
     """Symbol-aligned real samples -> complex carriers [..., S, n_carriers]."""
+    bias = _timing_bias(config)
     sym = samples[..., : n_symbols * config.symbol_samples].reshape(
         *samples.shape[:-1], n_symbols, config.symbol_samples
     )
-    no_cp = sym[..., config.cp_len :]
+    no_cp = sym[..., config.cp_len - bias : config.symbol_samples - bias]
     spec = jnp.fft.rfft(no_cp, n=config.n_fft, axis=-1)
-    return spec[..., config.first_carrier : config.first_carrier + config.n_carriers]
+    out = spec[..., config.first_carrier : config.first_carrier + config.n_carriers]
+    # undo the known cyclic-shift rotation of the early window, so carrier
+    # phases match the unbiased geometry exactly (keeps the pilot-smoothing
+    # assumption — h slowly varying across carriers — intact)
+    m = config.first_carrier + jnp.arange(config.n_carriers)
+    deramp = jnp.exp(2j * np.pi * m * bias / config.n_fft).astype(jnp.complex64)
+    return out * deramp
+
+
+def _nearest_odd(a: jnp.ndarray, max_level: float) -> jnp.ndarray:
+    """Quantize to the nearest odd integer in [-max_level, max_level]."""
+    return jnp.clip(2.0 * jnp.round((a - 1.0) / 2.0) + 1.0, -max_level, max_level)
+
+
+def _hard_decision(config: OfdmConfig, z: jnp.ndarray) -> jnp.ndarray:
+    """Nearest constellation point (unit average power) for z_eq estimates."""
+    re, im = jnp.real(z), jnp.imag(z)
+    if config.bits_per_carrier == 6:
+        return (
+            _nearest_odd(re / _QAM64_SCALE, 7.0) + 1j * _nearest_odd(im / _QAM64_SCALE, 7.0)
+        ).astype(jnp.complex64) * _QAM64_SCALE
+    if config.bits_per_carrier == 4:
+        return (
+            _nearest_odd(re / _QAM16_SCALE, 3.0) + 1j * _nearest_odd(im / _QAM16_SCALE, 3.0)
+        ).astype(jnp.complex64) * _QAM16_SCALE
+    s = 1.0 / np.sqrt(2.0)
+    return (
+        jnp.where(re >= 0, s, -s) + 1j * jnp.where(im >= 0, s, -s)
+    ).astype(jnp.complex64)
+
+
+def preamble_phase_slope(config: OfdmConfig, samples: jnp.ndarray) -> jnp.ndarray:
+    """Decision-free clock-drift slope from the repeated preamble symbols.
+
+    The preamble transmits ``preamble_repeats`` identical OFDM symbols one
+    symbol period L apart (Schmidl-Cox structure). A sample-clock offset
+    delta slips the second copy by delta*L samples, rotating its carrier m
+    by 2*pi*m*(delta*L)/N relative to the first — so the per-carrier ratio
+    Y2 * conj(Y1) has phase slope c = 2*pi*delta*L/N per carrier index,
+    exactly the per-symbol slope the data symbols will accumulate. The
+    adjacent-carrier differential averages the slope without phase
+    unwrapping. Returns c (radians per carrier index per symbol), 0 when
+    the preamble has no repeat.
+    """
+    if config.preamble_repeats < 2:
+        return jnp.zeros(samples.shape[:-1], jnp.float32)
+    pre = samples[..., : config.preamble_samples]
+    y = _extract_carriers(config, pre, config.preamble_repeats)
+    r = y[..., 1, :] * jnp.conj(y[..., 0, :])  # [..., C], phase = c*m
+    # coarse: adjacent-carrier differential (wrap-free but short-baseline,
+    # so noisy — each diff multiplies four noisy spectra)
+    d = r[..., 1:] * jnp.conj(r[..., :-1])  # phase = c, |d| = reliability
+    c0 = jnp.angle(jnp.sum(d, axis=-1)).astype(jnp.float32)
+    # refine: remove the coarse slope, then fit the small residual phases
+    # against the full absolute-carrier baseline (through the origin — a
+    # pure timing slip has exactly zero phase at DC). The long baseline
+    # cuts the estimator noise ~8x vs the differential alone.
+    m = (config.first_carrier + jnp.arange(config.n_carriers)).astype(jnp.float32)
+    phi = jnp.angle(r * jnp.exp(-1j * c0[..., None] * m))
+    w = jnp.abs(r)
+    num = jnp.sum(w * m * phi, axis=-1)
+    den = jnp.maximum(jnp.sum(w * m * m, axis=-1), 1e-20)
+    c = c0 + num / den
+    # Wrap gate: at low SNR the coarse estimate has heavy tails (measured
+    # errors of 0.07 rad at 6 dB); beyond ~pi/m_max the residual phases
+    # wrap and the refine locks onto garbage — which then costs far more
+    # than the drift it would correct (the error is amplified by (s+1)*m
+    # across the whole frame). The weighted residual coherence separates
+    # the two regimes cleanly: measured >= 0.91 on every sound estimate
+    # (6-24 dB, 0-400 ppm) and ~0 when wrapped, so a gate at 0.5-0.8
+    # passes all real measurements and zeroes the poison pills. A zeroed
+    # seed just means tracking no-ops for that frame.
+    resid = phi - (num / den)[..., None] * m
+    coh = jnp.sum(w * jnp.cos(resid), axis=-1) / jnp.maximum(
+        jnp.sum(w, axis=-1), 1e-20
+    )
+    gate = jnp.clip((coh - 0.5) / 0.3, 0.0, 1.0)
+    return (c * gate).astype(jnp.float32)
+
+
+def estimate_drift_ppm(config: OfdmConfig, samples: jnp.ndarray) -> jnp.ndarray:
+    """Sample-clock offset estimate (ppm) from an aligned frame's preamble."""
+    c = preamble_phase_slope(config, samples)
+    return c * config.n_fft / (2.0 * np.pi * config.symbol_samples) * 1e6
+
+
+def _phase_track(
+    config: OfdmConfig,
+    z_eq: jnp.ndarray,
+    weights: jnp.ndarray,
+    slope0: jnp.ndarray,
+) -> jnp.ndarray:
+    """Per-symbol derotation phasors for clock-drift compensation.
+
+    Data symbol s (0-based, pilot = s = -1) carries phase c*(s+1)*m across
+    absolute carrier index m = first_carrier + k, where c is the slope per
+    symbol (see preamble_phase_slope). Crystal drift is constant over a
+    frame, so instead of a sequential tracking loop (whose per-symbol
+    corrections inject measurement noise into the constellation), fit the
+    single parameter c to ALL symbols at once and iterate twice:
+
+      1. derotate by the current c (preamble seed first), hard-decide;
+      2. every point's residual phase angle(z*conj(decision)) measures
+         dc*(s+1)*m — small post-seed, so wrap-free;
+      3. weighted least-squares through the origin over the JOINT
+         (symbol x carrier) baseline updates c. The long lever arm — the
+         top carrier of the last symbol weighs (s_data+1)*m_max — makes
+         the fit an order of magnitude less noisy than the preamble seed,
+         so tracking costs almost nothing at zero drift.
+
+    The first iteration's decisions only need the seed to keep rotations
+    inside the decision region (QPSK tolerates 45 degrees even at the top
+    carrier); the second iteration re-decides with the refined line.
+    Fully parallel over symbols/carriers/streams — two elementwise
+    passes, no scan.
+
+    Returns unit phasors [..., S, C] to multiply into z (and z_eq).
+    """
+    m = (config.first_carrier + jnp.arange(config.n_carriers)).astype(jnp.float32)
+    s_data = z_eq.shape[-2]
+    sym = jnp.arange(1, s_data + 1, dtype=jnp.float32)  # pilot-relative index
+    c = slope0.astype(jnp.float32)[..., None, None]  # [..., 1, 1]
+    phase = sym[:, None] * m[None, :]  # [S, C] — (s+1)*m
+
+    for _ in range(2):
+        rot = jnp.exp(-1j * c * phase).astype(jnp.complex64)
+        zc = z_eq * rot
+        u = weights * zc * jnp.conj(_hard_decision(config, zc))
+        phi = jnp.angle(u)  # ~ dc*(s+1)*m per point, reliability |u|
+        wu = jnp.abs(u)
+        num = jnp.sum(wu * phase * phi, axis=(-2, -1))
+        den = jnp.maximum(jnp.sum(wu * phase * phase, axis=(-2, -1)), 1e-20)
+        c = c + (num / den)[..., None, None]
+
+    return jnp.exp(-1j * c * phase).astype(jnp.complex64)
 
 
 def _equalized_bits(config: OfdmConfig, samples: jnp.ndarray, s_data: int):
     """Aligned frame waveform -> (bits, llrs, z_eq) for ``s_data`` symbols.
 
     Shared front half of the fixed- and dynamic-length demodulators:
-    pilot channel estimate, one-tap equalization, Gray demapping.
+    pilot channel estimate, one-tap equalization, optional clock-drift
+    phase tracking, Gray demapping.
     """
     body = samples[..., config.preamble_samples :]
     carriers = _extract_carriers(config, body, 1 + s_data)
@@ -325,6 +488,11 @@ def _equalized_bits(config: OfdmConfig, samples: jnp.ndarray, s_data: int):
     z = carriers[..., 1:, :] * jnp.conj(h[..., None, :])  # matched equalization
     h_pow = jnp.maximum(jnp.abs(h[..., None, :]) ** 2, 1e-12)
     z_eq = z / h_pow  # unit-constellation symbol estimate
+    if config.clock_tracking:
+        slope0 = preamble_phase_slope(config, samples)
+        rot = _phase_track(config, z_eq, h_pow, slope0)  # [..., 1, C] weights
+        z = z * rot
+        z_eq = z_eq * rot
     if config.bits_per_carrier == 6:
         li = _pam8_llrs(jnp.real(z_eq), h_pow)
         lq = _pam8_llrs(jnp.imag(z_eq), h_pow)

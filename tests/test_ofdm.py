@@ -263,6 +263,135 @@ def test_qam64_llr_hard_decisions_match_constellation():
     assert np.array_equal(hard, codes)
 
 
+# --- sample-clock drift (speaker DAC vs mic ADC crystal offset) --------------
+
+
+def resample_ppm(x, ppm):
+    """Band-limited (sinc-exact) resample modeling a receiver whose ADC
+    clock differs by ``ppm`` parts per million: evaluates the DFT
+    interpolant of the waveform at sample times t*(1 + ppm*1e-6). Linear
+    interpolation is NOT a faithful model — its fractional-offset error
+    acts like phase noise an order of magnitude above the drift being
+    tested — while an ADC samples the continuous waveform exactly."""
+    x = np.asarray(x, np.float64)
+    n = len(x)
+    X = np.fft.rfft(x)
+    coef = X.copy()
+    coef[1:-1] *= 2
+    t = np.arange(int(n / (1 + ppm * 1e-6))) * (1 + ppm * 1e-6)
+    out = np.empty(len(t))
+    freqs = np.arange(len(X))
+    for i in range(0, len(t), 2048):
+        tt = t[i : i + 2048]
+        ph = np.exp(2j * np.pi * np.outer(tt, freqs) / n)
+        out[i : i + 2048] = (ph @ coef).real / n
+    return out.astype(np.float32)
+
+
+@pytest.mark.parametrize(
+    "cfg,snr_db",
+    [
+        (CFG, 16.0),
+        (dataclasses.replace(CFG, bits_per_carrier=4), 24.0),
+        (
+            dataclasses.replace(
+                CFG, bits_per_carrier=6, fec="conv", fec_interleave=32
+            ),
+            24.0,
+        ),
+    ],
+    ids=["qpsk", "qam16", "qam64-coded"],
+)
+def test_drift_decode_within_200ppm(cfg, snr_db):
+    """Every constellation decodes at +-200 ppm clock offset (typical
+    crystal tolerance is +-100 ppm per end): the preamble-seeded
+    phase-slope tracker (clock_tracking) plus the early-FFT-window timing
+    bias absorb both the accumulated per-symbol rotation and the window
+    slip. Without tracking, the top carriers rotate ~120 degrees by the
+    12th symbol at 200 ppm — far past any decision boundary."""
+    p = payload(256, seed=21)
+    w = np.asarray(ofdm.transmit(cfg, p))
+    for ppm in (200, -200):
+        x = resample_ppm(w, ppm)
+        cap = jnp.concatenate([jnp.zeros(500), jnp.asarray(x), jnp.zeros(800)])
+        noisy = awgn(jax.random.PRNGKey(1), cap, snr_db)
+        r = ofdm.receive_frame(cfg, noisy, 256)
+        assert bool(r.frame.ok), f"{ppm:+d} ppm failed"
+        assert np.array_equal(np.asarray(r.frame.payload), np.asarray(p))
+
+
+def test_drift_qpsk_tracks_to_400ppm():
+    p = payload(256, seed=22)
+    w = np.asarray(ofdm.transmit(CFG, p))
+    for ppm in (400, -400):
+        x = resample_ppm(w, ppm)
+        cap = jnp.concatenate([jnp.zeros(300), jnp.asarray(x), jnp.zeros(600)])
+        noisy = awgn(jax.random.PRNGKey(2), cap, 14.0)
+        r = ofdm.receive_frame(CFG, noisy, 256)
+        assert bool(r.frame.ok), f"{ppm:+d} ppm failed"
+
+
+def test_drift_untracked_fails():
+    """Sanity: the drift actually kills an untracked receiver (otherwise
+    the tracking tests prove nothing)."""
+    cfg = dataclasses.replace(CFG, clock_tracking=False)
+    p = payload(256, seed=23)
+    x = resample_ppm(np.asarray(ofdm.transmit(cfg, p)), 300)
+    cap = jnp.concatenate([jnp.zeros(500), jnp.asarray(x), jnp.zeros(800)])
+    r = ofdm.receive_frame(cfg, awgn(jax.random.PRNGKey(3), cap, 16.0), 256)
+    assert not bool(r.frame.ok)
+
+
+def test_drift_estimate_ppm():
+    """The Schmidl-Cox-style preamble estimator reads the clock offset
+    from one aligned frame to within ~15%."""
+    p = payload(128, seed=24)
+    w = np.asarray(ofdm.transmit(CFG, p))
+    for ppm in (0, 150, -150, 350):
+        est = float(ofdm.estimate_drift_ppm(CFG, jnp.asarray(resample_ppm(w, ppm))))
+        assert abs(est - ppm) < max(30.0, 0.15 * abs(ppm)), (ppm, est)
+
+
+def test_drift_zero_cost_when_clean():
+    """Tracking must not burn SNR margin when there is no drift: the
+    joint (symbol x carrier) least-squares fit has an order of magnitude
+    less noise than one preamble's estimate."""
+    cfg16 = dataclasses.replace(CFG, bits_per_carrier=4)
+    cfg16_off = dataclasses.replace(cfg16, clock_tracking=False)
+    p = payload(256, seed=25)
+    cap = jnp.concatenate([jnp.zeros(400), ofdm.transmit(cfg16, p), jnp.zeros(400)])
+    noisy = awgn(jax.random.PRNGKey(4), cap, 24.0)
+    on = float(ofdm.receive_frame(cfg16, noisy, 256).frame.snr_db)
+    off = float(ofdm.receive_frame(cfg16_off, noisy, 256).frame.snr_db)
+    assert on > off - 1.0, (on, off)
+
+
+def test_drift_multiframe_stream():
+    """Long-capture streaming under +-200 ppm drift: each frame is
+    re-acquired by its own preamble correlation (bounding inter-frame
+    timing error) and in-frame rotation is tracked, so every frame in a
+    multi-frame capture decodes."""
+    from anet.stream import receive_stream
+
+    rng = np.random.default_rng(26)
+    P = 200
+    payloads = [rng.integers(0, 256, P, dtype=np.uint8) for _ in range(3)]
+    for ppm in (200, -200):
+        parts = []
+        for g, p in zip((900, 1400, 777), payloads):
+            parts.append(np.zeros(g, np.float32))
+            parts.append(resample_ppm(np.asarray(ofdm.transmit(CFG, jnp.asarray(p))), ppm))
+        cap = np.concatenate(parts + [np.zeros(3000, np.float32)])
+        chunk = 512
+        cap = np.concatenate([cap, np.zeros((-len(cap)) % chunk, np.float32)])
+        noisy = awgn(jax.random.PRNGKey(5), jnp.asarray(cap), 16.0)
+        res = receive_stream(CFG, noisy, chunk, P)
+        assert int(res.carry.frames_ok) == 3, f"{ppm:+d} ppm"
+        det = np.nonzero(np.asarray(res.steps.detected))[0]
+        for j, i in enumerate(det):
+            assert np.array_equal(np.asarray(res.steps.frame.payload)[i], payloads[j])
+
+
 def test_qam64_coded_loopback_at_operating_snr():
     """ofdm-max decodes cleanly at its advertised 18 dB threshold + margin."""
     from anet.channel import awgn
