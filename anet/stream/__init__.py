@@ -20,9 +20,12 @@ the carry (playback_start_new_stream analog, playback.cpp:67-74).
 Detection model: each scan step appends one chunk to the buffer and
 examines the "just completed" window — frame start positions whose frame
 end arrived within the new chunk — so every frame is considered exactly
-once, at the earliest step where it is fully buffered. At most one frame is
-detected per chunk; choose chunk_size <= one frame length to guarantee no
-frame is skipped when frames do not overlap.
+once, at the earliest step where it is fully buffered. The fixed-length
+path detects at most one frame per chunk; choose chunk_size <= one frame
+length to guarantee no frame is skipped when frames do not overlap. The
+dynamic-length path additionally takes ``max_frames_per_chunk`` for
+streams whose frames can be much shorter than the max (each extra slot
+costs one more fixed demod per chunk).
 """
 
 from __future__ import annotations
@@ -172,8 +175,9 @@ def stream_step(
 
         if is_ofdm(config):
             raise ValueError(
-                "track=True applies to MFSK configs; OFDM absorbs timing "
-                "error in the cyclic prefix"
+                "track=True is the MFSK time-domain tracker; OFDM clock "
+                "drift is handled per-frame by OfdmConfig.clock_tracking "
+                "(default on)"
             )
         # include the margin tail: slow-clock frames stretch past t_frame
         aligned = _batched_dynamic_slice(
@@ -245,20 +249,20 @@ def load_carry(path) -> StreamCheckpoint:
         return StreamCheckpoint(carry=carry, pending=pending)
 
 
-def _find_candidate(
+def _slide_and_quality(
     carry: StreamCarry,
     chunk: jnp.ndarray,
     t_frame: int,
     template: jnp.ndarray,
     margin: int,
-    detect_threshold: float,
     compute_dtype=jnp.float32,
 ):
-    """Shared front half of the stream steps: slide the buffer, correlate
-    the preamble template over the just-completed window, and nominate at
-    most one candidate frame start per chunk.
+    """Slide the buffer one chunk and score every just-completed frame
+    start: positions whose nominal frame END arrived within the new chunk.
 
-    Returns (buffer, samples_seen, start_idx, start_abs, best_q, candidate).
+    Returns (buffer, samples_seen, w0, buffer_abs0, quality) where quality
+    is [..., chunk_size] — the normalized preamble match at starts
+    [w0, w0 + chunk_size) of the buffer.
     """
     chunk_size = chunk.shape[-1]
     k = template.shape[-1]
@@ -296,7 +300,27 @@ def _find_candidate(
     t_energy = jnp.sum(template * template)
     local_e = sliding_window_energy(seg_c, k)  # [..., chunk_size], f32
     quality = normalized_match_quality(corr, local_e, t_energy)
+    return buffer, samples_seen, w0, buffer_abs0, quality
 
+
+def _find_candidate(
+    carry: StreamCarry,
+    chunk: jnp.ndarray,
+    t_frame: int,
+    template: jnp.ndarray,
+    margin: int,
+    detect_threshold: float,
+    compute_dtype=jnp.float32,
+):
+    """Shared front half of the stream steps: slide the buffer, correlate
+    the preamble template over the just-completed window, and nominate at
+    most one candidate frame start per chunk.
+
+    Returns (buffer, samples_seen, start_idx, start_abs, best_q, candidate).
+    """
+    buffer, samples_seen, w0, buffer_abs0, quality = _slide_and_quality(
+        carry, chunk, t_frame, template, margin, compute_dtype
+    )
     best_rel = jnp.argmax(quality, axis=-1).astype(jnp.int32)
     # max == quality[argmax]; a one-element lane gather is scalar-core
     # work on TPU, the reduction is free on the VPU.
@@ -336,6 +360,7 @@ def stream_step_dynamic(
     max_payload_len: int,
     detect_threshold: float = DEFAULT_DETECT_THRESHOLD,
     compute_dtype=jnp.float32,
+    max_frames_per_chunk: int = 1,
 ) -> Tuple[StreamCarry, DynamicStreamStepOutput]:
     """stream_step with the payload length read from each frame's header.
 
@@ -346,6 +371,18 @@ def stream_step_dynamic(
     least one chunk both decode. init_carry with payload_len =
     max_payload_len. Uncoded configs only.
 
+    ``max_frames_per_chunk``: how many non-overlapping candidates to
+    extract per chunk. The default 1 costs one demod per chunk but can
+    drop one of two SHORT frames whose (max-length) detection windows
+    complete within the same chunk; set 2 (or more) when frames can be
+    much shorter than ``max_payload_len`` relative to the chunk size —
+    each extra slot adds one fixed-cost demod per chunk. Candidates are
+    extracted best-quality-first and masked against each accepted frame's
+    actual extent, so the per-step emissions are in quality order, not
+    time order (sort by ``frame_start`` downstream if order matters).
+    With K > 1 every field of the step output gains a leading axis of
+    size K.
+
     A frame whose header declares a length above ``max_payload_len`` is
     skipped silently (its header gate fails ``length_ok``); later frames
     in the stream are unaffected.
@@ -355,32 +392,74 @@ def stream_step_dynamic(
 
     t_max = frame_samples(config, max_payload_len)
     template = family_geometry(config, max_payload_len, compute_dtype)[1]
-    buffer, samples_seen, start_idx, start_abs, best_q, candidate = _find_candidate(
-        carry, chunk, t_max, template, 0, detect_threshold, compute_dtype
+    buffer, samples_seen, w0, buffer_abs0, quality = _slide_and_quality(
+        carry, chunk, t_max, template, 0, compute_dtype
     )
-    aligned = _batched_dynamic_slice(buffer, start_idx, t_max, compute_dtype)
-    frame = aligned_demod_dynamic_fn(config, max_payload_len, compute_dtype)(aligned)
-    # The header gate (magic + CRC, 48 bits) also vouches for the declared
-    # length, so the dedupe cursor can trust it.
-    detected = candidate & frame.magic_ok & frame.header_crc_ok & frame.length_ok
-    frame = frame._replace(ok=frame.ok & detected)
-    t_actual = dynamic_frame_samples(config, frame.payload_len)
+    demod = aligned_demod_dynamic_fn(config, max_payload_len, compute_dtype)
+    chunk_size = chunk.shape[-1]
+    rel_grid = jnp.arange(chunk_size, dtype=jnp.int32)
+    pos_abs = buffer_abs0[..., None] + w0 + rel_grid  # abs start per position
+
+    last_end = carry.last_frame_end
+    detected_n = jnp.zeros_like(carry.frames_detected)
+    ok_n = jnp.zeros_like(carry.frames_ok)
+    err_n = jnp.zeros_like(carry.decode_errors)
+    # accepted intervals so far this chunk, for exact overlap gating
+    accepted: list = []  # (start_abs, end_abs, detected) triples
+    outs: list = []
+
+    for _slot in range(max_frames_per_chunk):
+        best_rel = jnp.argmax(quality, axis=-1).astype(jnp.int32)
+        best_q = jnp.max(quality, axis=-1)
+        start_idx = w0 + best_rel
+        start_abs = buffer_abs0 + start_idx
+        candidate = (best_q >= detect_threshold) & (start_abs >= carry.last_frame_end)
+        aligned = _batched_dynamic_slice(buffer, start_idx, t_max, compute_dtype)
+        frame = demod(aligned)
+        # The header gate (magic + CRC, 48 bits) also vouches for the
+        # declared length, so the dedupe cursor can trust it.
+        detected = candidate & frame.magic_ok & frame.header_crc_ok & frame.length_ok
+        t_actual = dynamic_frame_samples(config, frame.payload_len)
+        end_abs = start_abs + t_actual
+        # Exact interval check against every frame already accepted this
+        # chunk: candidates are picked in QUALITY order, so this one may
+        # precede an accepted frame in time — its end must then clear
+        # that frame's start.
+        for a_start, a_end, a_det in accepted:
+            clear = jnp.where(start_abs < a_start, end_abs <= a_start, start_abs >= a_end)
+            detected = detected & (clear | ~a_det)
+        frame = frame._replace(ok=frame.ok & detected)
+        accepted.append((start_abs, end_abs, detected))
+        last_end = jnp.maximum(last_end, jnp.where(detected, end_abs, carry.last_frame_end))
+        detected_n = detected_n + detected.astype(jnp.int32)
+        ok_n = ok_n + frame.ok.astype(jnp.int32)
+        err_n = err_n + (detected & ~frame.ok).astype(jnp.int32)
+        outs.append(
+            DynamicStreamStepOutput(
+                frame=frame, detected=detected, quality=best_q, frame_start=start_abs
+            )
+        )
+        if _slot + 1 < max_frames_per_chunk:
+            # Mask this frame's extent (when accepted) plus the picked
+            # position itself, then go again for the next-best candidate.
+            covered = detected[..., None] & (pos_abs >= start_abs[..., None]) & (
+                pos_abs < end_abs[..., None]
+            )
+            picked = rel_grid == best_rel[..., None]
+            quality = jnp.where(covered | picked, -jnp.inf, quality)
 
     new_carry = StreamCarry(
         buffer=buffer,
         samples_seen=samples_seen,
-        last_frame_end=jnp.where(
-            detected, start_abs + t_actual, carry.last_frame_end
-        ),
-        frames_detected=carry.frames_detected + detected.astype(jnp.int32),
-        frames_ok=carry.frames_ok + frame.ok.astype(jnp.int32),
-        decode_errors=carry.decode_errors
-        + (detected & ~frame.ok).astype(jnp.int32),
+        last_frame_end=last_end,
+        frames_detected=carry.frames_detected + detected_n,
+        frames_ok=carry.frames_ok + ok_n,
+        decode_errors=carry.decode_errors + err_n,
     )
-    out = DynamicStreamStepOutput(
-        frame=frame, detected=detected, quality=best_q, frame_start=start_abs
-    )
-    return new_carry, out
+    if max_frames_per_chunk == 1:
+        return new_carry, outs[0]
+    stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs, 0), *outs)
+    return new_carry, stacked
 
 
 def receive_stream_dynamic(
@@ -391,11 +470,15 @@ def receive_stream_dynamic(
     detect_threshold: float = DEFAULT_DETECT_THRESHOLD,
     carry: StreamCarry | None = None,
     compute_dtype=jnp.float32,
+    max_frames_per_chunk: int = 1,
 ) -> StreamResult:
     """receive_stream with per-frame payload lengths from the headers.
 
     The capture must extend a max-length frame past the last frame start
     (pad with zeros) — detection fires once a full max window is buffered.
+    ``max_frames_per_chunk > 1`` decodes that many non-overlapping frames
+    per chunk (see stream_step_dynamic) — the steps then carry a per-chunk
+    candidate axis: steps.detected is [num_chunks, K, ...].
     """
     n = capture.shape[-1]
     if n % chunk_size:
@@ -413,7 +496,13 @@ def receive_stream_dynamic(
 
     def step(c, chunk):
         return stream_step_dynamic(
-            config, c, chunk, max_payload_len, detect_threshold, compute_dtype
+            config,
+            c,
+            chunk,
+            max_payload_len,
+            detect_threshold,
+            compute_dtype,
+            max_frames_per_chunk,
         )
 
     final_carry, outs = jax.lax.scan(step, carry, chunks)

@@ -141,6 +141,73 @@ def test_stream_dynamic_mixed_lengths():
         assert np.array_equal(payloads[i, : len(p)], p)
 
 
+def test_stream_dynamic_two_short_frames_one_chunk():
+    """Two SHORT frames whose max-length detection windows complete within
+    the same chunk: the single-candidate default keeps only the better
+    match, max_frames_per_chunk=2 decodes both (each extra slot is one
+    more fixed-cost demod per chunk)."""
+    rng = np.random.default_rng(8)
+    pays = [rng.integers(0, 256, 8, np.uint8) for _ in range(2)]
+    waves = [np.asarray(transmit(CFG, jnp.asarray(p))) for p in pays]
+    t_max = frame_samples(CFG, MAX)
+    chunk = 8192
+    gap = 100
+    # place both frames' (start + t_max) completion points inside ONE chunk
+    lead = chunk - (t_max - 1) % chunk + 100
+    starts = [lead, lead + len(waves[0]) + gap]
+    assert (starts[0] + t_max - 1) // chunk == (starts[1] + t_max - 1) // chunk
+    cap = np.concatenate(
+        [
+            np.zeros(lead, np.float32),
+            waves[0],
+            np.zeros(gap, np.float32),
+            waves[1],
+            np.zeros(t_max + 600, np.float32),
+        ]
+    )
+    cap = np.concatenate([cap, np.zeros((-len(cap)) % chunk, np.float32)])
+
+    r1 = receive_stream_dynamic(CFG, jnp.asarray(cap), chunk, MAX)
+    assert int(r1.carry.frames_ok) == 1  # the documented one-per-chunk limit
+
+    r2 = receive_stream_dynamic(
+        CFG, jnp.asarray(cap), chunk, MAX, max_frames_per_chunk=2
+    )
+    assert int(r2.carry.frames_ok) == 2
+    assert int(r2.carry.decode_errors) == 0
+    det = np.asarray(r2.steps.detected)  # [num_chunks, K]
+    assert det.sum() == 2
+    got_starts = sorted(np.asarray(r2.steps.frame_start)[det].tolist())
+    assert got_starts == starts
+    # payloads recovered, matched to their time order
+    frames = np.asarray(r2.steps.frame.payload)[det]
+    order = np.argsort(np.asarray(r2.steps.frame_start)[det])
+    for p, i in zip(pays, order):
+        assert np.array_equal(frames[i, : len(p)], p)
+
+
+def test_stream_dynamic_multi_candidate_no_double_count():
+    """K=2 on a stream of well-separated frames must not double-detect:
+    the second slot's candidates are masked by the first's extent and the
+    header gate rejects sidelobes."""
+    rng = np.random.default_rng(9)
+    pays = [rng.integers(0, 256, n, np.uint8) for n in (40, 200, 12)]
+    t_max = frame_samples(CFG, MAX)
+    parts = []
+    for gapn, p in zip((700, 900, 1100), pays):
+        parts += [np.zeros(gapn, np.float32), np.asarray(transmit(CFG, jnp.asarray(p)))]
+    parts.append(np.zeros(t_max + 500, np.float32))
+    cap = np.concatenate(parts)
+    chunk = 1024
+    cap = np.concatenate([cap, np.zeros((-len(cap)) % chunk, np.float32)])
+    res = receive_stream_dynamic(
+        CFG, jnp.asarray(cap), chunk, MAX, max_frames_per_chunk=2
+    )
+    assert int(res.carry.frames_ok) == 3
+    assert int(res.carry.frames_detected) == 3
+    assert int(res.carry.decode_errors) == 0
+
+
 def test_stream_dynamic_resume_checkpoint():
     """Splitting the capture across two calls with a carried checkpoint
     decodes the same frames as one call."""
