@@ -107,7 +107,9 @@ def _cmd_rx(args) -> int:
     try:
         while True:
             time.sleep(args.status_interval)
-            print(json.dumps(receiver.status()["modules"]))
+            # one coherent observability line: counters + gauges + modules
+            # (the network_get_state surface, network.cpp:590-605)
+            print(json.dumps(receiver.metrics_snapshot()))
     except KeyboardInterrupt:
         pass
     finally:
@@ -476,7 +478,14 @@ def _cmd_models(args) -> int:
 def _cmd_bench(args) -> int:
     import bench
 
-    bench.main()
+    if getattr(args, "trace", None):
+        from anet.obs.profiling import device_trace
+
+        with device_trace(args.trace):
+            bench.main()
+        print(f"# trace written to {args.trace} (tensorboard --logdir)", file=sys.stderr)
+    else:
+        bench.main()
     return 0
 
 
@@ -569,6 +578,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.set_defaults(fn=_cmd_models)
 
     p = sub.add_parser("bench", help="run the throughput benchmark")
+    p.add_argument(
+        "--trace",
+        metavar="DIR",
+        help="capture a jax.profiler trace of the bench into DIR",
+    )
     p.set_defaults(fn=_cmd_bench)
     return parser
 

@@ -16,6 +16,7 @@ from anet.codec import opus_version
 from anet.config import ReceiverConfig
 from anet.net.discovery import DiscoveryResponder
 from anet.net.server import AudioStreamServer
+from anet.obs.metrics import MetricsRegistry
 from anet.proto import DiscoveryResponse
 from anet.rx.playback import PlaybackPipeline, PlaybackSink
 from anet.rx.runtime import Module, ReceiverRuntime
@@ -49,9 +50,11 @@ class NetworkModule(Module):
         config: ReceiverConfig,
         pipeline: PlaybackPipeline,
         streaming_flag_in_discovery: bool = True,
+        frame_sink=None,
     ) -> None:
         self.config = config
         self.pipeline = pipeline
+        self._frame_sink = frame_sink or pipeline.queue_frame
         self._streaming = False
         self._streaming_in_discovery = streaming_flag_in_discovery
         self.responder: Optional[DiscoveryResponder] = None
@@ -72,7 +75,7 @@ class NetworkModule(Module):
     def initialize(self, runtime: ReceiverRuntime) -> None:
         self.server = AudioStreamServer(
             identity=self.identity(),
-            frame_sink=self.pipeline.queue_frame,
+            frame_sink=self._frame_sink,
             on_new_stream=self._on_new_stream,
             on_stream_end=self._on_stream_end,
             port=self.config.tcp_audio_port,
@@ -122,21 +125,39 @@ class AnetReceiver:
         self,
         sink: PlaybackSink,
         config: Optional[ReceiverConfig] = None,
+        metrics: Optional[MetricsRegistry] = None,
     ) -> None:
         self.config = config or ReceiverConfig()
+        self.metrics = metrics or MetricsRegistry()
         self.pipeline = PlaybackPipeline(
             sink,
             queue_depth=self.config.queue_depth,
             feedback=self._feedback,
         )
-        self.network = NetworkModule(self.config, self.pipeline)
+        self.network = NetworkModule(
+            self.config, self.pipeline, frame_sink=self._ingest_frame
+        )
         self.runtime = (
             ReceiverRuntime()
             .register(PlaybackModule(self.pipeline))
             .register(self.network)
         )
 
+    def _ingest_frame(self, frame: bytes) -> bool:
+        """Network -> playback handoff, counted (network.cpp:409-430's
+        per-frame path; the counters generalize network_get_state)."""
+        self.metrics.count("frames_received")
+        self.metrics.count("bytes_received", len(frame))
+        ok = self.pipeline.queue_frame(frame)
+        if not ok:
+            self.metrics.count("frames_dropped_queue_full")
+        return ok
+
     def _feedback(self, underflow: bool, decode_error: bool) -> None:
+        if underflow:
+            self.metrics.count("underflows_fed_back")
+        if decode_error:
+            self.metrics.count("decode_errors_fed_back")
         self.network.send_feedback(underflow, decode_error)
 
     def start(self) -> "AnetReceiver":
@@ -148,6 +169,23 @@ class AnetReceiver:
 
     def status(self) -> Dict:
         return self.runtime.status()
+
+    def metrics_snapshot(self) -> Dict:
+        """One coherent observability snapshot: host counters (frames,
+        bytes, feedback events) plus live gauges sampled from every module
+        — the receiver-state surface the firmware spreads across
+        network_get_state (network.cpp:590-605), the LED poll, and
+        Serial.printf counters, in one JSON-able dict."""
+        ps = self.pipeline.status()
+        ns = self.network.status()
+        self.metrics.gauge("queued_frames", ps["queued_frames"])
+        self.metrics.gauge("avg_decode_ms", ps["avg_decode_ms"])
+        self.metrics.gauge("frames_played", ps["frames_played"])
+        self.metrics.gauge("streaming", int(ns["streaming"]))
+        self.metrics.gauge("streams_served", ns["streams_served"])
+        snap = self.metrics.snapshot()
+        snap["modules"] = self.status()["modules"]
+        return snap
 
     def __enter__(self) -> "AnetReceiver":
         return self.start()

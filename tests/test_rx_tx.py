@@ -252,6 +252,15 @@ def test_end_to_end_transmit_receive_with_feedback():
         while stats.underflows_reported < 1 and time.monotonic() < deadline:
             time.sleep(0.02)
         assert stats.underflows_reported >= 1
+        # the observability surface saw the whole session: ingest counters,
+        # feedback events, and live gauges in one snapshot
+        snap = rx.metrics_snapshot()
+        assert snap["counters"]["frames_received"] == 9
+        assert snap["counters"]["bytes_received"] > 0
+        assert snap["counters"]["underflows_fed_back"] >= 1
+        assert snap["gauges"]["frames_played"] == 9
+        assert snap["gauges"]["streams_served"] == 1
+        assert "playback" in snap["modules"] and "network" in snap["modules"]
         out.close()
     assert len(sink.data) == 9 * constants.MAX_DECODED_FRAME_SIZE
 
@@ -374,3 +383,58 @@ def test_fanout_survives_one_dead_receiver():
         assert len(out.receivers) == 1
         assert len(got) == 17  # 1 s at 60 ms frames + final pad
         out.close()
+
+
+@needs_opus
+def test_dead_receiver_reconnects_and_session_resumes():
+    """Kill a receiver mid-stream, restart it, and observe the session resume
+    without operator action — the firmware recovery behavior
+    (network.cpp:437-446, retry bursts + cooldown per network.hpp:7-8),
+    which the reference transmitter itself never had."""
+    from anet.net.server import AudioStreamServer
+    from anet.proto import DiscoveryResponse
+    from anet.tx import MulticastAudioOutput, pcm_bytes
+
+    ident = lambda n: DiscoveryResponse(1, 1, n, False, "libopus")
+    got_stable, got_flaky = [], []
+    with AudioStreamServer(ident("stable"), frame_sink=got_stable.append, port=0) as stable:
+        flaky = AudioStreamServer(ident("flaky"), frame_sink=got_flaky.append, port=0).start()
+        flaky_port = flaky.bound_port
+        out = MulticastAudioOutput(
+            AudioFormat(48_000, 1), paced=False, reconnect_cooldown_s=0.05
+        )
+        out.add_receiver("127.0.0.1", stable.bound_port)
+        out.add_receiver("127.0.0.1", flaky_port)
+        frame_ms = out.encoder.frame_duration_ms
+        n = int(48 * frame_ms)  # one frame of mono samples
+        pcm = pcm_bytes(np.zeros(n, np.int16).reshape(-1, 1))
+        out.write(pcm)
+        flaky.stop()  # receiver dies mid-session
+        # drive sends until the dead sink is detected and dropped
+        deadline = time.monotonic() + 5
+        while len(out.receivers) > 1 and time.monotonic() < deadline:
+            out.write(pcm)
+            time.sleep(0.01)
+        assert len(out.receivers) == 1
+        # receiver comes back on the same endpoint (SO_REUSEADDR)
+        flaky2 = AudioStreamServer(
+            ident("flaky"), frame_sink=got_flaky.append, port=flaky_port
+        ).start()
+        try:
+            # the background ReconnectPolicy re-establishes the session
+            while len(out.receivers) < 2 and time.monotonic() < deadline:
+                time.sleep(0.02)
+            assert len(out.receivers) == 2, "reconnect did not rejoin the fan-out"
+            before = len(got_flaky)
+            for _ in range(3):
+                out.write(pcm)
+            while len(got_flaky) < before + 3 and time.monotonic() < deadline:
+                time.sleep(0.02)
+            assert len(got_flaky) >= before + 3  # frames flow to the revived sink
+            # accumulated stats survived the outage (same endpoint, same counter)
+            revived = [r for r in out.receivers if r.port == flaky_port][0]
+            assert out.stats(revived).frames_sent > 3
+        finally:
+            out.close()
+            flaky2.stop()
+    assert len(got_stable) > len(got_flaky)  # the stable sink never missed a frame
