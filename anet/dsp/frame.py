@@ -193,6 +193,77 @@ def demodulate_frame(
     return frame_result_from_decisions(config, symbols, energies, payload_len)
 
 
+def demodulate_frame_tm(
+    config: ModemConfig,
+    samples_tm: jnp.ndarray,
+    payload_len: int,
+    *,
+    compute_dtype=jnp.bfloat16,
+    use_pallas: bool = True,
+    interpret: bool = False,
+) -> FrameResult:
+    """demodulate_frame for TIME-MAJOR input: samples_tm is [T, B] with the
+    stream batch in the minor dimension (the natural layout for sample-
+    interleaved multi-stream ingest, and the fast one on TPU).
+
+    Why a layout variant exists at all: the batch-major [B, T] ->
+    [B, S, sps] symbol split forces a lane-dimension relayout that
+    measures ~30% of the whole receiver's runtime on a v5e (docs/PERF.md).
+    Time-major makes the same split a major-dimension view — no data
+    movement — and flips every reduction in the filterbank onto the cheap
+    sublane axis. With the fused Pallas kernel (anet.kernels
+    decide_tones_tm) the aligned receiver measures 2x the batch-major
+    path. Only the per-symbol decisions and two quality scalars cross back
+    to batch-major (1/64th of the input), where the shared frame parser
+    finishes the job.
+
+    Coded (fec='conv') configs need full per-tone energies for soft
+    decisions; they take the jnp path and transpose the energies (1/4 of
+    the input — still cheaper than relayouting the input itself).
+    """
+    from anet.dsp.bits import gray_decode
+    from anet.dsp.demod import bit_llrs, demod_basis
+
+    sps = config.samples_per_symbol
+    m = config.num_tones
+    data = samples_tm[config.preamble_symbols * sps :, :]
+    s = data.shape[0] // sps
+    b = data.shape[1]
+    llrs = None
+    if config.fec == "conv" or not use_pallas:
+        # Golden jnp path (any backend); also the coded path: full
+        # energies in time-major, then one small transpose for the LLRs.
+        w = data[: s * sps].reshape(s, sps, b).astype(compute_dtype)
+        basis_t = demod_basis(config, dtype=compute_dtype).T  # [2M, sps]
+        iq = jnp.einsum(
+            "mk,skb->smb", basis_t, w, preferred_element_type=jnp.float32
+        )
+        e = jnp.square(iq[:, :m]) + jnp.square(iq[:, m:])  # [S, M, B]
+        tone = jnp.argmax(e, axis=1).astype(jnp.int32)  # [S, B]
+        best = jnp.max(e, axis=1)
+        total = jnp.sum(e, axis=1)
+        if config.fec == "conv":
+            llrs = bit_llrs(config, jnp.moveaxis(e, -1, 0))  # [B, S*bps]
+    else:
+        from anet.kernels import decide_tones_tm
+
+        tone, best, total = decide_tones_tm(
+            config, data, compute_dtype=compute_dtype, interpret=interpret
+        )
+    # Quality metrics reduce over the symbol (major) axis while still
+    # time-major; only [B]-vectors and the [S, B] decisions transpose.
+    confidence = jnp.mean(best / jnp.maximum(total, 1e-20), axis=0)
+    rest = (total - best) / (m - 1)
+    sig = jnp.mean(best, axis=0)
+    noise = jnp.maximum(jnp.mean(rest, axis=0), jnp.float32(1e-20))
+    snr_db = 10.0 * jnp.log10(jnp.maximum(sig / noise - 1.0, jnp.float32(1e-6)))
+    symbols = gray_decode(tone.T, config.bits_per_symbol)  # [B, S]
+    bits = unpack_symbols(symbols, config.bits_per_symbol)
+    return frame_result_from_bits(
+        config, bits, payload_len, llrs=llrs, confidence=confidence, snr_db=snr_db
+    )
+
+
 def frame_result_from_decisions(
     config: ModemConfig,
     symbols: jnp.ndarray,

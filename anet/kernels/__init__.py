@@ -24,9 +24,21 @@ from jax.experimental.pallas import tpu as pltpu
 from anet.dsp.demod import demod_basis
 from anet.dsp.params import ModemConfig
 
-__all__ = ["tone_energies_fused", "decide_tones_fused", "SYMBOL_TILE"]
+__all__ = [
+    "tone_energies_fused",
+    "decide_tones_fused",
+    "decide_tones_tm",
+    "SYMBOL_TILE",
+    "TM_SYMBOL_TILE",
+    "TM_LANE_TILE",
+]
 
 SYMBOL_TILE = 512  # symbols per grid step; 512 x 64 f32 window tile = 128 KiB
+
+# Time-major kernel tiling: SB symbols x Bt streams per grid step.
+# 8 x 2048 puts a [512, 2048] bf16 window block (2 MiB) in VMEM.
+TM_SYMBOL_TILE = 8
+TM_LANE_TILE = 2048
 
 
 def _energy_kernel(windows_ref, basis_ref, out_ref, *, num_tones: int):
@@ -187,3 +199,102 @@ def decide_tones_fused(
         best[:t, 0].reshape(shape),
         total[:t, 0].reshape(shape),
     )
+
+
+def _decide_tm_kernel(
+    basis_ref, w_ref, tone_ref, best_ref, total_ref, *, num_tones: int, sps: int, sb: int
+):
+    """Time-major fused decision: [SB*sps, Bt] window block in, per-symbol
+    (tone, best, total) out, everything between in VMEM.
+
+    Layout is the whole trick (and why this kernel WINS where the
+    batch-major attempts in round 1 lost): streams live in the lane
+    dimension, so the [2M, Bt] I/Q block keeps full 128-lane tiles, the
+    argmax/max/sum run across SUBLANES (cheap VPU tree) instead of lanes,
+    and the [S, sps] symbol split of the input is a major-dimension view —
+    no lane relayout anywhere. Measured 95.5 Gsamples/s end-to-end via
+    bench.py vs 59 for the best unfused time-major XLA form and 46.6 for
+    the round-1 batch-major path (B=16384, mfsk16-fast): the [S, 2M, B]
+    f32 I/Q intermediate (1.2 GB) never touches HBM, so the kernel runs
+    at roughly the cost of reading the bf16 capture once (docs/PERF.md).
+    """
+    b = basis_ref[...]  # [2M, sps]
+    for s in range(sb):
+        w = w_ref[s * sps : (s + 1) * sps, :]  # [sps, Bt]
+        iq = jax.lax.dot_general(
+            b, w, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )  # [2M, Bt] — MXU
+        i, q = iq[:num_tones], iq[num_tones:]
+        e = i * i + q * q  # [M, Bt]
+        tone_ref[s, :] = jnp.argmax(e, axis=0).astype(jnp.int32)
+        best_ref[s, :] = jnp.max(e, axis=0)
+        total_ref[s, :] = jnp.sum(e, axis=0)
+
+
+@functools.partial(
+    jax.jit, static_argnums=(0,), static_argnames=("compute_dtype", "interpret")
+)
+def decide_tones_tm(
+    config: ModemConfig,
+    data_tm: jnp.ndarray,
+    *,
+    compute_dtype=jnp.bfloat16,
+    interpret: bool = False,
+):
+    """Time-major fused symbol decision.
+
+    Args:
+      data_tm: float [S * sps, B] — symbol-aligned data section with TIME
+        leading and the stream batch in the minor (lane) dimension. This
+        is the natural layout for multi-stream audio ingest (sample-
+        interleaved) and the fast one on TPU: splitting time into symbols
+        is then a major-dim reshape, free of lane relayouts.
+    Returns:
+      (tone int32 [S, B], best float32 [S, B], total float32 [S, B]).
+    """
+    sps = config.samples_per_symbol
+    m = config.num_tones
+    t, b = data_tm.shape
+    s = t // sps
+    sb = TM_SYMBOL_TILE
+    s_pad = -s % sb
+    # Lane tile: full TM_LANE_TILE when the batch allows, else the batch
+    # itself padded up to a lane multiple (small/CPU cases).
+    bt = TM_LANE_TILE if b >= TM_LANE_TILE else -(-b // 128) * 128
+    b_pad = -b % bt
+    w = data_tm[: s * sps].astype(compute_dtype)
+    if s_pad or b_pad:
+        w = jnp.pad(w, ((0, s_pad * sps), (0, b_pad)))
+    sp, bp = s + s_pad, b + b_pad
+    basis = demod_basis(config, dtype=compute_dtype).T  # [2M, sps]
+
+    grid = (sp // sb, bp // bt)
+    tone, best, total = pl.pallas_call(
+        functools.partial(_decide_tm_kernel, num_tones=m, sps=sps, sb=sb),
+        out_shape=(
+            jax.ShapeDtypeStruct((sp, bp), jnp.int32),
+            jax.ShapeDtypeStruct((sp, bp), jnp.float32),
+            jax.ShapeDtypeStruct((sp, bp), jnp.float32),
+        ),
+        grid_spec=pl.GridSpec(
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((2 * m, sps), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec(
+                    (sb * sps, bt), lambda i, j: (i, j), memory_space=pltpu.VMEM
+                ),
+            ],
+            out_specs=(
+                pl.BlockSpec((sb, bt), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+                pl.BlockSpec((sb, bt), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+                pl.BlockSpec((sb, bt), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+            ),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * sp * sps * 2 * m * bp,
+            bytes_accessed=sp * sps * bp * w.dtype.itemsize + sp * bp * 12,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(basis, w)
+    return tone[:s, :b], best[:s, :b], total[:s, :b]

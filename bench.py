@@ -115,13 +115,22 @@ def main() -> None:
     from anet.models import get_model
 
     backend = jax.default_backend()
-    # The plain XLA path currently outperforms the Pallas kernel on this
-    # pipeline (XLA fuses the epilogue bit-ops across the matmul better);
-    # opt in to the kernel with ANET_BENCH_PALLAS=1.
+    # Layouts: "tm" (default for MFSK) demodulates TIME-MAJOR [T, B] input
+    # — the natural layout for sample-interleaved multi-stream ingest —
+    # through the fused Pallas kernel (anet.kernels.decide_tones_tm):
+    # measured ~2x the batch-major path on a v5e (the [B,S,sps] symbol
+    # split's lane relayout and the I/Q HBM round-trip both vanish; see
+    # docs/PERF.md). "bm" forces the round-1 batch-major path;
+    # ANET_BENCH_PALLAS=1 selects the batch-major fused kernel with it.
     use_pallas = bool(os.environ.get("ANET_BENCH_PALLAS"))
 
     model = os.environ.get("ANET_BENCH_MODEL", "mfsk16-fast")
     cfg = get_model(model).config
+    layout = os.environ.get(
+        "ANET_BENCH_LAYOUT", "bm" if family.is_ofdm(cfg) else "tm"
+    )
+    if family.is_ofdm(cfg):
+        layout = "bm"  # OFDM demod is FFT-bound; no tm variant
     payload_len = int(os.environ.get("ANET_BENCH_PAYLOAD", "256"))
     # 16384 streams ~fills the v5e MXU pipeline (45+ Gsamples/s vs ~35 at
     # 4096) while keeping the input under 2.5 GB of HBM; 32768 adds only
@@ -136,6 +145,8 @@ def main() -> None:
     waves = jax.jit(tx)(payloads)
     if not family.is_ofdm(cfg):
         waves = waves.astype(jnp.bfloat16)
+    if layout == "tm":
+        waves = jax.jit(lambda x: x.T)(waves)  # one-time ingest layout, not timed
     waves.block_until_ready()
 
     if use_pallas and family.is_ofdm(cfg):
@@ -144,7 +155,15 @@ def main() -> None:
             file=sys.stderr,
         )
         use_pallas = False
-    if use_pallas:
+    if layout == "tm":
+        from anet.dsp.frame import demodulate_frame_tm
+
+        on_cpu = jax.default_backend() == "cpu"
+        demod = lambda w: demodulate_frame_tm(
+            cfg, w, payload_len, compute_dtype=jnp.bfloat16,
+            use_pallas=not on_cpu,
+        )
+    elif use_pallas:
         demod = lambda w: demodulate_frame(
             cfg, w, payload_len, compute_dtype=jnp.bfloat16, use_pallas=True
         )
@@ -180,7 +199,8 @@ def main() -> None:
         "vs_baseline": round(msamples_s / BASELINE_MSAMPLES_S, 1),
         "details": {
             "backend": backend,
-            "pallas": use_pallas,
+            "layout": layout,
+            "pallas": use_pallas or layout == "tm",
             "batch_streams": batch,
             "payload_bytes": payload_len,
             "frame_samples": t_frame,

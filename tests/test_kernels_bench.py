@@ -87,6 +87,71 @@ def test_decide_tones_fused_interpret():
     assert np.all(np.asarray(best) <= np.asarray(total) + 1e-3)
 
 
+def test_decide_tones_tm_interpret():
+    """Time-major fused kernel (interpret) matches the jnp filterbank,
+    including symbol-tile and lane padding (odd S, B not a lane multiple)."""
+    from anet.kernels import decide_tones_tm
+
+    rng = np.random.default_rng(4)
+    B, S = 5, 27  # S % 8 != 0, B % 128 != 0 — both pad paths
+    syms = jnp.asarray(rng.integers(0, CFG.num_tones, (B, S)))
+    wave = modulate_symbols(CFG, syms) + jnp.asarray(
+        0.05 * rng.normal(size=(B, S * CFG.samples_per_symbol)).astype(np.float32)
+    )
+    e = tone_energies(CFG, wave)  # [B, S, M]
+    tone, best, total = decide_tones_tm(
+        CFG, wave.T, compute_dtype=jnp.float32, interpret=True
+    )
+    assert np.array_equal(np.asarray(tone.T), np.asarray(jnp.argmax(e, axis=-1)))
+    np.testing.assert_allclose(
+        np.asarray(best.T), np.asarray(jnp.max(e, axis=-1)), rtol=1e-5, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(total.T), np.asarray(jnp.sum(e, axis=-1)), rtol=1e-5, atol=1e-4
+    )
+
+
+def test_demodulate_frame_tm_matches_batch_major():
+    """The time-major frame demodulator (jnp and interpret-kernel paths)
+    produces byte-identical results to demodulate_frame."""
+    from anet.channel import awgn
+    from anet.dsp.frame import demodulate_frame, demodulate_frame_tm, modulate_frame
+
+    rng = np.random.default_rng(5)
+    p = jnp.asarray(rng.integers(0, 256, (4, 96), np.uint8))
+    noisy = awgn(jax.random.PRNGKey(3), modulate_frame(CFG, p), 8.0)
+    r_bm = demodulate_frame(CFG, noisy, 96)
+    r_tm = demodulate_frame_tm(
+        CFG, noisy.T, 96, compute_dtype=jnp.float32, use_pallas=False
+    )
+    r_tk = demodulate_frame_tm(
+        CFG, noisy.T, 96, compute_dtype=jnp.float32, use_pallas=True, interpret=True
+    )
+    for r in (r_tm, r_tk):
+        assert np.array_equal(np.asarray(r.payload), np.asarray(r_bm.payload))
+        assert np.array_equal(np.asarray(r.ok), np.asarray(r_bm.ok))
+        np.testing.assert_allclose(
+            np.asarray(r.snr_db), np.asarray(r_bm.snr_db), rtol=1e-4
+        )
+
+
+def test_demodulate_frame_tm_coded():
+    """Coded configs route through the jnp tm path with transposed LLRs."""
+    import dataclasses
+
+    from anet.channel import awgn
+    from anet.dsp.frame import demodulate_frame, demodulate_frame_tm, modulate_frame
+
+    cfg = dataclasses.replace(CFG, fec="conv", fec_interleave=16)
+    rng = np.random.default_rng(6)
+    p = jnp.asarray(rng.integers(0, 256, (3, 48), np.uint8))
+    noisy = awgn(jax.random.PRNGKey(4), modulate_frame(cfg, p), 2.0)
+    r_bm = demodulate_frame(cfg, noisy, 48)
+    r_tm = demodulate_frame_tm(cfg, noisy.T, 48, compute_dtype=jnp.float32)
+    assert np.array_equal(np.asarray(r_tm.payload), np.asarray(r_bm.payload))
+    assert np.array_equal(np.asarray(r_tm.ok), np.asarray(r_bm.ok))
+
+
 def test_cli_modem_stream_rx(tmp_path, capsys):
     """Multi-frame capture through the streaming CLI."""
     import jax.numpy as jnp
