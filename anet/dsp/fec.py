@@ -259,55 +259,78 @@ def viterbi_decode_soft(llrs: jnp.ndarray, n_data_bits: int) -> jnp.ndarray:
 
 
 def _viterbi(soft: jnp.ndarray, n_data_bits: int) -> jnp.ndarray:
-    """Shared trellis search; ``soft`` is signed (+ = bit 1) per coded bit."""
+    """Shared trellis search; ``soft`` is signed (+ = bit 1) per coded bit.
+
+    STATE-MAJOR formulation, designed for the TPU memory layout: path
+    metrics live as ``[64 states, N streams]`` with states in the
+    SUBLANE axis and the batch in lanes. That makes every per-step op
+    either pure elementwise [64, N] VPU work or a static major-axis
+    index:
+
+    - ``preds[ns, j]`` has the closed form ``(ns >> 1) | (j << 5)``, so
+      the forward gather ``pm[preds[:, j]]`` is indexing with a
+      *constant* sublane permutation (a copy, not a gather), and the
+      traceback predecessor is integer arithmetic — no gather at all.
+    - The traceback's per-stream decision lookup (the old layout's
+      ``take_along_axis`` over the minor axis — a scalar-core gather on
+      TPU, the same ~0.2 GB/s pathology docs/PERF.md measured in the
+      stream receiver) becomes a one-hot mask + sublane sum.
+
+    Measured on chip (mfsk4-coded, B=4096): see docs/PERF.md coded rows.
+    """
     outputs_np, preds_np = _conv_tables()
-    outputs = jnp.asarray(outputs_np)  # [64, 2, 2]
-    preds = jnp.asarray(preds_np)  # [64, 2]
     # branch metric table: expected coded bits for the transition INTO ns
-    # from preds[ns, j]: input bit is ns & 1... careful: ns = ((s<<1)|b)&63,
-    # so b = (s_full := (s<<1)|b) ... b equals the LSB of the *unmasked*
-    # register, which IS ns & 1 only when... ns&1 == b by construction.
+    # from preds[ns, j]; the input bit of that transition is ns & 1 by
+    # construction (ns = ((s << 1) | b) & 63).
     ns_arr = np.arange(CONV_STATES)
-    b_of_ns = ns_arr & 1
     exp = np.zeros((CONV_STATES, 2, 2), np.int32)  # [ns, j, coded pair]
     for ns in ns_arr:
         for j in range(2):
-            exp[ns, j] = outputs_np[preds_np[ns, j], b_of_ns[ns]]
+            exp[ns, j] = outputs_np[preds_np[ns, j], ns_arr[ns] & 1]
     # signed expectation (+1 for coded bit 1) for correlation metrics
-    exp_pm = jnp.asarray(2 * exp - 1, jnp.float32)
+    e = jnp.asarray(2 * exp - 1, jnp.float32)  # [64, 2, 2]
+    idx0 = jnp.asarray(ns_arr >> 1)  # preds[:, 0] — static permutation
+    idx1 = jnp.asarray((ns_arr >> 1) | (1 << (CONV_K - 2)))  # preds[:, 1]
 
     batch_shape = soft.shape[:-1]
     total = n_data_bits + CONV_TAIL_BITS
-    pairs = soft[..., : 2 * total].reshape(*batch_shape, total, 2)
-    pairs_tm = jnp.moveaxis(pairs, -2, 0)  # [total, ..., 2]
+    pairs = soft[..., : 2 * total].reshape(-1, total, 2)  # [N, total, 2]
+    n = pairs.shape[0]
+    rx_tm = jnp.moveaxis(pairs, 0, -1)  # [total, 2, N]
 
     big = jnp.float32(1e9)
-    pm0 = jnp.full(batch_shape + (CONV_STATES,), big, jnp.float32)
-    pm0 = pm0.at[..., 0].set(0.0)  # encoder starts zero-filled
+    pm0 = jnp.full((CONV_STATES, n), big, jnp.float32).at[0].set(0.0)
 
     def forward(pm, rx):
-        # rx: [..., 2] signed soft pair; branch metric = negative
-        # correlation with each transition's expected +-1 pair
-        bm = -jnp.sum(rx[..., None, None, :] * exp_pm, axis=-1)  # [..., 64, 2]
-        cand = pm[..., preds] + bm
-        take = jnp.argmin(cand, axis=-1).astype(jnp.uint8)  # [..., 64]
-        pm_next = jnp.min(cand, axis=-1)
-        pm_next = pm_next - jnp.min(pm_next, axis=-1, keepdims=True)
+        # rx: [2, N] signed soft pair; branch metric = negative
+        # correlation with each transition's expected +-1 pair.
+        bm0 = -(e[:, 0, 0, None] * rx[0] + e[:, 0, 1, None] * rx[1])  # [64, N]
+        bm1 = -(e[:, 1, 0, None] * rx[0] + e[:, 1, 1, None] * rx[1])
+        cand0 = pm[idx0] + bm0
+        cand1 = pm[idx1] + bm1
+        take = cand1 < cand0  # ties -> j=0, matching argmin's first-wins
+        pm_next = jnp.minimum(cand0, cand1)
+        pm_next = pm_next - jnp.min(pm_next, axis=0, keepdims=True)
         return pm_next, take
 
-    _, decisions = jax.lax.scan(forward, pm0, pairs_tm)  # [total, ..., 64]
+    _, decisions = jax.lax.scan(forward, pm0, rx_tm)  # [total, 64, N] bool
 
     # traceback from state 0 (tail-flushed)
-    s0 = jnp.zeros(batch_shape, jnp.int32)
+    s0 = jnp.zeros((n,), jnp.int32)
+    states = jnp.arange(CONV_STATES, dtype=jnp.int32)
 
     def backward(s, take_t):
         bit = (s & 1).astype(jnp.uint8)
-        j = jnp.take_along_axis(take_t, s[..., None], axis=-1)[..., 0].astype(jnp.int32)
-        prev = preds[s, j]
+        # decision of the surviving state: one-hot sublane reduction
+        j = jnp.sum(
+            jnp.where(states[:, None] == s[None, :], take_t, False),
+            axis=0,
+        ).astype(jnp.int32)
+        prev = (s >> 1) | (j << (CONV_K - 2))  # preds[s, j], closed form
         return prev, bit
 
     _, bits_rev = jax.lax.scan(backward, s0, decisions, reverse=True)
-    bits = jnp.moveaxis(bits_rev, 0, len(batch_shape))  # [..., total]
+    bits = jnp.moveaxis(bits_rev, 0, -1).reshape(*batch_shape, total)
     return bits[..., :n_data_bits]
 
 
