@@ -14,7 +14,8 @@ Signal construction (all real-valued, audio-band):
 - frame = preamble (two identical known OFDM symbols — a distinctive
   matched-filter template) + one pilot symbol (known QPSK pattern, gives
   the per-carrier channel estimate) + data symbols;
-- receive: locate by matched filter, strip CP, rfft, equalize by the
+- receive: locate by matched filter, strip CP, sparse-carrier DFT (a
+  matmul — see _analysis_basis), equalize by the
   pilot-derived channel, Gray-QPSK decisions with per-bit LLRs
   (Re/Im of the matched-equalized symbol), then the shared frame parser.
 """
@@ -23,6 +24,7 @@ from __future__ import annotations
 
 import dataclasses
 import json
+from functools import lru_cache
 from typing import NamedTuple, Tuple
 
 import jax
@@ -167,19 +169,48 @@ def preamble_carriers(config: OfdmConfig) -> jnp.ndarray:
 # --- synthesis ---------------------------------------------------------------
 
 
+@lru_cache(maxsize=16)
+def _synth_basis(
+    n_fft: int, cp_len: int, first_carrier: int, n_carriers: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Sparse-carrier inverse-DFT bases, CP folded in: [C, cp_len + n_fft].
+
+    Only ``n_carriers`` of the n_fft/2 spectrum bins are ever nonzero, so
+    synthesis is a [.., C] x [C, symbol] matmul instead of a full irfft —
+    the MXU form (jnp.fft.irfft is additionally UNIMPLEMENTED on some TPU
+    runtimes, so this also makes the OFDM transmitter chip-native). The
+    cyclic prefix is the same cosines evaluated cp_len samples early
+    (cos/sin are N-periodic), so it costs zero extra ops — the basis rows
+    simply start at t = -cp_len.
+    """
+    t = np.arange(-cp_len, n_fft, dtype=np.float64)
+    m = first_carrier + np.arange(n_carriers, dtype=np.float64)
+    ang = 2.0 * np.pi * np.outer(m, t) / n_fft  # [C, cp+N]
+    a = (2.0 / n_fft) * np.cos(ang)
+    b = -(2.0 / n_fft) * np.sin(ang)
+    return a.astype(np.float32), b.astype(np.float32)
+
+
 def _symbols_to_waveform(config: OfdmConfig, carriers: jnp.ndarray) -> jnp.ndarray:
-    """complex [..., S, n_carriers] -> real [..., S * symbol_samples]."""
+    """complex [..., S, n_carriers] -> real [..., S * symbol_samples].
+
+    time[t] = (2/N) sum_m (Re X_m cos(2 pi m t / N) - Im X_m sin(...)) —
+    the Hermitian-symmetric inverse DFT restricted to the active carriers,
+    as one real matmul per quadrature (see _synth_basis).
+    """
     shape = carriers.shape[:-1]
-    spectrum = jnp.zeros(shape + (config.n_fft // 2 + 1,), jnp.complex64)
-    spectrum = spectrum.at[
-        ..., config.first_carrier : config.first_carrier + config.n_carriers
-    ].set(carriers)
-    time = jnp.fft.irfft(spectrum, n=config.n_fft, axis=-1)  # [..., S, n_fft]
-    with_cp = jnp.concatenate([time[..., -config.cp_len :], time], axis=-1)
+    a_np, b_np = _synth_basis(
+        config.n_fft, config.cp_len, config.first_carrier, config.n_carriers
+    )
+    with_cp = jnp.matmul(
+        jnp.real(carriers), jnp.asarray(a_np), preferred_element_type=jnp.float32
+    ) + jnp.matmul(
+        jnp.imag(carriers), jnp.asarray(b_np), preferred_element_type=jnp.float32
+    )  # [..., S, cp+N]
     flat = with_cp.reshape(*shape[:-1], shape[-1] * config.symbol_samples)
-    # Unit-QPSK carriers through irfft give RMS sqrt(2C)/N; scale so the
-    # waveform RMS is amplitude/4 — with OFDM's ~12 dB peak-to-average
-    # ratio, `amplitude` then approximates the typical peak level.
+    # Unit-QPSK carriers give RMS sqrt(2C)/N; scale so the waveform RMS is
+    # amplitude/4 — with OFDM's ~12 dB peak-to-average ratio, `amplitude`
+    # then approximates the typical peak level.
     scale = (config.amplitude / 4.0) * config.n_fft / np.sqrt(2.0 * config.n_carriers)
     return (flat * scale).astype(jnp.float32)
 
@@ -326,6 +357,25 @@ def _timing_bias(config: OfdmConfig) -> int:
     return config.cp_len // 4
 
 
+@lru_cache(maxsize=16)
+def _analysis_basis(
+    n_fft: int, first_carrier: int, n_carriers: int, bias: int
+) -> np.ndarray:
+    """Sparse-carrier DFT basis [n_fft, 2 * n_carriers] (Re | Im columns).
+
+    W[t, m] = e^{-2 pi i m (t - bias) / N}: the forward DFT restricted to
+    the active carriers with the early-window deramp rotation
+    e^{+2 pi i m bias / N} folded into the matrix. One real matmul
+    replaces rfft + bin slice + complex rotate — only ~2C of the N/2
+    spectrum bins were ever used, and the matmul form runs on the MXU
+    (rfft lowers through the TPU's slow FFT path).
+    """
+    t = np.arange(n_fft, dtype=np.float64) - bias
+    m = first_carrier + np.arange(n_carriers, dtype=np.float64)
+    ang = 2.0 * np.pi * np.outer(t, m) / n_fft  # [N, C]
+    return np.concatenate([np.cos(ang), -np.sin(ang)], axis=1).astype(np.float32)
+
+
 def _extract_carriers(config: OfdmConfig, samples: jnp.ndarray, n_symbols: int) -> jnp.ndarray:
     """Symbol-aligned real samples -> complex carriers [..., S, n_carriers]."""
     bias = _timing_bias(config)
@@ -333,14 +383,14 @@ def _extract_carriers(config: OfdmConfig, samples: jnp.ndarray, n_symbols: int) 
         *samples.shape[:-1], n_symbols, config.symbol_samples
     )
     no_cp = sym[..., config.cp_len - bias : config.symbol_samples - bias]
-    spec = jnp.fft.rfft(no_cp, n=config.n_fft, axis=-1)
-    out = spec[..., config.first_carrier : config.first_carrier + config.n_carriers]
-    # undo the known cyclic-shift rotation of the early window, so carrier
-    # phases match the unbiased geometry exactly (keeps the pilot-smoothing
-    # assumption — h slowly varying across carriers — intact)
-    m = config.first_carrier + jnp.arange(config.n_carriers)
-    deramp = jnp.exp(2j * np.pi * m * bias / config.n_fft).astype(jnp.complex64)
-    return out * deramp
+    w = jnp.asarray(
+        _analysis_basis(
+            config.n_fft, config.first_carrier, config.n_carriers, bias
+        )
+    )
+    spec = jnp.matmul(no_cp, w, preferred_element_type=jnp.float32)  # [.., S, 2C]
+    c = config.n_carriers
+    return jax.lax.complex(spec[..., :c], spec[..., c:])
 
 
 def _nearest_odd(a: jnp.ndarray, max_level: float) -> jnp.ndarray:

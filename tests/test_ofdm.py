@@ -408,3 +408,37 @@ def test_qam64_coded_loopback_at_operating_snr():
         r = ofdm.receive_frame(cfg, noisy, 150)
         assert bool(r.frame.ok), f"seed {seed} failed at 20 dB"
         assert np.array_equal(np.asarray(r.frame.payload), np.asarray(payload))
+
+
+def test_dft_matmul_matches_fft_golden():
+    """The sparse-carrier DFT matmuls (synthesis with folded CP, analysis
+    with folded deramp) are numerically the irfft/rfft formulations they
+    replaced — checked against numpy's FFTs directly."""
+    rng = np.random.default_rng(11)
+    S, C, N = 3, CFG.n_carriers, CFG.n_fft
+    carriers = jnp.asarray(
+        (rng.normal(size=(S, C)) + 1j * rng.normal(size=(S, C))) / np.sqrt(2),
+        jnp.complex64,
+    )
+    # synthesis vs numpy irfft + explicit CP prepend
+    wave = ofdm._symbols_to_waveform(CFG, carriers)
+    spec = np.zeros((S, N // 2 + 1), np.complex128)
+    spec[:, CFG.first_carrier : CFG.first_carrier + C] = np.asarray(carriers)
+    time = np.fft.irfft(spec, n=N, axis=-1)
+    with_cp = np.concatenate([time[:, -CFG.cp_len :], time], axis=-1)
+    scale = (CFG.amplitude / 4.0) * N / np.sqrt(2.0 * C)
+    np.testing.assert_allclose(
+        np.asarray(wave), (with_cp * scale).reshape(-1), rtol=2e-4, atol=2e-5
+    )
+    # analysis vs numpy rfft + slice + deramp
+    samples = jnp.asarray(rng.normal(size=(S * CFG.symbol_samples,)), jnp.float32)
+    got = ofdm._extract_carriers(CFG, samples, S)
+    bias = ofdm._timing_bias(CFG)
+    sym = np.asarray(samples).reshape(S, CFG.symbol_samples)
+    no_cp = sym[:, CFG.cp_len - bias : CFG.symbol_samples - bias]
+    ref = np.fft.rfft(no_cp, n=N, axis=-1)[
+        :, CFG.first_carrier : CFG.first_carrier + C
+    ]
+    m = CFG.first_carrier + np.arange(C)
+    ref = ref * np.exp(2j * np.pi * m * bias / N)
+    np.testing.assert_allclose(np.asarray(got), ref, rtol=2e-4, atol=2e-3)
