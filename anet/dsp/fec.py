@@ -239,27 +239,52 @@ def conv_encode(bits: jnp.ndarray) -> jnp.ndarray:
     return out.reshape(*bits.shape[:-1], 2 * total).astype(jnp.uint8)
 
 
-def viterbi_decode(coded: jnp.ndarray, n_data_bits: int) -> jnp.ndarray:
+def viterbi_decode(coded: jnp.ndarray, n_data_bits: int, **kw) -> jnp.ndarray:
     """Hard-decision Viterbi: coded 0/1 [..., 2*(n+6)] -> 0/1 [..., n].
 
-    Batched add-compare-select over the 64-state trellis as a `lax.scan`
-    (forward) plus a reverse scan for traceback — each step is pure gather
-    + min over the batch, so thousands of streams decode concurrently.
+    Batched add-compare-select over the 64-state trellis; thousands of
+    streams decode concurrently. See _viterbi for the layout design and
+    the Pallas/jnp dispatch (kwargs pass through).
     """
-    return _viterbi(coded.astype(jnp.float32) * 2.0 - 1.0, n_data_bits)
+    return _viterbi(coded.astype(jnp.float32) * 2.0 - 1.0, n_data_bits, **kw)
 
 
-def viterbi_decode_soft(llrs: jnp.ndarray, n_data_bits: int) -> jnp.ndarray:
+def viterbi_decode_soft(llrs: jnp.ndarray, n_data_bits: int, **kw) -> jnp.ndarray:
     """Soft-decision Viterbi: per-coded-bit LLRs [..., 2*(n+6)] -> bits.
 
     ``llrs`` positive = bit 1 (anet.dsp.demod.bit_llrs convention). Soft
     metrics buy ~1.5-2 dB over hard decisions on this channel.
     """
-    return _viterbi(llrs.astype(jnp.float32), n_data_bits)
+    return _viterbi(llrs.astype(jnp.float32), n_data_bits, **kw)
 
 
-def _viterbi(soft: jnp.ndarray, n_data_bits: int) -> jnp.ndarray:
+@lru_cache(maxsize=1)
+def _branch_signs() -> np.ndarray:
+    """[64, 4] per-state +-1 branch-metric signs for the Pallas kernel:
+    columns are (-e[j=0,bit0], -e[j=0,bit1], -e[j=1,bit0], -e[j=1,bit1])
+    where e is the signed expected coded pair of the transition into each
+    state (bm_j = signs . rx, matching the jnp path's -correlation)."""
+    outputs_np, preds_np = _conv_tables()
+    ns_arr = np.arange(CONV_STATES)
+    exp = np.zeros((CONV_STATES, 2, 2), np.int32)
+    for ns in ns_arr:
+        for j in range(2):
+            exp[ns, j] = outputs_np[preds_np[ns, j], ns_arr[ns] & 1]
+    e = (2 * exp - 1).astype(np.float32)  # [64, j, pair]
+    return -e.reshape(CONV_STATES, 4)
+
+
+def _viterbi(
+    soft: jnp.ndarray,
+    n_data_bits: int,
+    *,
+    use_pallas: bool | None = None,
+    interpret: bool = False,
+) -> jnp.ndarray:
     """Shared trellis search; ``soft`` is signed (+ = bit 1) per coded bit.
+
+    ``use_pallas=None`` auto-selects: the fused VMEM-resident kernel pair
+    (anet.kernels.viterbi_trellis) on TPU, the jnp scan elsewhere.
 
     STATE-MAJOR formulation, designed for the TPU memory layout: path
     metrics live as ``[64 states, N streams]`` with states in the
@@ -298,6 +323,25 @@ def _viterbi(soft: jnp.ndarray, n_data_bits: int) -> jnp.ndarray:
     n = pairs.shape[0]
     rx_tm = jnp.moveaxis(pairs, 0, -1)  # [total, 2, N]
 
+    if use_pallas is None:
+        # On TPU the fused kernel pair wins outright and is bit-exact
+        # against the scan (8.9 vs 15.0 ms at B=4096, 30 vs 43 ms at
+        # B=16384 on a v5e); elsewhere the jnp scan is primary and the
+        # kernel remains testable via interpret=True.
+        use_pallas = jax.default_backend() == "tpu"
+    if use_pallas or interpret:
+        from anet.kernels import viterbi_trellis
+
+        bits_tm = viterbi_trellis(
+            jnp.asarray(_branch_signs()),
+            rx_tm.astype(jnp.float32),
+            interpret=interpret,
+        )  # [total, N] int32
+        bits = jnp.moveaxis(bits_tm.astype(jnp.uint8), 0, -1).reshape(
+            *batch_shape, total
+        )
+        return bits[..., :n_data_bits]
+
     big = jnp.float32(1e9)
     pm0 = jnp.full((CONV_STATES, n), big, jnp.float32).at[0].set(0.0)
 
@@ -309,9 +353,11 @@ def _viterbi(soft: jnp.ndarray, n_data_bits: int) -> jnp.ndarray:
         cand0 = pm[idx0] + bm0
         cand1 = pm[idx1] + bm1
         take = cand1 < cand0  # ties -> j=0, matching argmin's first-wins
-        pm_next = jnp.minimum(cand0, cand1)
-        pm_next = pm_next - jnp.min(pm_next, axis=0, keepdims=True)
-        return pm_next, take
+        # No per-step normalization: subtracting a constant never changes
+        # an argmin, and f32 holds the unnormalized metrics with room to
+        # spare (|bm| per step is O(|llr|), so |pm| stays < ~1e6 over the
+        # longest frame vs f32's 3e38 range and 7-digit mantissa).
+        return jnp.minimum(cand0, cand1), take
 
     _, decisions = jax.lax.scan(forward, pm0, rx_tm)  # [total, 64, N] bool
 

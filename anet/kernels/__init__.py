@@ -28,9 +28,11 @@ __all__ = [
     "tone_energies_fused",
     "decide_tones_fused",
     "decide_tones_tm",
+    "viterbi_trellis",
     "SYMBOL_TILE",
     "TM_SYMBOL_TILE",
     "TM_LANE_TILE",
+    "VIT_LANE_TILE",
 ]
 
 SYMBOL_TILE = 512  # symbols per grid step; 512 x 64 f32 window tile = 128 KiB
@@ -298,3 +300,201 @@ def decide_tones_tm(
         interpret=interpret,
     )(basis, w)
     return tone[:s, :b], best[:s, :b], total[:s, :b]
+
+
+# --- Viterbi trellis kernels -------------------------------------------------
+#
+# The convolutional decoder (anet.dsp.fec._viterbi) is a 2x ~2100-step
+# sequential scan. The jnp formulation re-reads and re-writes the [64, N]
+# path-metric array from HBM every step and materializes a [T, 64, N]
+# decision tensor; these kernels keep the path metrics RESIDENT IN VMEM
+# across the whole trellis (scratch persists across TPU grid steps, which
+# run sequentially) and pack the 64 per-state decision bits into two
+# int32 lane words — 8x less decision traffic, and the only HBM the
+# forward pass touches per step is its [2, bt] soft input and [2, bt]
+# packed output. The backward pass is pure [1, bt] integer arithmetic:
+# the predecessor state is (s >> 1) | (j << 5) in closed form and the
+# decision bit j comes out of the packed words with a variable shift —
+# no gather instruction anywhere (see fec._viterbi's layout discussion).
+
+VIT_LANE_TILE = 8192
+VIT_STEP_TILE = 8  # trellis steps per grid iteration (amortizes grid overhead)
+_VIT_STATES = 64  # 2**(K-1), K=7
+_VIT_BIG = 1e9  # python scalar: a captured jnp constant would break kernel tracing
+
+
+def _vit_fwd_kernel(sign_ref, perm_ref, pack_ref, rx_ref, take_ref, pm_ref, *, r_steps, t_total):
+    tb = pl.program_id(1)
+
+    @pl.when(tb == 0)
+    def _init():
+        rows = jax.lax.broadcasted_iota(jnp.int32, pm_ref.shape, 0)
+        pm_ref[...] = jnp.where(rows == 0, 0.0, _VIT_BIG).astype(jnp.float32)
+
+    s = sign_ref[...]  # [64, 4] — per-state +-1 branch-metric signs
+    perm = perm_ref[...]  # [128, 64] one-hot: rows 0-63 pm[ns>>1], 64-127 pm[(ns>>1)|32]
+    pack = pack_ref[...]  # [4, 64] bit weights 2^(s & 15) per 16-bit group
+    half = _VIT_STATES // 2
+    for r in range(r_steps):
+
+        @pl.when(tb * r_steps + r < t_total)
+        def _step(r=r):
+            rx0 = rx_ref[r, 0:1, :]  # [1, bt]
+            rx1 = rx_ref[r, 1:2, :]
+            bm0 = s[:, 0:1] * rx0 + s[:, 1:2] * rx1  # [64, bt]
+            bm1 = s[:, 2:3] * rx0 + s[:, 3:4] * rx1
+            # pm[ns >> 1] and pm[(ns >> 1) | 32] via a one-hot MXU matmul:
+            # a sublane interleave (jnp.repeat) measures ~4.5 ms per use
+            # over the whole trellis on a v5e, while the 0/1 matmul rides
+            # the MXU concurrently with the VPU and is EXACT in f32 with
+            # HIGHEST precision (every product is 1.0*x or 0.0*x and the
+            # bf16x3 split reconstructs f32 losslessly).
+            # One-hot permute on the MXU, EXACT via a manual bf16x3
+            # split (Mosaic lowers Precision.HIGHEST as six passes and
+            # rejects HIGH; three DEFAULT passes suffice because f32
+            # splits losslessly into three bf16 terms and every product
+            # is 1.0*term or 0.0*term).
+            pm = pm_ref[...]
+            hi = pm.astype(jnp.bfloat16)
+            r1 = pm - hi.astype(jnp.float32)
+            mid = r1.astype(jnp.bfloat16)
+            lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+            dims = (((1,), (0,)), ((), ()))
+            moved = (
+                jax.lax.dot_general(
+                    perm, hi, dims, preferred_element_type=jnp.float32
+                )
+                + jax.lax.dot_general(
+                    perm, mid, dims, preferred_element_type=jnp.float32
+                )
+                + jax.lax.dot_general(
+                    perm, lo, dims, preferred_element_type=jnp.float32
+                )
+            )  # [128, bt]
+            cand0 = moved[:_VIT_STATES] + bm0
+            cand1 = moved[_VIT_STATES:] + bm1
+            takef = (cand1 < cand0).astype(jnp.float32)  # ties -> j=0
+            # No per-step normalization: constants never change an argmin
+            # and f32 holds the unnormalized metrics (see fec._viterbi).
+            pm_ref[...] = jnp.minimum(cand0, cand1)
+            # Pack the 64 decision bits into two int32 lane words, again
+            # on the MXU: weights 2^(s & 15) sum each 16-state group into
+            # an exact f32 integer < 2^16 (distinct powers of two never
+            # carry), then two casts and a shift assemble each word.
+            grp = jax.lax.dot_general(
+                pack,
+                takef,
+                (((1,), (0,)), ((), ())),
+                # exact even single-pass: 0/1 times a power of two, f32
+                # accumulation of distinct powers never carries
+                preferred_element_type=jnp.float32,
+            )  # [4, bt] — 16-bit halves of the two words
+            g = grp.astype(jnp.int32)
+            take_ref[r, 0:1, :] = g[0:1] | jnp.left_shift(g[1:2], 16)
+            take_ref[r, 1:2, :] = g[2:3] | jnp.left_shift(g[3:4], 16)
+
+
+def _vit_bwd_kernel(take_ref, bits_ref, s_ref, *, r_steps, t_total, n_blocks):
+    tb = pl.program_id(1)  # processes absolute block n_blocks - 1 - tb
+
+    @pl.when(tb == 0)
+    def _init():
+        s_ref[...] = jnp.zeros_like(s_ref)  # tail-flushed: end in state 0
+
+    blk = n_blocks - 1 - tb
+    for r in reversed(range(r_steps)):
+
+        @pl.when(blk * r_steps + r < t_total)
+        def _step(r=r):
+            s = s_ref[...]  # [1, bt] int32 — surviving state per stream
+            word = jnp.where(s < 32, take_ref[r, 0:1, :], take_ref[r, 1:2, :])
+            # arithmetic >> then & 1 extracts bit (s & 31) regardless of sign
+            j = jnp.right_shift(word, s & 31) & 1
+            bits_ref[r : r + 1, :] = s & 1
+            s_ref[...] = jnp.right_shift(s, 1) | jnp.left_shift(j, 5)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def viterbi_trellis(
+    signs: jnp.ndarray, rx_tm: jnp.ndarray, *, interpret: bool = False
+) -> jnp.ndarray:
+    """Fused forward + traceback over the 64-state rate-1/2 trellis.
+
+    Args:
+      signs: float32 [64, 4] — per-state branch-metric signs
+        (-expected +-1 coded pair for j=0 then j=1 transitions).
+      rx_tm: float32 [T, 2, N] — per-step signed soft pairs, time-major.
+    Returns:
+      int32 [T, N] decided input bits (data + tail), time-major.
+
+    Grid layout: (lane tiles, step blocks) with VIT_STEP_TILE trellis
+    steps per grid iteration; the trailing partial block is masked with
+    pl.when so padded steps never touch the path metrics or the
+    traceback state.
+    """
+    t_steps, _, n = rx_tm.shape
+    rs = VIT_STEP_TILE
+    bt = VIT_LANE_TILE if n >= VIT_LANE_TILE else -(-n // 128) * 128
+    n_pad = -n % bt
+    t_pad = -t_steps % rs
+    if n_pad or t_pad:
+        rx_tm = jnp.pad(rx_tm, ((0, t_pad), (0, 0), (0, n_pad)))
+    np_ = n + n_pad
+    tp = t_steps + t_pad
+    n_blocks = tp // rs
+    grid = (np_ // bt, n_blocks)
+    ns = jnp.arange(_VIT_STATES, dtype=jnp.int32)
+    src_rows = jnp.concatenate([ns >> 1, (ns >> 1) | (_VIT_STATES // 2)])
+    perm = (src_rows[:, None] == ns[None, :]).astype(jnp.bfloat16)  # [128, 64]
+    pack = jnp.where(
+        (ns[None, :] >> 4) == jnp.arange(4, dtype=jnp.int32)[:, None],
+        # exact powers of two via integer shift — jnp.exp2 is a ulp off
+        # at 2^13/2^15, and the int32 truncation after the pack matmul
+        # would turn that ulp into a borrowed low bit
+        jnp.left_shift(1, ns & 15)[None, :].astype(jnp.float32),
+        0.0,
+    )  # [4, 64]
+    packed = pl.pallas_call(
+        functools.partial(_vit_fwd_kernel, r_steps=rs, t_total=t_steps),
+        out_shape=jax.ShapeDtypeStruct((tp, 2, np_), jnp.int32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (_VIT_STATES, 4), lambda i, t: (0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (2 * _VIT_STATES, _VIT_STATES),
+                lambda i, t: (0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((4, _VIT_STATES), lambda i, t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rs, 2, bt), lambda i, t: (t, 0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (rs, 2, bt), lambda i, t: (t, 0, i), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[pltpu.VMEM((_VIT_STATES, bt), jnp.float32)],
+        interpret=interpret,
+    )(signs, perm, pack, rx_tm)
+    bits = pl.pallas_call(
+        functools.partial(
+            _vit_bwd_kernel, r_steps=rs, t_total=t_steps, n_blocks=n_blocks
+        ),
+        out_shape=jax.ShapeDtypeStruct((tp, np_), jnp.int32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (rs, 2, bt),
+                lambda i, t, nb=n_blocks: (nb - 1 - t, 0, i),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (rs, bt),
+            lambda i, t, nb=n_blocks: (nb - 1 - t, i),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[pltpu.VMEM((1, bt), jnp.int32)],
+        interpret=interpret,
+    )(packed)
+    return bits[:t_steps, :n]

@@ -9,6 +9,7 @@ import pytest
 
 from anet.channel import awgn
 from anet.dsp import ModemConfig
+from anet.dsp import fec
 from anet.dsp.fec import (
     CONV_TAIL_BITS,
     conv_encode,
@@ -198,3 +199,24 @@ def test_frame_parse_hard_bits_fallback():
     )
     assert bool(res.ok)
     assert np.array_equal(np.asarray(res.payload), np.asarray(p))
+
+
+def test_viterbi_pallas_matches_scan():
+    """The fused Pallas trellis (interpret mode) is bit-exact against the
+    jnp scan formulation, across batch shapes, message lengths (odd and
+    lane-unaligned batches), and soft/hard inputs."""
+    rng = np.random.default_rng(7)
+    for b, nbits, noise in [(5, 96, 0.3), (3, 201, 0.5), (1, 17, 0.0)]:
+        data = jnp.asarray(rng.integers(0, 2, (b, nbits)), jnp.uint8)
+        coded = fec.conv_encode(data)
+        llrs = jnp.asarray(
+            (np.asarray(coded) * 2.0 - 1.0)
+            + rng.normal(0, noise, coded.shape).astype(np.float32)
+        )
+        ref = fec.viterbi_decode_soft(llrs, nbits, use_pallas=False)
+        got = fec.viterbi_decode_soft(llrs, nbits, use_pallas=True, interpret=True)
+        assert np.array_equal(np.asarray(ref), np.asarray(got)), (b, nbits)
+        hard_ref = fec.viterbi_decode(coded, nbits, use_pallas=False)
+        hard_got = fec.viterbi_decode(coded, nbits, use_pallas=True, interpret=True)
+        assert np.array_equal(np.asarray(hard_ref), np.asarray(hard_got))
+        assert np.array_equal(np.asarray(hard_got), np.asarray(data))
