@@ -508,14 +508,27 @@ def _phase_track(
     c = slope0.astype(jnp.float32)[..., None, None]  # [..., 1, 1]
     phase = sym[:, None] * m[None, :]  # [S, C] — (s+1)*m
 
+    # (A per-carrier-base power chain — exp over [.., C] then integer
+    # powers via cumprod or an unrolled multiply chain — was measured
+    # SLOWER than the straight exp on a v5e: XLA fuses sin/cos into the
+    # surrounding elementwise work, while the chain materializes S
+    # complex [.., C] intermediates. Keep the direct form.)
     for _ in range(2):
         rot = jnp.exp(-1j * c * phase).astype(jnp.complex64)
         zc = z_eq * rot
         u = weights * zc * jnp.conj(_hard_decision(config, zc))
-        phi = jnp.angle(u)  # ~ dc*(s+1)*m per point, reliability |u|
-        wu = jnp.abs(u)
-        num = jnp.sum(wu * phase * phi, axis=(-2, -1))
-        den = jnp.maximum(jnp.sum(wu * phase * phase, axis=(-2, -1)), 1e-20)
+        # Each point's residual phase phi ~ dc*(s+1)*m with reliability
+        # |u|; the weighted LS update sum(|u|*phase*phi)/sum(|u|*phase^2)
+        # reduces, to first order in phi, to the transcendental-free ML
+        # form Im(u) ~ |u|*phi and Re(u) ~ |u| — no atan2 per point. The
+        # approximation error is quadratic in the residual and the second
+        # iteration re-decides with the refined line, so the fixed point
+        # is unchanged; drift sweeps to +-400 ppm verify (test_ofdm.py).
+        num = jnp.sum(phase * jnp.imag(u), axis=(-2, -1))
+        den = jnp.maximum(
+            jnp.sum(phase * phase * jnp.maximum(jnp.real(u), 0.0), axis=(-2, -1)),
+            1e-20,
+        )
         c = c + (num / den)[..., None, None]
 
     return jnp.exp(-1j * c * phase).astype(jnp.complex64)
