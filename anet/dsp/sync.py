@@ -203,6 +203,51 @@ def _blocked_cumsum(x: jnp.ndarray) -> jnp.ndarray:
     return out.reshape(x.shape[:-1] + (m * _LANE,))[..., :n]
 
 
+def blockwise_match_quality(
+    seg: jnp.ndarray,
+    corr: jnp.ndarray,
+    k: int,
+    template_energy: jnp.ndarray,
+) -> jnp.ndarray:
+    """normalized_match_quality with the window energy at 128-lag
+    granularity — the streaming hot path's form.
+
+    The exact per-lag energy needs a full prefix sum over the segment
+    (measured 18 ms/step at the bench working size, a top-3 cost) and its
+    per-lag broadcast is a lane relayout. Detection only needs the energy
+    to ~ the threshold margin, so: square once, sum per 128-sample block,
+    slide over ceil(k/128)+1 blocks (a superset of every window starting
+    in the block — energy over- or under-counts by <= 128/k, i.e. a <=3%
+    quality shift for the 2048-sample preamble vs a 0.45-vs-~1.0
+    threshold margin), and broadcast per block in the REPHAPED [.., nb,
+    128] view, where the broadcast is over the free minor axis — no
+    relayout anywhere.
+
+    ``corr`` is the valid-lag correlation [.., out_len] of ``seg`` with a
+    k-sample template; a non-128-multiple out_len is zero-padded (the
+    streaming receiver's chunk sizes are lane-aligned anyway).
+    """
+    out_len = corr.shape[-1]
+    out_pad = -out_len % _LANE
+    if out_pad:
+        corr = jnp.pad(corr, [(0, 0)] * (corr.ndim - 1) + [(0, out_pad)])
+    nb_out = (out_len + out_pad) // _LANE
+    kb = -(-k // _LANE) + 1  # blocks per window: superset of any start
+    need = (nb_out - 1 + kb + 1) * _LANE
+    sq = (seg * seg).astype(jnp.float32)
+    pad = need - sq.shape[-1]
+    if pad > 0:
+        sq = jnp.pad(sq, [(0, 0)] * (sq.ndim - 1) + [(0, pad)])
+    blocks = sq[..., :need].reshape(*sq.shape[:-1], need // _LANE, _LANE).sum(-1)
+    csum = jnp.cumsum(blocks, axis=-1)
+    csum = jnp.concatenate([jnp.zeros_like(csum[..., :1]), csum], axis=-1)
+    win = csum[..., kb : kb + nb_out] - csum[..., :nb_out]  # [.., nb_out]
+    floored = jnp.maximum(win, 1e-4 * template_energy)
+    scale = jax.lax.rsqrt(template_energy * floored)  # [.., nb_out]
+    q = jnp.abs(corr).reshape(*corr.shape[:-1], nb_out, _LANE) * scale[..., None]
+    return q.reshape(corr.shape)[..., :out_len]
+
+
 def normalized_match_quality(
     corr: jnp.ndarray, window_energy: jnp.ndarray, template_energy: jnp.ndarray
 ) -> jnp.ndarray:
@@ -272,10 +317,33 @@ def aligned_gather(
     xr = x.reshape(x.shape[:-1] + (rows_total, _LANE))
     hi = start // _LANE
     lo = start % _LANE
-    slab = lambda xb, h: jax.lax.dynamic_slice(xb, (h, 0), (rt + 1, _LANE))
-    for _ in range(start.ndim - 1):
-        slab = jax.vmap(slab)
-    rows = jax.vmap(slab)(xr, hi).astype(sel_dtype)  # [..., rt+1, 128]
+    batch = 1
+    for d in start.shape:
+        batch *= d
+    if sel_dtype == jnp.bfloat16 and jax.default_backend() == "tpu" and batch >= 512:
+        # Row selection as a batched one-hot matmul. The vmapped
+        # dynamic_slice below issues ONE small DMA PER STREAM (~5 us each
+        # — 40 ms/step at the bench's 8192 streams, the streaming
+        # receiver's single largest cost); the one-hot contraction moves
+        # the same rows as a few large MXU ops instead (~4x faster
+        # measured). Only worth it when the per-stream DMA count bites
+        # and bf16 halves the one-hot's footprint.
+        rows_total = xr.shape[-2]
+        ridx = hi[..., None] + jnp.arange(rt + 1)  # [..., rt+1]
+        onehot = (
+            ridx[..., None] == jnp.arange(rows_total)
+        ).astype(sel_dtype)  # [..., rt+1, rows_total]
+        rows = jnp.einsum(
+            "...rh,...hp->...rp",
+            onehot,
+            xr.astype(sel_dtype),
+            preferred_element_type=jnp.float32,
+        ).astype(sel_dtype)
+    else:
+        slab = lambda xb, h: jax.lax.dynamic_slice(xb, (h, 0), (rt + 1, _LANE))
+        for _ in range(start.ndim - 1):
+            slab = jax.vmap(slab)
+        rows = jax.vmap(slab)(xr, hi).astype(sel_dtype)  # [..., rt+1, 128]
     lane = jnp.arange(_LANE)
     shift = lo[..., None, None]
     sel_lo = (lane[:, None] == lane[None, :] + shift).astype(sel_dtype)

@@ -37,11 +37,7 @@ import jax.numpy as jnp
 
 from anet.dsp.family import geometry as family_geometry
 from anet.dsp.frame import FrameResult
-from anet.dsp.sync import (
-    correlate_template,
-    normalized_match_quality,
-    sliding_window_energy,
-)
+from anet.dsp.sync import blockwise_match_quality, correlate_template
 
 __all__ = [
     "DynamicStreamStepOutput",
@@ -298,8 +294,11 @@ def _slide_and_quality(
         seg_c, template.astype(compute_dtype), method="matmul"
     )  # [..., chunk_size], f32 accumulation
     t_energy = jnp.sum(template * template)
-    local_e = sliding_window_energy(seg_c, k)  # [..., chunk_size], f32
-    quality = normalized_match_quality(corr, local_e, t_energy)
+    # Window-energy normalization at 128-lag granularity: the exact
+    # per-lag prefix sum measured 18 ms/step at the bench size for a <=3%
+    # quality difference that the 0.45-vs-~1.0 threshold margin swallows
+    # (see sync.blockwise_match_quality).
+    quality = blockwise_match_quality(seg_c, corr, k, t_energy)
     return buffer, samples_seen, w0, buffer_abs0, quality
 
 
