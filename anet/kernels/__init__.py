@@ -498,3 +498,94 @@ def viterbi_trellis(
         interpret=interpret,
     )(packed)
     return bits[:t_steps, :n]
+
+
+# --- preamble correlation ----------------------------------------------------
+
+COR_LAG_TILE = 512  # lags per grid cell (matches sync.py's block sweep winner)
+COR_BATCH_TILE = 512  # streams per grid cell
+
+
+def _corr_kernel(*refs, n_shift: int):
+    """Block-Toeplitz correlation cell: the out block at lag tile t is
+    the sum over n_shift shifted segment blocks times the matching
+    template band.
+
+    The jnp formulation materializes the overlapped [B, n_blocks, K+B-1]
+    window tensor in HBM (2.7 GB at the bench size — assembly plus
+    re-read measured ~3x the pure matmul cost); here the overlap is
+    expressed as n_shift BlockSpec aliases of the same segment (2-D
+    blocks whose column-block index is t + s), so the windows only ever
+    exist in VMEM.
+    """
+    seg_refs = refs[:n_shift]
+    tmat_ref, out_ref = refs[n_shift], refs[n_shift + 1]
+    b = COR_LAG_TILE
+    acc = None
+    for s in range(n_shift):
+        part = jax.lax.dot_general(
+            seg_refs[s][...],
+            tmat_ref[s * b : (s + 1) * b, :],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc = part if acc is None else acc + part
+    out_ref[...] = acc
+
+
+@functools.partial(jax.jit, static_argnames=("out_len", "interpret"))
+def correlate_fused(
+    seg: jnp.ndarray,
+    template: jnp.ndarray,
+    out_len: int,
+    *,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Valid-mode correlation [..., N] x [K] -> [..., out_len] (f32),
+    out_len <= N - K + 1, computed tile-by-tile in VMEM (see _corr_kernel).
+
+    Inputs are taken in their given dtype (bf16 on the chip's hot path);
+    accumulation is always f32.
+    """
+    k = template.shape[-1]
+    b, bt = COR_LAG_TILE, COR_BATCH_TILE
+    batch_shape = seg.shape[:-1]
+    x = seg.reshape(-1, seg.shape[-1])
+    n_streams = x.shape[0]
+    n_blocks = -(-out_len // b)
+    w = k + b - 1
+    n_shift = -(-w // b)  # shifted aliases per lag tile
+    rows = n_blocks + n_shift
+    pad_t = rows * b - x.shape[-1]
+    if pad_t > 0:
+        x = jnp.pad(x, ((0, 0), (0, pad_t)))
+    pad_b = -n_streams % bt
+    if pad_b:
+        x = jnp.pad(x, ((0, pad_b), (0, 0)))
+    xr = x[:, : rows * b]  # 2-D; lag-tile aliases are column-block shifts
+
+    # Banded template matrix [n_shift * b, b]: tmat[p, j] = t[p - j].
+    p = jnp.arange(n_shift * b)[:, None]
+    j = jnp.arange(b)[None, :]
+    idx = p - j
+    tmat = jnp.where(
+        (idx >= 0) & (idx < k),
+        template[jnp.clip(idx, 0, k - 1)],
+        jnp.zeros((), template.dtype),
+    )
+
+    grid = (xr.shape[0] // bt, n_blocks)
+    in_specs = [
+        pl.BlockSpec((bt, b), functools.partial(lambda s, i, t: (i, t + s), sh))
+        for sh in range(n_shift)
+    ] + [pl.BlockSpec((n_shift * b, b), lambda i, t: (0, 0))]
+    out = pl.pallas_call(
+        functools.partial(_corr_kernel, n_shift=n_shift),
+        out_shape=jax.ShapeDtypeStruct((xr.shape[0], n_blocks * b), jnp.float32),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((bt, b), lambda i, t: (i, t)),
+        interpret=interpret,
+    )(*([xr] * n_shift), tmat)
+    out = out[:n_streams, :out_len]
+    return out.reshape(*batch_shape, out_len)

@@ -178,3 +178,20 @@ def test_cli_modem_stream_rx(tmp_path, capsys):
     assert rc == 0
     assert out.read_bytes() == b"".join(c.tobytes() for c in chunks)
     assert "2 ok" in capsys.readouterr().out
+
+
+def test_correlate_fused_matches_direct():
+    """The fused Pallas correlator (interpret) matches the direct sliding
+    window formulation, including lag-tile and stream padding."""
+    from anet.dsp.sync import correlate_template
+    from anet.kernels import correlate_fused
+
+    rng = np.random.default_rng(12)
+    for B, N, K, OL in [(3, 5000, 2048, 2048), (2, 2600, 513, 2048), (1, 4096, 100, 3500)]:
+        seg = jnp.asarray(rng.normal(size=(B, N)), jnp.float32)
+        t = jnp.asarray(rng.normal(size=(K,)), jnp.float32)
+        ref = correlate_template(seg, t, method="direct")[..., :OL]
+        got = correlate_fused(seg, t, OL, interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-3
+        )
