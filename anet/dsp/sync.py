@@ -274,6 +274,7 @@ def aligned_gather(
     start: jnp.ndarray,
     size: int,
     compute_dtype=None,
+    mode: str = "auto",
 ) -> jnp.ndarray:
     """Slice ``size`` samples starting at per-stream dynamic offsets:
     out[..., i] = buffer[..., start[...] + i]. Callers guarantee
@@ -320,7 +321,16 @@ def aligned_gather(
     batch = 1
     for d in start.shape:
         batch *= d
-    if sel_dtype == jnp.bfloat16 and jax.default_backend() == "tpu" and batch >= 512:
+    if mode not in ("auto", "dma", "onehot"):
+        raise ValueError(f"mode must be auto/dma/onehot, got {mode!r}")
+    use_onehot = (
+        mode == "onehot"
+        if mode != "auto"
+        else sel_dtype == jnp.bfloat16
+        and jax.default_backend() == "tpu"
+        and batch >= 512
+    )
+    if use_onehot:
         # Row selection as a batched one-hot matmul. The vmapped
         # dynamic_slice below issues ONE small DMA PER STREAM (~5 us each
         # — 40 ms/step at the bench's 8192 streams, the streaming

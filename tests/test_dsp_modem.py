@@ -153,6 +153,12 @@ def test_aligned_gather_matches_take(size, n):
     # unbatched scalar start path
     got1 = aligned_gather(x[0], starts[0], size)
     assert np.array_equal(np.asarray(got1), np.asarray(ref[0]))
+    # the TPU hot path's one-hot row-matmul mode is bit-identical to the
+    # slab-DMA mode in bf16 (it moves the same rows, just via the MXU)
+    xb = x.astype(jnp.bfloat16)
+    g_dma = aligned_gather(xb, starts, size, jnp.bfloat16, mode="dma")
+    g_oh = aligned_gather(xb, starts, size, jnp.bfloat16, mode="onehot")
+    assert np.array_equal(np.asarray(g_oh), np.asarray(g_dma))
 
 
 @pytest.mark.parametrize("n,k,block", [(777, 129, None), (2048, 512, 128),
