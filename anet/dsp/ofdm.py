@@ -512,10 +512,12 @@ def _phase_track(
     # powers via cumprod or an unrolled multiply chain — was measured
     # SLOWER than the straight exp on a v5e: XLA fuses sin/cos into the
     # surrounding elementwise work, while the chain materializes S
-    # complex [.., C] intermediates. Keep the direct form.)
+    # complex [.., C] intermediates. Likewise a stride-4 carrier subset
+    # for the fit — measured NO faster: the strided views relayout, and
+    # the tracker is decision/complex-multiply-bound, not exp-bound.
+    # Keep the direct full-grid form.)
     for _ in range(2):
-        rot = jnp.exp(-1j * c * phase).astype(jnp.complex64)
-        zc = z_eq * rot
+        zc = z_eq * jnp.exp(-1j * c * phase).astype(jnp.complex64)
         u = weights * zc * jnp.conj(_hard_decision(config, zc))
         # Each point's residual phase phi ~ dc*(s+1)*m with reliability
         # |u|; the weighted LS update sum(|u|*phase*phi)/sum(|u|*phase^2)
@@ -523,7 +525,7 @@ def _phase_track(
         # form Im(u) ~ |u|*phi and Re(u) ~ |u| — no atan2 per point. The
         # approximation error is quadratic in the residual and the second
         # iteration re-decides with the refined line, so the fixed point
-        # is unchanged; drift sweeps to +-400 ppm verify (test_ofdm.py).
+        # is unchanged.
         num = jnp.sum(phase * jnp.imag(u), axis=(-2, -1))
         den = jnp.maximum(
             jnp.sum(phase * phase * jnp.maximum(jnp.real(u), 0.0), axis=(-2, -1)),
@@ -647,3 +649,136 @@ def receive_frame(
     aligned = aligned_gather(capture, start, t)
     frame = demodulate_frame(config, aligned, payload_len)
     return OfdmReceiveResult(frame=frame, offset=offset, quality=best_q)
+
+
+# --- time-major receive pipeline ---------------------------------------------
+#
+# TIME-MAJOR [T, B] variants of the receive chain, mirroring
+# anet.dsp.frame.demodulate_frame_tm: the stream batch lives in the minor
+# (lane) dimension, so the [T, B] -> [S, symbol_samples, B] symbol split
+# is a major-dimension view (no lane relayout), the sparse-carrier DFT
+# contracts over sublanes, and every equalizer/tracker elementwise op
+# keeps full 128-lane tiles with carriers in sublanes. Only the final
+# per-bit LLRs and the EVM carrier estimates transpose back to
+# batch-major (a fraction of the input bytes), where the shared frame
+# parser finishes.
+
+
+def _extract_carriers_tm(
+    config: OfdmConfig, samples_tm: jnp.ndarray, n_symbols: int
+) -> jnp.ndarray:
+    """[T', B] symbol-aligned real samples -> complex [S, n_carriers, B]."""
+    bias = _timing_bias(config)
+    ss = config.symbol_samples
+    b = samples_tm.shape[-1]
+    sym = samples_tm[: n_symbols * ss].reshape(n_symbols, ss, b)
+    no_cp = sym[:, config.cp_len - bias : ss - bias, :]  # [S, N, B]
+    w = jnp.asarray(
+        _analysis_basis(config.n_fft, config.first_carrier, config.n_carriers, bias)
+    )
+    spec = jnp.einsum(
+        "snb,nc->scb", no_cp, w, preferred_element_type=jnp.float32
+    )  # [S, 2C, B]
+    c = config.n_carriers
+    return jax.lax.complex(spec[:, :c], spec[:, c:])
+
+
+def _preamble_phase_slope_tm(config: OfdmConfig, samples_tm: jnp.ndarray) -> jnp.ndarray:
+    """preamble_phase_slope for [T, B] input; returns [B] slopes."""
+    if config.preamble_repeats < 2:
+        return jnp.zeros(samples_tm.shape[-1], jnp.float32)
+    pre = samples_tm[: config.preamble_samples]
+    y = _extract_carriers_tm(config, pre, config.preamble_repeats)  # [2, C, B]
+    r = y[1] * jnp.conj(y[0])  # [C, B], phase = c*m
+    d = r[1:] * jnp.conj(r[:-1])
+    c0 = jnp.angle(jnp.sum(d, axis=0)).astype(jnp.float32)  # [B]
+    m = (config.first_carrier + jnp.arange(config.n_carriers)).astype(jnp.float32)
+    m = m[:, None]
+    phi = jnp.angle(r * jnp.exp(-1j * c0[None, :] * m))
+    w = jnp.abs(r)
+    num = jnp.sum(w * m * phi, axis=0)
+    den = jnp.maximum(jnp.sum(w * m * m, axis=0), 1e-20)
+    c = c0 + num / den
+    resid = phi - (num / den)[None, :] * m
+    coh = jnp.sum(w * jnp.cos(resid), axis=0) / jnp.maximum(jnp.sum(w, axis=0), 1e-20)
+    gate = jnp.clip((coh - 0.5) / 0.3, 0.0, 1.0)
+    return (c * gate).astype(jnp.float32)
+
+
+def _phase_track_tm(
+    config: OfdmConfig,
+    z_eq: jnp.ndarray,
+    weights: jnp.ndarray,
+    slope0: jnp.ndarray,
+) -> jnp.ndarray:
+    """_phase_track for [S, C, B] layout; returns unit phasors [S, C, B]."""
+    m = (config.first_carrier + jnp.arange(config.n_carriers)).astype(jnp.float32)
+    s_data = z_eq.shape[0]
+    sym = jnp.arange(1, s_data + 1, dtype=jnp.float32)
+    phase = (sym[:, None] * m[None, :])[..., None]  # [S, C, 1]
+    c = slope0.astype(jnp.float32)[None, None, :]  # [1, 1, B]
+
+    for _ in range(2):
+        zc = z_eq * jnp.exp(-1j * c * phase).astype(jnp.complex64)
+        u = weights * zc * jnp.conj(_hard_decision(config, zc))
+        num = jnp.sum(phase * jnp.imag(u), axis=(0, 1))
+        den = jnp.maximum(
+            jnp.sum(phase * phase * jnp.maximum(jnp.real(u), 0.0), axis=(0, 1)),
+            1e-20,
+        )
+        c = c + (num / den)[None, None, :]
+
+    return jnp.exp(-1j * c * phase).astype(jnp.complex64)
+
+
+def _equalized_bits_tm(config: OfdmConfig, samples_tm: jnp.ndarray, s_data: int):
+    """[T, B] aligned frame waveforms -> (bits, llrs, z_eq) batch-major.
+
+    The time-major twin of _equalized_bits; numerically identical within
+    f32 rounding (golden-tested), with all hot ops in [S, C, B] layout.
+    """
+    body = samples_tm[config.preamble_samples :]
+    carriers = _extract_carriers_tm(config, body, 1 + s_data)  # [S1, C, B]
+    h = carriers[0] * jnp.conj(pilot_carriers(config))[:, None]  # [C, B]
+    if config.pilot_smoothing:
+        h_pad = jnp.concatenate([h[:1], h, h[-1:]], axis=0)
+        h = 0.25 * h_pad[:-2] + 0.5 * h_pad[1:-1] + 0.25 * h_pad[2:]
+    z = carriers[1:] * jnp.conj(h)[None]  # [S, C, B]
+    h_pow = jnp.maximum(jnp.abs(h[None]) ** 2, 1e-12)  # [1, C, B]
+    z_eq = z / h_pow
+    if config.clock_tracking:
+        slope0 = _preamble_phase_slope_tm(config, samples_tm)
+        rot = _phase_track_tm(config, z_eq, h_pow, slope0)
+        z = z * rot
+        z_eq = z_eq * rot
+    if config.bits_per_carrier == 6:
+        li = _pam8_llrs(jnp.real(z_eq), h_pow)
+        lq = _pam8_llrs(jnp.imag(z_eq), h_pow)
+        per_bit = jnp.stack([*li, *lq], axis=2)  # [S, C, 6, B]
+    elif config.bits_per_carrier == 4:
+        li_s, li_i = _pam4_llrs(jnp.real(z_eq), h_pow)
+        lq_s, lq_i = _pam4_llrs(jnp.imag(z_eq), h_pow)
+        per_bit = jnp.stack([li_s, li_i, lq_s, lq_i], axis=2)  # [S, C, 4, B]
+    else:
+        per_bit = jnp.stack([-jnp.real(z), -jnp.imag(z)], axis=2)  # [S, C, 2, B]
+    # The only layout crossings: per-bit LLRs and the EVM estimates go
+    # batch-major for the shared parser (a fraction of the input bytes).
+    llrs = jnp.moveaxis(per_bit, -1, 0).reshape(
+        samples_tm.shape[-1], s_data * config.bits_per_symbol
+    )
+    bits = (llrs > 0).astype(jnp.uint8)
+    z_eq_bm = jnp.moveaxis(z_eq, -1, 0)  # [B, S, C]
+    return bits, llrs, z_eq_bm
+
+
+def demodulate_frame_tm(
+    config: OfdmConfig, samples_tm: jnp.ndarray, payload_len: int
+) -> FrameResult:
+    """demodulate_frame for TIME-MAJOR [T, B] input (see module section
+    docstring); returns the same batch-major FrameResult."""
+    s_data = config.data_symbols_for_payload(payload_len)
+    bits, llrs, z_eq = _equalized_bits_tm(config, samples_tm, s_data)
+    confidence, snr_db = _evm_metrics(config, bits, z_eq)
+    return frame_result_from_bits(
+        config, bits, payload_len, llrs=llrs, confidence=confidence, snr_db=snr_db
+    )
