@@ -127,8 +127,11 @@ def _is_ofdm(cfg) -> bool:
     return is_ofdm(cfg)
 
 
-def _load_capture(path: str, expected_rate: int):
-    """Read a capture file (.wav or raw .f32 floats) as float32 mono."""
+def _load_capture(path: str, expected_rate=None):
+    """Read a capture file (.wav or raw .f32 floats) as float32 mono.
+
+    ``expected_rate=None`` skips the WAV rate check (model auto-detection
+    loads the capture before a model is chosen)."""
     import numpy as np
 
     if path.endswith(".wav"):
@@ -136,7 +139,7 @@ def _load_capture(path: str, expected_rate: int):
 
         samples, fmt = read_wav(path)
         capture = samples.mean(axis=1).astype(np.float32) / 32768.0
-        if fmt.sample_rate_hz != expected_rate:
+        if expected_rate is not None and fmt.sample_rate_hz != expected_rate:
             print(
                 f"warning: capture rate {fmt.sample_rate_hz} != modem rate "
                 f"{expected_rate}; pick a matching --model",
@@ -201,18 +204,49 @@ def _link_line(cfg, snr_db: float) -> str:
     )
 
 
+def _resolve_auto_model(args):
+    """Handle --model auto: classify the capture, report, return
+    (model_name, capture) — capture is reused so the file loads once."""
+    capture = _load_capture(args.capture)
+    from anet.models import classify_capture
+
+    ranked = classify_capture(capture, payload_len=args.len)
+    if not ranked:
+        print("auto-detect: capture shorter than every preset's preamble",
+              file=sys.stderr)
+        return None, capture
+    top = ranked[0]
+    note = ""
+    if top.header_ok:
+        note = "; header verified"
+    elif top.header_ok is None and top.quality >= 0.5:
+        note = "; unverified (pass --len to disambiguate coded presets)"
+    print(f"auto-detect: {top.name} quality={top.quality:.3f}"
+          f" offset={top.offset}{note}")
+    if top.quality < 0.3:
+        print("auto-detect: no preset matches convincingly", file=sys.stderr)
+        return None, capture
+    return top.name, capture
+
+
 def _cmd_modem_rx(args) -> int:
     import numpy as np
 
     from anet.dsp.pipeline import receive_frame, receive_frame_tracked
     from anet.models import get_model
 
-    cfg = get_model(args.model).config
+    model, capture = args.model, None
+    if model == "auto":
+        model, capture = _resolve_auto_model(args)
+        if model is None:
+            return 2
+    cfg = get_model(model).config
     if args.fec is not None:
         import dataclasses
 
         cfg = dataclasses.replace(cfg, fec=args.fec)
-    capture = _load_capture(args.capture, cfg.sample_rate_hz)
+    if capture is None:
+        capture = _load_capture(args.capture, cfg.sample_rate_hz)
     import jax.numpy as jnp
 
     if args.len is None:
@@ -288,8 +322,14 @@ def _cmd_modem_stream(args) -> int:
     from anet.models import get_model
     from anet.stream import receive_stream
 
-    cfg = get_model(args.model).config
-    capture = _load_capture(args.capture, cfg.sample_rate_hz)
+    model, capture = args.model, None
+    if model == "auto":
+        model, capture = _resolve_auto_model(args)
+        if model is None:
+            return 2
+    cfg = get_model(model).config
+    if capture is None:
+        capture = _load_capture(args.capture, cfg.sample_rate_hz)
     chunk = args.chunk
     import jax.numpy as jnp
 
@@ -529,7 +569,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max-len", type=int, default=512,
                    help="payload length bound when --len is omitted")
     p.add_argument("--out", help="write payload bytes here")
-    p.add_argument("--model", default="mfsk16-fast")
+    p.add_argument("--model", default="mfsk16-fast",
+                   help="preset name, or 'auto' to classify the capture by "
+                        "its preamble")
     p.add_argument("--track", action="store_true",
                    help="symbol-clock recovery (tolerates sample-rate drift)")
     p.add_argument("--fec", choices=["none", "conv"],
@@ -545,7 +587,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "length from its header, bounded by --max-len)")
     p.add_argument("--max-len", type=int, default=512,
                    help="per-frame payload bound when --len is omitted")
-    p.add_argument("--model", default="mfsk16-fast")
+    p.add_argument("--model", default="mfsk16-fast",
+                   help="preset name, or 'auto' to classify the capture by "
+                        "its preamble")
     p.add_argument("--chunk", type=int, default=1024)
     p.add_argument("--out", help="concatenate recovered payloads here")
     p.add_argument("--track", action="store_true",

@@ -244,3 +244,116 @@ register(
         "Opus stream over sound.",
     )
 )
+
+
+class Classification(NamedTuple):
+    """One candidate's score from classify_capture."""
+
+    name: str
+    quality: float  # normalized preamble-match quality in [0, 1]
+    offset: int  # sample index of the best preamble match
+    header_ok: bool | None  # tie-break verdict; None = not attempted
+
+
+def classify_capture(samples, candidates=None, payload_len=None):
+    """Identify which modem preset a capture carries.
+
+    The blind-receiver analog of the reference's magic-word filtering
+    (discovery.kt:87-89): every preset transmits a preset-specific known
+    preamble, so classification is one matched-filter pass per candidate,
+    ranked by Cauchy-Schwarz-normalized correlation quality.
+
+    MFSK presets all have distinct preamble waveforms (the PN tone
+    pattern depends on the tone count, and the synthesis on rate/band).
+    The OFDM presets intentionally SHARE one preamble (FEC and QAM order
+    do not change it), so near-ties are disambiguated by demodulating
+    the frame at the detected offset and checking the header gate
+    (magic word + header CRC, 48 bits): with ``payload_len`` given every
+    candidate can be validated; without it only uncoded candidates can
+    (their payload length is read from the header).
+
+    Args:
+      samples: float [N] capture (one stream).
+      candidates: model names to consider (default: every registered
+        preset whose preamble fits in the capture).
+      payload_len: expected payload bytes, if known — enables header
+        validation of coded candidates.
+    Returns:
+      List[Classification], best first. Validation verdicts are filled
+      for the tied leaders only (quality within 0.05 of the best).
+    """
+    import jax.numpy as jnp
+    import numpy as np
+
+    from anet.dsp import family
+
+    from anet.dsp.sync import (
+        correlate_template,
+        normalized_match_quality,
+        sliding_window_energy,
+    )
+
+    x = jnp.asarray(np.asarray(samples, np.float32))
+    names = candidates or [m.name for m in list_models()]
+    scored = []
+    for name in names:
+        cfg = get_model(name).config
+        tmpl = family.preamble_template(cfg)
+        k = int(tmpl.shape[-1])
+        if x.shape[-1] <= k:
+            continue
+        corr = correlate_template(x, tmpl, method="auto")
+        q = normalized_match_quality(
+            corr, sliding_window_energy(x, k), jnp.sum(tmpl * tmpl)
+        )
+        off = int(jnp.argmax(q))
+        scored.append((name, float(q[off]), off))
+    scored.sort(key=lambda t: -t[1])
+    if not scored:
+        return []
+
+    best_q = scored[0][1]
+    out = []
+    leaders = [t for t in scored if best_q - t[1] <= 0.05]
+    verdicts = {}
+    for name, q, off in leaders:
+        verdicts[name] = _validate_header(name, x, off, payload_len)
+    # Among the tied leaders, a verified header outranks raw quality.
+    leaders.sort(key=lambda t: (verdicts[t[0]] is not True, -t[1]))
+    rest = [t for t in scored if best_q - t[1] > 0.05]
+    for name, q, off in leaders + rest:
+        out.append(Classification(name, q, off, verdicts.get(name)))
+    return out
+
+
+def _validate_header(name, x, offset, payload_len):
+    """True/False if a demod at ``offset`` could check the header gate,
+    None if this candidate cannot be validated without a payload length."""
+    import jax
+
+    from anet.dsp import family
+
+    cfg = get_model(name).config
+    n = int(x.shape[-1])
+    try:
+        if payload_len is not None:
+            t = family.frame_samples(cfg, payload_len)
+            if offset + t > n:
+                return None
+            frame = family.aligned_demod_fn(cfg, payload_len)(
+                jax.lax.dynamic_slice_in_dim(x, offset, t)
+            )
+        else:
+            if getattr(cfg, "fec", "none") != "none":
+                return None  # coded headers need the payload length
+            max_len = 64
+            t = family.frame_samples(cfg, max_len)
+            if offset + t > n:
+                return None
+            frame = family.aligned_demod_dynamic_fn(cfg, max_len)(
+                jax.lax.dynamic_slice_in_dim(x, offset, t)
+            )
+        return bool(frame.magic_ok) and bool(frame.header_crc_ok)
+    except Exception:  # noqa: BLE001 — a candidate that cannot demod is just unverified
+        return None
+

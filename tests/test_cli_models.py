@@ -3,6 +3,8 @@
 import json
 import os
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -190,3 +192,59 @@ def test_cli_sweep_echo_flag(capsys):
     assert rc == 0
     point = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert point["fer"] == 0.0
+
+
+def test_classify_capture_across_presets():
+    """Every preset's capture classifies back to itself with payload_len
+    (the shared-preamble OFDM group disambiguates via the header gate)."""
+    from anet.channel import awgn
+    from anet.dsp import family
+    from anet.models import classify_capture, get_model
+
+    rng = np.random.default_rng(21)
+    for name in ("mfsk16-fast", "mfsk4-coded", "ofdm-fast", "ofdm-coded", "ofdm-max"):
+        cfg = get_model(name).config
+        p = jnp.asarray(rng.integers(0, 256, 64, np.uint8))
+        w = np.asarray(family.transmit_fn(cfg)(p))
+        cap = np.zeros(len(w) + 3000, np.float32)
+        cap[900 : 900 + len(w)] = w
+        cap = np.asarray(awgn(jax.random.PRNGKey(2), jnp.asarray(cap), 18.0))
+        ranked = classify_capture(cap, payload_len=64)
+        assert ranked[0].name == name, (name, ranked[:3])
+        assert ranked[0].header_ok is True
+        assert ranked[0].offset == 900
+
+
+def test_classify_capture_no_match():
+    """Pure noise classifies to nothing convincing."""
+    from anet.models import classify_capture
+
+    noise = np.random.default_rng(3).normal(size=48000).astype(np.float32)
+    ranked = classify_capture(noise)
+    assert ranked and ranked[0].quality < 0.3
+
+
+def test_cli_modem_rx_auto(tmp_path, capsys):
+    """--model auto picks the right preset end to end through the CLI."""
+    import anet.cli as cli
+    from anet.dsp import family
+    from anet.models import get_model
+
+    cfg = get_model("mfsk8-audible").config
+    rng = np.random.default_rng(4)
+    payload = bytes(rng.integers(0, 256, 40, np.uint8))
+    src = tmp_path / "msg.bin"
+    src.write_bytes(payload)
+    cap = tmp_path / "cap.npy"
+    rc = cli.main(
+        ["modem-tx", str(src), "--out", str(cap), "--model", "mfsk8-audible"]
+    )
+    assert rc == 0
+    out = tmp_path / "got.bin"
+    rc = cli.main(
+        ["modem-rx", str(cap), "--model", "auto", "--len", "40", "--out", str(out)]
+    )
+    captured = capsys.readouterr().out
+    assert rc == 0
+    assert "auto-detect: mfsk8-audible" in captured
+    assert out.read_bytes() == payload
