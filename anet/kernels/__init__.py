@@ -1,15 +1,24 @@
-"""Pallas TPU kernels for the demod hot path.
+"""Pallas TPU kernels for the receiver hot paths.
 
-The demodulator's inner loop is the tone-energy filterbank
-(anet.dsp.demod.tone_energies): a [T, sps] x [sps, 2M] matmul followed by
-square-and-add. The Pallas kernel fuses windowing, the matmul, and the
-magnitude epilogue in VMEM, so the [T, 2M] I/Q intermediate never touches
-HBM — the op moves exactly input-samples + output-energies.
+Every kernel here exists to keep an intermediate OUT of HBM that the jnp
+formulation materializes:
 
-The jnp path in anet.dsp.demod is the golden model; `tone_energies_fused`
-is validated against it to tolerance in tests (interpret mode on CPU, real
-Mosaic on TPU) and selected by `use_pallas=True` or the
-ANET_BENCH_PALLAS env var in the benchmark harness.
+- ``decide_tones_tm`` — time-major fused filterbank + symbol decision;
+  the [S, 2M, B] I/Q energies stay in VMEM (the production MFSK demod,
+  95 Gsamples/s on a v5e — docs/PERF.md).
+- ``viterbi_trellis`` — forward/traceback over the K=7 trellis with the
+  [64, N] path metrics resident in VMEM across all ~2100 steps and the
+  decisions bit-packed into int32 lane words (bit-exact vs the scan).
+- ``correlate_fused`` — block-Toeplitz preamble correlation whose
+  overlapped window tensor exists only in VMEM (shifted BlockSpec
+  aliases), for the streaming receiver's sync search.
+- ``tone_energies_fused`` / ``decide_tones_fused`` — the round-1
+  batch-major variants, kept as validated alternates (plain XLA wins in
+  that layout; `ANET_BENCH_PALLAS=1`).
+
+The jnp formulations are the golden models: every kernel is validated
+against them in interpret mode by the CPU test suite and through the
+real Mosaic compiler by ``tools/tpu_validate.py``.
 """
 
 from __future__ import annotations
