@@ -323,14 +323,19 @@ def aligned_gather(
         batch *= d
     if mode not in ("auto", "dma", "onehot"):
         raise ValueError(f"mode must be auto/dma/onehot, got {mode!r}")
-    use_onehot = (
-        mode == "onehot"
-        if mode != "auto"
-        else sel_dtype == jnp.bfloat16
-        and jax.default_backend() == "tpu"
-        and batch >= 512
-    )
-    if use_onehot:
+    if mode == "auto":
+        mode = (
+            "onehot"
+            if sel_dtype == jnp.bfloat16
+            and jax.default_backend() == "tpu"
+            and batch >= 512
+            else "dma"
+        )
+    # (A two-level variant — 32-row group shift then in-group row shift,
+    # keeping every one-hot tiny — measured SLOWER on chip than the flat
+    # one-hot: 40 vs 23 ms at the bench size; the extra [.., ng*32, 128]
+    # intermediates cost more than the big selection tensor saves.)
+    if mode == "onehot":
         # Row selection as a batched one-hot matmul. The vmapped
         # dynamic_slice below issues ONE small DMA PER STREAM (~5 us each
         # — 40 ms/step at the bench's 8192 streams, the streaming
