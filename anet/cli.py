@@ -382,16 +382,23 @@ def _cmd_modem_stream(args) -> int:
                 [capture, np.zeros((-len(capture)) % chunk, np.float32)]
             )
         res = receive_stream_dynamic(
-            cfg, jnp.asarray(capture), chunk, args.max_len, carry=carry
+            cfg, jnp.asarray(capture), chunk, args.max_len, carry=carry,
+            max_frames_per_chunk=args.frames_per_chunk,
         )
-        det = np.asarray(res.steps.detected)
-        ok = np.asarray(res.steps.frame.ok)
-        starts = np.asarray(res.steps.frame_start)
-        lens = np.asarray(res.steps.frame.payload_len)
+        # With --frames-per-chunk > 1 every step field gains a candidate
+        # axis and emissions are quality-ordered within a chunk; flatten
+        # and sort by frame start so --out concatenates in stream order.
+        det = np.asarray(res.steps.detected).reshape(-1)
+        ok = np.asarray(res.steps.frame.ok).reshape(-1)
+        starts = np.asarray(res.steps.frame_start).reshape(-1)
+        lens = np.asarray(res.steps.frame.payload_len).reshape(-1)
         payloads = np.asarray(res.steps.frame.payload)
-        snrs = np.asarray(res.steps.frame.snr_db)
+        payloads = payloads.reshape(-1, payloads.shape[-1])
+        snrs = np.asarray(res.steps.frame.snr_db).reshape(-1)
         out = open(args.out, "wb") if args.out else None
-        for i in np.nonzero(det)[0]:
+        idx = np.nonzero(det)[0]
+        idx = idx[np.argsort(starts[idx], kind="stable")]
+        for i in idx:
             print(
                 f"frame @ sample {int(starts[i])}: ok={bool(ok[i])} "
                 f"len={int(lens[i])} snr={float(snrs[i]):.1f} dB"
@@ -591,6 +598,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="preset name, or 'auto' to classify the capture by "
                         "its preamble")
     p.add_argument("--chunk", type=int, default=1024)
+    p.add_argument("--frames-per-chunk", type=int, default=1,
+                   help="decode up to K frames per chunk (headers-from-"
+                        "stream mode); raise when short frames arrive "
+                        "densely enough that two end within one chunk")
     p.add_argument("--out", help="concatenate recovered payloads here")
     p.add_argument("--track", action="store_true",
                    help="symbol-clock tracking per frame (MFSK; slower)")

@@ -351,3 +351,42 @@ def test_stream_dynamic_survives_noise():
     assert int(res.carry.frames_ok) == 2
     idx = np.nonzero(np.asarray(res.steps.detected))[0]
     assert np.asarray(res.steps.frame.payload_len)[idx].tolist() == [50, 180]
+
+
+def test_cli_stream_rx_frames_per_chunk(tmp_path, capsys):
+    """--frames-per-chunk recovers two short frames whose detections land
+    in the same chunk, concatenated to --out in stream order."""
+    import numpy as np
+
+    import anet.cli as cli
+    from anet.dsp import family
+    from anet.models import get_model
+
+    cfg = get_model("mfsk16-fast").config
+    rng = np.random.default_rng(8)
+    p1 = bytes(rng.integers(0, 256, 16, np.uint8))
+    p2 = bytes(rng.integers(0, 256, 16, np.uint8))
+    w1 = np.asarray(family.transmit_fn(cfg)(jnp.asarray(np.frombuffer(p1, np.uint8))))
+    w2 = np.asarray(family.transmit_fn(cfg)(jnp.asarray(np.frombuffer(p2, np.uint8))))
+    t_max = family.frame_samples(cfg, 64)
+    # both frames complete within one max-window chunk
+    cap = np.zeros(2 * (len(w1) + 200), np.float32)
+    cap[100 : 100 + len(w1)] = w1
+    start2 = 100 + len(w1) + 200
+    cap[start2 : start2 + len(w2)] = w2
+    f = tmp_path / "cap.f32"
+    cap.astype(np.float32).tofile(f)
+    out = tmp_path / "out.bin"
+    rc = cli.main(
+        ["modem-stream-rx", str(f), "--model", "mfsk16-fast", "--max-len", "64",
+         "--chunk", str(t_max), "--frames-per-chunk", "2", "--out", str(out)]
+    )
+    assert rc == 0
+    assert out.read_bytes() == p1 + p2
+    # the K=1 default on the same capture loses one
+    out1 = tmp_path / "out1.bin"
+    cli.main(
+        ["modem-stream-rx", str(f), "--model", "mfsk16-fast", "--max-len", "64",
+         "--chunk", str(t_max), "--out", str(out1)]
+    )
+    assert len(out1.read_bytes()) < 32
