@@ -204,6 +204,15 @@ def _link_line(cfg, snr_db: float) -> str:
     )
 
 
+def _wav_rate(path):
+    """The WAV file's sample rate, or None for raw captures."""
+    if not path.endswith(".wav"):
+        return None
+    from anet.tx.audio import read_wav
+
+    return read_wav(path)[1].sample_rate_hz
+
+
 def _resolve_auto_model(args):
     """Handle --model auto: classify the capture, report, return
     (model_name, capture) — capture is reused so the file loads once."""
@@ -225,7 +234,18 @@ def _resolve_auto_model(args):
           f" offset={top.offset}{note}")
     if top.quality < 0.3:
         print("auto-detect: no preset matches convincingly", file=sys.stderr)
+        rate = _wav_rate(args.capture)
+        if rate is not None:
+            print(f"auto-detect: note the capture is {rate} Hz — presets at "
+                  "other rates cannot match it", file=sys.stderr)
         return None, capture
+    rate = _wav_rate(args.capture)
+    from anet.models import get_model as _gm
+
+    if rate is not None and rate != _gm(top.name).config.sample_rate_hz:
+        print(f"warning: capture rate {rate} != {top.name}'s rate "
+              f"{_gm(top.name).config.sample_rate_hz}; the match may be "
+              "spurious", file=sys.stderr)
     return top.name, capture
 
 
@@ -598,7 +618,15 @@ def build_parser() -> argparse.ArgumentParser:
                    help="preset name, or 'auto' to classify the capture by "
                         "its preamble")
     p.add_argument("--chunk", type=int, default=1024)
-    p.add_argument("--frames-per-chunk", type=int, default=1,
+    def _positive_int(v):
+        import argparse as _ap
+
+        n = int(v)
+        if n < 1:
+            raise _ap.ArgumentTypeError("must be >= 1")
+        return n
+
+    p.add_argument("--frames-per-chunk", type=_positive_int, default=1,
                    help="decode up to K frames per chunk (headers-from-"
                         "stream mode); raise when short frames arrive "
                         "densely enough that two end within one chunk")

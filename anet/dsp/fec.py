@@ -303,17 +303,12 @@ def _viterbi(
 
     Measured on chip (mfsk4-coded, B=4096): see docs/PERF.md coded rows.
     """
-    outputs_np, preds_np = _conv_tables()
-    # branch metric table: expected coded bits for the transition INTO ns
-    # from preds[ns, j]; the input bit of that transition is ns & 1 by
-    # construction (ns = ((s << 1) | b) & 63).
+    # Branch-metric table, derived from the SAME signs the Pallas kernel
+    # uses (_branch_signs) so the two paths can never desynchronize:
+    # e[ns, j] is the signed expected coded pair of the transition into
+    # ns via predecessor j, and signs = -e.reshape(64, 4).
+    e = jnp.asarray(-_branch_signs().reshape(CONV_STATES, 2, 2))
     ns_arr = np.arange(CONV_STATES)
-    exp = np.zeros((CONV_STATES, 2, 2), np.int32)  # [ns, j, coded pair]
-    for ns in ns_arr:
-        for j in range(2):
-            exp[ns, j] = outputs_np[preds_np[ns, j], ns_arr[ns] & 1]
-    # signed expectation (+1 for coded bit 1) for correlation metrics
-    e = jnp.asarray(2 * exp - 1, jnp.float32)  # [64, 2, 2]
     idx0 = jnp.asarray(ns_arr >> 1)  # preds[:, 0] — static permutation
     idx1 = jnp.asarray((ns_arr >> 1) | (1 << (CONV_K - 2)))  # preds[:, 1]
 

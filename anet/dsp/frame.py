@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -199,7 +200,7 @@ def demodulate_frame_tm(
     payload_len: int,
     *,
     compute_dtype=jnp.bfloat16,
-    use_pallas: bool = True,
+    use_pallas: bool | None = None,
     interpret: bool = False,
 ) -> FrameResult:
     """demodulate_frame for TIME-MAJOR input: samples_tm is [T, B] with the
@@ -224,6 +225,11 @@ def demodulate_frame_tm(
     from anet.dsp.bits import gray_decode
     from anet.dsp.demod import bit_llrs, demod_basis
 
+    if use_pallas is None:
+        # Auto-select like fec._viterbi: the fused kernel on TPU, the
+        # golden jnp path elsewhere (Mosaic kernels cannot run on CPU
+        # outside interpret mode).
+        use_pallas = jax.default_backend() == "tpu"
     sps = config.samples_per_symbol
     m = config.num_tones
     data = samples_tm[config.preamble_symbols * sps :, :]

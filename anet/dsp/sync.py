@@ -137,19 +137,31 @@ def _correlate_matmul(
     y = jnp.concatenate(
         [xr[..., s : s + n_blocks, :] for s in range(r)], axis=-1
     )[..., :w]
-    # Banded template matrix [w, b] — a trace-time constant under jit.
-    p = jnp.arange(w)[:, None]
-    j = jnp.arange(b)[None, :]
-    idx = p - j
-    tmat = jnp.where(
-        (idx >= 0) & (idx < k),
-        template[jnp.clip(idx, 0, k - 1)],
-        jnp.zeros((), template.dtype),
-    )
+    tmat = banded_template(template, w, b)
     corr = jnp.einsum(
         "...mw,wj->...mj", y, tmat, preferred_element_type=jnp.float32
     )
     return corr.reshape(samples.shape[:-1] + (n_blocks * b,))[..., :out_len]
+
+
+def banded_template(template: jnp.ndarray, n_rows: int, block: int) -> jnp.ndarray:
+    """Banded Toeplitz template matrix [n_rows, block]: T[p, j] = t[p - j]
+    inside the band, 0 outside — a trace-time constant under jit.
+
+    The single source of truth for the block-Toeplitz correlation band
+    layout, shared by the jnp golden model (_correlate_matmul) and the
+    Pallas kernel (anet.kernels.correlate_fused) so the two can never
+    desynchronize.
+    """
+    k = template.shape[-1]
+    p = jnp.arange(n_rows)[:, None]
+    j = jnp.arange(block)[None, :]
+    idx = p - j
+    return jnp.where(
+        (idx >= 0) & (idx < k),
+        template[jnp.clip(idx, 0, k - 1)],
+        jnp.zeros((), template.dtype),
+    )
 
 
 def _sliding_windows(samples: jnp.ndarray, k: int) -> jnp.ndarray:
@@ -216,10 +228,11 @@ def blockwise_match_quality(
     (measured 18 ms/step at the bench working size, a top-3 cost) and its
     per-lag broadcast is a lane relayout. Detection only needs the energy
     to ~ the threshold margin, so: square once, sum per 128-sample block,
-    slide over ceil(k/128)+1 blocks (a superset of every window starting
-    in the block — energy over- or under-counts by <= 128/k, i.e. a <=3%
-    quality shift for the 2048-sample preamble vs a 0.45-vs-~1.0
-    threshold margin), and broadcast per block in the REPHAPED [.., nb,
+    slide over ceil(k/128)+1 blocks (a strict superset of every window
+    starting in the block — energy only ever OVER-counts, by up to
+    (ceil(k/128)+1)*128 - k extra samples, i.e. <=255/k: ~12% energy /
+    ~6% quality reduction for the 2048-sample preamble, vs a
+    0.45-vs-~1.0 threshold margin), and broadcast per block in the REPHAPED [.., nb,
     128] view, where the broadcast is over the free minor axis — no
     relayout anywhere.
 

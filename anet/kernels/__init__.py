@@ -573,15 +573,9 @@ def correlate_fused(
         x = jnp.pad(x, ((0, pad_b), (0, 0)))
     xr = x[:, : rows * b]  # 2-D; lag-tile aliases are column-block shifts
 
-    # Banded template matrix [n_shift * b, b]: tmat[p, j] = t[p - j].
-    p = jnp.arange(n_shift * b)[:, None]
-    j = jnp.arange(b)[None, :]
-    idx = p - j
-    tmat = jnp.where(
-        (idx >= 0) & (idx < k),
-        template[jnp.clip(idx, 0, k - 1)],
-        jnp.zeros((), template.dtype),
-    )
+    from anet.dsp.sync import banded_template
+
+    tmat = banded_template(template, n_shift * b, b)
 
     grid = (xr.shape[0] // bt, n_blocks)
     in_specs = [

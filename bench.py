@@ -126,11 +126,12 @@ def main() -> None:
 
     model = os.environ.get("ANET_BENCH_MODEL", "mfsk16-fast")
     cfg = get_model(model).config
-    layout = os.environ.get(
-        "ANET_BENCH_LAYOUT", "bm" if family.is_ofdm(cfg) else "tm"
-    )
-    if family.is_ofdm(cfg):
-        layout = "bm"  # OFDM demod is FFT-bound; no tm variant
+    layout = os.environ.get("ANET_BENCH_LAYOUT", "tm")
+    if family.is_ofdm(cfg) and layout != "bm":
+        if "ANET_BENCH_LAYOUT" in os.environ:
+            print("OFDM benches batch-major (the tm twin measures ~equal; "
+                  "see docs/PERF.md); ignoring ANET_BENCH_LAYOUT", file=sys.stderr)
+        layout = "bm"
     payload_len = int(os.environ.get("ANET_BENCH_PAYLOAD", "256"))
     # 16384 streams ~fills the v5e MXU pipeline (45+ Gsamples/s vs ~35 at
     # 4096) while keeping the input under 2.5 GB of HBM; 32768 adds only
@@ -155,13 +156,19 @@ def main() -> None:
             file=sys.stderr,
         )
         use_pallas = False
+    uses_kernel = False
     if layout == "tm":
         from anet.dsp.frame import demodulate_frame_tm
 
-        on_cpu = jax.default_backend() == "cpu"
+        # auto-dispatch: fused Pallas kernel on TPU, jnp path elsewhere;
+        # coded configs take the jnp tm path regardless (soft LLRs need
+        # full energies)
+        uses_kernel = (
+            jax.default_backend() == "tpu"
+            and getattr(cfg, "fec", "none") == "none"
+        )
         demod = lambda w: demodulate_frame_tm(
-            cfg, w, payload_len, compute_dtype=jnp.bfloat16,
-            use_pallas=not on_cpu,
+            cfg, w, payload_len, compute_dtype=jnp.bfloat16
         )
     elif use_pallas:
         demod = lambda w: demodulate_frame(
@@ -200,7 +207,7 @@ def main() -> None:
         "details": {
             "backend": backend,
             "layout": layout,
-            "pallas": use_pallas or layout == "tm",
+            "pallas": use_pallas or uses_kernel,
             "batch_streams": batch,
             "payload_bytes": payload_len,
             "frame_samples": t_frame,
