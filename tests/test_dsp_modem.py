@@ -290,3 +290,42 @@ def test_multipath_frame_loopback():
 def test_channel_config_json_roundtrip():
     chan = ChannelConfig(snr_db=7.5, multipath_taps=(1.0, 0.3), drop_rate=0.01)
     assert ChannelConfig.from_json(chan.to_json()) == chan
+
+
+def test_blockwise_quality_bounds_and_detection():
+    """blockwise_match_quality stays within the documented over-count-only
+    bound of the exact normalized quality, and agrees on the peak."""
+    from anet.dsp.sync import (
+        blockwise_match_quality,
+        correlate_template,
+        normalized_match_quality,
+        preamble_waveform,
+        sliding_window_energy,
+    )
+
+    tmpl = preamble_waveform(CFG_SMALL)
+    k = tmpl.shape[-1]
+    rng = np.random.default_rng(17)
+    seg = np.asarray(rng.normal(0, 0.3, (3, 2048 + k - 1)), np.float32)
+    seg[1, 400 : 400 + k] += np.asarray(tmpl)  # a real preamble in stream 1
+    seg = jnp.asarray(seg)
+    corr = correlate_template(seg, tmpl, method="direct")
+    t_e = jnp.sum(tmpl * tmpl)
+    exact = np.asarray(
+        normalized_match_quality(corr, sliding_window_energy(seg, k), t_e)
+    )
+    coarse = np.asarray(blockwise_match_quality(seg, corr, k, t_e))
+    # energy only over-counts -> coarse quality <= exact (tiny fp slack),
+    # and by at most the documented (kb*128 - k)/k energy factor
+    assert (coarse <= exact * 1.001).all()
+    # the proportional lower bound assumes locally stationary energy, so
+    # assert it only where a real (stationary) preamble sits; pure-noise
+    # lags can legitimately over-count more than their sample share
+    kb = -(-k // 128) + 1
+    floor = 1.0 / np.sqrt(1.0 + (kb * 128 - k) / k)
+    peak = exact > 0.5
+    assert peak.any()
+    assert (coarse[peak] >= exact[peak] * floor * 0.99).all()
+    # same argmax at the injected preamble
+    assert int(np.argmax(coarse[1])) == int(np.argmax(exact[1])) == 400
+    assert coarse[1].max() > 0.8  # comfortably above the 0.45 threshold
