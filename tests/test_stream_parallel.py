@@ -254,3 +254,46 @@ def test_2d_mesh_capture_grid():
         assert np.asarray(res.steps.frame_start)[bidx][idx].tolist() == exp_s
         for i, p in zip(idx, exp_p):
             assert np.array_equal(np.asarray(res.steps.frame.payload)[bidx][i], p)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_stream_random_frame_layout_property(seed):
+    """Property: every frame placed with at least one chunk of spacing in
+    a random layout is detected and decoded by the streaming receiver."""
+    import numpy as np
+
+    from anet.dsp.family import frame_samples, transmit_fn
+    from anet.stream import receive_stream
+
+    cfg = CFG
+    payload_len = 24
+    t_frame = frame_samples(cfg, payload_len)
+    chunk = 512
+    rng = np.random.default_rng(seed)
+    n_frames = int(rng.integers(2, 5))
+    payloads = rng.integers(0, 256, (n_frames, payload_len), np.uint8)
+    waves = [np.asarray(transmit_fn(cfg)(jnp.asarray(p))) for p in payloads]
+    pos, placed = 0, []
+    for w in waves:
+        pos += int(rng.integers(chunk, 3 * chunk))  # gap >= one chunk
+        placed.append((pos, w))
+        pos += len(w)
+    total = -(-(pos + t_frame) // chunk) * chunk
+    cap = np.zeros(total, np.float32)
+    for p, w in placed:
+        cap[p : p + len(w)] = w
+    cap += rng.normal(0, 0.02, total).astype(np.float32)
+    res = receive_stream(cfg, jnp.asarray(cap), chunk, payload_len)
+    assert int(res.carry.frames_ok) == n_frames, (
+        seed,
+        int(res.carry.frames_detected),
+        int(res.carry.frames_ok),
+    )
+    det = np.asarray(res.steps.detected)
+    starts = np.asarray(res.steps.frame_start)[det]
+    got_payloads = np.asarray(res.steps.frame.payload)[det]
+    order = np.argsort(starts)
+    for i, (p, _) in enumerate(placed):
+        idx = order[i]
+        assert abs(int(starts[idx]) - p) <= 1, (p, int(starts[idx]))
+        assert np.array_equal(got_payloads[idx], payloads[i])
