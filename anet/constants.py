@@ -16,7 +16,7 @@ Sources in the reference (/root/reference):
 - reconnect policy:          hardware/include/network.hpp:7-8
                              (10 retries, 1000 ms cooldown)
 - string caps (nanopb):      hardware/src/protogen/protobuf_ip.options:1-2
-                             (device_name / opus_version <= 128 bytes)
+                             (max_size:128 including NUL -> 127 usable bytes)
 """
 
 # --- discovery / transport ---------------------------------------------------
@@ -46,8 +46,12 @@ RECONNECT_MAX_IMMEDIATE_RETRIES = 10
 RECONNECT_COOLDOWN_MS = 1000
 
 # --- nanopb-compatible string limits ----------------------------------------
-MAX_DEVICE_NAME_BYTES = 128
-MAX_OPUS_VERSION_BYTES = 128
+# protobuf_ip.options:1-2 sets max_size:128, but nanopb's max_size counts
+# the NUL terminator: the firmware's pb_decode rejects a 128-byte string
+# with "string overflow" (pb_decode.c pb_dec_string; verified against the
+# real codec by tests/test_nanopb_cross.py). 127 usable bytes.
+MAX_DEVICE_NAME_BYTES = 127
+MAX_OPUS_VERSION_BYTES = 127
 
 # --- codec envelope (reference OpusEncoder.kt:54,195-203) --------------------
 DEFAULT_OPUS_BITRATE_BPS = 92_000

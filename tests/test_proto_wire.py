@@ -193,10 +193,13 @@ def test_frame_cap_enforced_like_firmware():
 
 
 def test_nanopb_string_cap_enforced_on_encode():
-    """device_name/opus_version capped at 128 bytes (protobuf_ip.options:1-2)."""
-    too_long = "x" * 129
+    """device_name/opus_version capped at 127 usable bytes: nanopb's
+    max_size:128 (protobuf_ip.options:1-2) includes the NUL terminator —
+    the real pb_decode rejects a 128-byte string with "string overflow"
+    (verified against the actual codec in tests/test_nanopb_cross.py)."""
     with pytest.raises(WireError, match="nanopb cap"):
-        DiscoveryResponse(1, 0, too_long, False, "v").encode()
+        DiscoveryResponse(1, 0, "x" * 128, False, "v").encode()
+    DiscoveryResponse(1, 0, "x" * 127, False, "v").encode()  # max passes
 
 
 def test_unknown_fields_skipped():
