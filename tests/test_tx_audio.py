@@ -12,7 +12,11 @@ from anet.tx.audio import (
     nearest_supported_rate,
     normalize_for_opus,
     pcm_bytes,
+    read_aiff,
+    read_au,
+    read_audio,
     read_wav,
+    resample_sinc,
 )
 from anet.utils.errors import CombinedError, do_all_and_raise_combined
 
@@ -87,6 +91,152 @@ def test_read_wav_unsupported_width(tmp_path):
             audio.read_wav("whatever.wav")
         finally:
             audio.wave.open = orig
+
+
+def _extended80(rate: float) -> bytes:
+    """Encode a sample rate as an 80-bit IEEE extended float (AIFF COMM)."""
+    import math
+
+    if rate == 0:
+        return b"\x00" * 10
+    mant, exp = math.frexp(rate)  # rate = mant * 2**exp, mant in [0.5, 1)
+    return __import__("struct").pack(">HQ", 16382 + exp, int(mant * (1 << 64)))
+
+
+def _write_aiff(path, samples_be: bytes, rate, width, channels, form=b"AIFF",
+                codec=b""):
+    import struct
+
+    n_frames = len(samples_be) // (width * channels)
+    comm = struct.pack(">hIh", channels, n_frames, width * 8) + _extended80(rate)
+    comm += codec
+    ssnd = struct.pack(">II", 0, 0) + samples_be
+    body = (
+        form
+        + b"COMM" + struct.pack(">I", len(comm)) + comm + (b"\x00" * (len(comm) & 1))
+        + b"SSND" + struct.pack(">I", len(ssnd)) + ssnd
+    )
+    path.write_bytes(b"FORM" + struct.pack(">I", len(body)) + body)
+
+
+def test_read_aiff_16bit():
+    import tempfile, pathlib
+
+    n = 500
+    ref = (10000 * np.sin(2 * np.pi * 440 * np.arange(n) / 44100)).astype(np.int16)
+    stereo = np.stack([ref, -ref], axis=1)
+    with tempfile.TemporaryDirectory() as d:
+        p = pathlib.Path(d) / "t.aiff"
+        _write_aiff(p, stereo.astype(">i2").tobytes(), 44100, 2, 2)
+        samples, fmt = read_aiff(str(p))
+    assert fmt.sample_rate_hz == 44100 and fmt.channels == 2
+    assert np.array_equal(samples, stereo)
+    # read_audio dispatches on the FORM magic
+    with tempfile.TemporaryDirectory() as d:
+        p = pathlib.Path(d) / "t.bin"
+        _write_aiff(p, stereo.astype(">i2").tobytes(), 44100, 2, 2)
+        s2, f2 = read_audio(str(p))
+    assert np.array_equal(s2, samples)
+
+
+def test_read_aifc_sowt_little_endian():
+    import tempfile, pathlib
+
+    ref = np.arange(-100, 100, dtype=np.int16)[:, None]
+    with tempfile.TemporaryDirectory() as d:
+        p = pathlib.Path(d) / "t.aifc"
+        _write_aiff(p, ref.astype("<i2").tobytes(), 8000, 2, 1,
+                    form=b"AIFC", codec=b"sowt")
+        samples, fmt = read_aiff(str(p))
+    assert fmt.sample_rate_hz == 8000
+    assert np.array_equal(samples, ref)
+
+
+def test_read_aifc_compressed_rejected():
+    import tempfile, pathlib
+
+    with tempfile.TemporaryDirectory() as d:
+        p = pathlib.Path(d) / "t.aifc"
+        _write_aiff(p, b"\x00\x00", 8000, 2, 1, form=b"AIFC", codec=b"ulaw")
+        with pytest.raises(ValueError, match="compressed AIFC"):
+            read_aiff(str(p))
+
+
+def _write_au(path, payload: bytes, encoding, rate, channels):
+    import struct
+
+    path.write_bytes(
+        b".snd" + struct.pack(">IIIII", 24, len(payload), encoding, rate, channels)
+        + payload
+    )
+
+
+def test_read_au_16bit_and_mulaw():
+    import tempfile, pathlib
+
+    n = 400
+    ref = (8000 * np.sin(2 * np.pi * 300 * np.arange(n) / 8000)).astype(np.int16)
+    with tempfile.TemporaryDirectory() as d:
+        p = pathlib.Path(d) / "t.au"
+        _write_au(p, ref.astype(">i2").tobytes(), 3, 8000, 1)
+        samples, fmt = read_au(str(p))
+        assert fmt.sample_rate_hz == 8000 and fmt.channels == 1
+        assert np.array_equal(samples[:, 0], ref)
+        # mu-law: encode with the reference G.711 compressor, decode ours
+        def mulaw_encode(x):
+            x = x.astype(np.int32)
+            sign = np.where(x < 0, 0x80, 0)
+            mag = np.minimum(np.abs(x), 32635) + 0x84
+            exp = (np.floor(np.log2(mag)) - 7).astype(np.int32)
+            mant = (mag >> (exp + 3)) & 0x0F
+            return (~(sign | (exp << 4) | mant)) & 0xFF
+        enc = mulaw_encode(ref).astype(np.uint8)
+        p2 = pathlib.Path(d) / "m.au"
+        _write_au(p2, enc.tobytes(), 1, 8000, 1)
+        dec, fmt2 = read_au(str(p2))
+        # mu-law is 8-bit companded: ~6% worst-case error at these levels
+        err = np.abs(dec[:, 0].astype(np.int32) - ref.astype(np.int32))
+        assert err.max() <= 0.06 * 32768
+        assert read_audio(str(p2))[1].sample_rate_hz == 8000
+
+
+def test_resample_sinc_passband_and_stopband():
+    """8 kHz -> 48 kHz upsampling: the tone passes at unity, its images
+    (the VERDICT's measured-stopband ask) are below -60 dB."""
+    n = 8000
+    f0 = 1000.0
+    x = (20000 * np.sin(2 * np.pi * f0 * np.arange(n) / 8000)).astype(np.int16)
+    y = resample_sinc(x[:, None], 8000, 48000)[:, 0].astype(np.float64)
+    assert y.shape[0] == 6 * n
+    # discard filter edges, window, and measure the spectrum
+    core = y[2000:-2000]
+    win = np.hanning(core.size)
+    spec = np.abs(np.fft.rfft(core * win))
+    freqs = np.fft.rfftfreq(core.size, 1 / 48000)
+    peak_bin = np.argmax(spec)
+    assert abs(freqs[peak_bin] - f0) < 5.0
+    # passband gain ~1 (within 0.5 dB)
+    assert abs(20 * np.log10(np.max(np.abs(core)) / 20000)) < 0.5
+    # stopband: all energy 300 Hz away from the tone (images at 7k, 9k,
+    # 15k, 17k... for an 8k->48k zero-stuff) must sit below -60 dBc
+    mask = np.abs(freqs - f0) > 300
+    stop_db = 20 * np.log10(spec[mask].max() / spec[peak_bin])
+    assert stop_db < -60.0, f"stopband only {stop_db:.1f} dBc"
+
+
+def test_resample_sinc_fractional_ratio():
+    """44.1 kHz -> 48 kHz (L=160/M=147): tone frequency preserved."""
+    n = 44100 // 2
+    f0 = 997.0
+    x = (10000 * np.sin(2 * np.pi * f0 * np.arange(n) / 44100)).astype(np.int16)
+    y = resample_sinc(x[:, None], 44100, 48000)[:, 0].astype(np.float64)
+    assert y.shape[0] == int(round(n * 48000 / 44100))
+    core = y[1000:-1000]
+    spec = np.abs(np.fft.rfft(core * np.hanning(core.size)))
+    freqs = np.fft.rfftfreq(core.size, 1 / 48000)
+    assert abs(freqs[np.argmax(spec)] - f0) < 5.0
+    # round-trip energy sanity: amplitude preserved within 1%
+    assert abs(np.max(np.abs(core)) / 10000 - 1) < 0.01
 
 
 def test_nearest_supported_rate():
