@@ -232,7 +232,7 @@ def blockwise_match_quality(
     starting in the block — energy only ever OVER-counts, by up to
     (ceil(k/128)+1)*128 - k extra samples, i.e. <=255/k: ~12% energy /
     ~6% quality reduction for the 2048-sample preamble, vs a
-    0.45-vs-~1.0 threshold margin), and broadcast per block in the REPHAPED [.., nb,
+    0.45-vs-~1.0 threshold margin), and broadcast per block in the RESHAPED [.., nb,
     128] view, where the broadcast is over the free minor axis — no
     relayout anywhere.
 
@@ -320,6 +320,28 @@ def aligned_gather(
         sel_dtype, precision = buffer.dtype, jax.lax.Precision.HIGHEST
     else:
         sel_dtype, precision = compute_dtype, None
+    batch = 1
+    for d in start.shape:
+        batch *= d
+    if mode not in ("auto", "dma", "onehot", "roll"):
+        raise ValueError(f"mode must be auto/dma/onehot/roll, got {mode!r}")
+    if mode == "auto":
+        mode = (
+            "onehot"
+            if sel_dtype == jnp.bfloat16
+            and jax.default_backend() == "tpu"
+            and batch >= 512
+            else "dma"
+        )
+    if mode == "roll":
+        # Pallas roll-align kernel: exact in any dtype (pure data
+        # movement). Measured SLOWER than the one-hot on chip at the
+        # stream bench size (30 vs 26 ms at B=8192 — the per-stream
+        # slice+roll loop serializes); kept as an explicit mode for
+        # small-batch / f32-exact callers, not in auto.
+        from anet.kernels import gather_rows_fused
+
+        return gather_rows_fused(buffer, start, size)
     out_pad = -(-size // _LANE) * _LANE
     rt = out_pad // _LANE
     length = buffer.shape[-1]
@@ -331,19 +353,6 @@ def aligned_gather(
     xr = x.reshape(x.shape[:-1] + (rows_total, _LANE))
     hi = start // _LANE
     lo = start % _LANE
-    batch = 1
-    for d in start.shape:
-        batch *= d
-    if mode not in ("auto", "dma", "onehot"):
-        raise ValueError(f"mode must be auto/dma/onehot, got {mode!r}")
-    if mode == "auto":
-        mode = (
-            "onehot"
-            if sel_dtype == jnp.bfloat16
-            and jax.default_backend() == "tpu"
-            and batch >= 512
-            else "dma"
-        )
     # (A two-level variant — 32-row group shift then in-group row shift,
     # keeping every one-hot tiny — measured SLOWER on chip than the flat
     # one-hot: 40 vs 23 ms at the bench size; the extra [.., ng*32, 128]

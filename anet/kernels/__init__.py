@@ -38,6 +38,8 @@ __all__ = [
     "decide_tones_fused",
     "decide_tones_tm",
     "viterbi_trellis",
+    "correlate_fused",
+    "gather_rows_fused",
     "SYMBOL_TILE",
     "TM_SYMBOL_TILE",
     "TM_LANE_TILE",
@@ -511,84 +513,420 @@ def viterbi_trellis(
 
 # --- preamble correlation ----------------------------------------------------
 
-COR_LAG_TILE = 512  # lags per grid cell (matches sync.py's block sweep winner)
-COR_BATCH_TILE = 512  # streams per grid cell
+COR_LAG_TILE = 512  # lags per output tile (matches sync.py's block sweep winner)
+COR_BATCH_TILE = 128  # streams per grid cell
+COR_CELL_TILES = 8  # lag tiles computed per grid cell from ONE input load
 
 
-def _corr_kernel(*refs, n_shift: int):
-    """Block-Toeplitz correlation cell: the out block at lag tile t is
-    the sum over n_shift shifted segment blocks times the matching
-    template band.
+def _corr_kernel(a_ref, b_ref, tmat_ref, out_ref, scratch_ref, *, g: int, n_shift: int):
+    """Block-Toeplitz correlation supercell: G consecutive lag tiles from
+    a single load of the shared input span.
 
-    The jnp formulation materializes the overlapped [B, n_blocks, K+B-1]
-    window tensor in HBM (2.7 GB at the bench size — assembly plus
-    re-read measured ~3x the pure matmul cost); here the overlap is
-    expressed as n_shift BlockSpec aliases of the same segment (2-D
-    blocks whose column-block index is t + s), so the windows only ever
-    exist in VMEM.
+    Round-2's version expressed the window overlap as n_shift aliased
+    BlockSpecs per lag tile, which re-fetched every input block ~n_shift
+    (=5) times and serialized five half-tile matmuls per cell — measured
+    23.7 ms/step at the stream bench size, ~3x its own MXU bound
+    (docs/PERF.md round-3 table). This version loads the cell's whole
+    input span once (two adjacent blocks), concatenates it in VMEM
+    scratch, and issues G fat [bts, n_shift*512] x [n_shift*512, 512]
+    dots over STATIC slices of the scratch — full-depth contractions,
+    one per lag tile, no re-reads.
     """
-    seg_refs = refs[:n_shift]
-    tmat_ref, out_ref = refs[n_shift], refs[n_shift + 1]
-    b = COR_LAG_TILE
-    acc = None
-    for s in range(n_shift):
-        part = jax.lax.dot_general(
-            seg_refs[s][...],
-            tmat_ref[s * b : (s + 1) * b, :],
+    blk = COR_LAG_TILE
+    scratch_ref[:, : g * blk] = a_ref[...]
+    if n_shift > 1:
+        scratch_ref[:, g * blk :] = b_ref[:, : (n_shift - 1) * blk]
+    for j in range(g):
+        out_ref[:, j * blk : (j + 1) * blk] = jax.lax.dot_general(
+            scratch_ref[:, j * blk : j * blk + n_shift * blk],
+            tmat_ref[...],
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        acc = part if acc is None else acc + part
-    out_ref[...] = acc
 
 
-@functools.partial(jax.jit, static_argnames=("out_len", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("out_len", "batch_tile", "cell_tiles", "interpret")
+)
 def correlate_fused(
     seg: jnp.ndarray,
     template: jnp.ndarray,
     out_len: int,
     *,
+    batch_tile: int | None = None,
+    cell_tiles: int | None = None,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Valid-mode correlation [..., N] x [K] -> [..., out_len] (f32),
-    out_len <= N - K + 1, computed tile-by-tile in VMEM (see _corr_kernel).
+    out_len <= N - K + 1, computed supercell-by-supercell in VMEM
+    (see _corr_kernel).
 
     Inputs are taken in their given dtype (bf16 on the chip's hot path);
     accumulation is always f32.
     """
     k = template.shape[-1]
-    b, bt = COR_LAG_TILE, COR_BATCH_TILE
+    blk = COR_LAG_TILE
     batch_shape = seg.shape[:-1]
     x = seg.reshape(-1, seg.shape[-1])
     n_streams = x.shape[0]
-    n_blocks = -(-out_len // b)
-    w = k + b - 1
-    n_shift = -(-w // b)  # shifted aliases per lag tile
-    rows = n_blocks + n_shift
-    pad_t = rows * b - x.shape[-1]
+    n_blocks = -(-out_len // blk)
+    n_shift = -(-(k + blk - 1) // blk)  # 512-blocks per band row
+    g = cell_tiles or COR_CELL_TILES
+    g = max(min(g, n_blocks), n_shift - 1, 1)
+    bts = batch_tile or COR_BATCH_TILE
+    # Keep the cell's VMEM footprint (a + b + scratch + tmat + out, with
+    # in/out double-buffered by the pipeline) under ~10 MB of the 16.
+    esize = x.dtype.itemsize
+    while bts > 128:
+        cell = (
+            2 * 2 * g * blk * bts * esize  # a + b, double-buffered
+            + (g + n_shift - 1) * blk * bts * esize  # scratch
+            + n_shift * blk * blk * esize  # tmat
+            + 2 * g * blk * bts * 4  # out f32, double-buffered
+        )
+        if cell <= 10 * 2**20:
+            break
+        bts //= 2
+    n_super = -(-n_blocks // g)
+    cols = (n_super + 1) * g * blk
+    pad_t = cols - x.shape[-1]
     if pad_t > 0:
         x = jnp.pad(x, ((0, 0), (0, pad_t)))
-    pad_b = -n_streams % bt
+    else:
+        x = x[:, :cols]
+    pad_b = -n_streams % bts
     if pad_b:
         x = jnp.pad(x, ((0, pad_b), (0, 0)))
-    xr = x[:, : rows * b]  # 2-D; lag-tile aliases are column-block shifts
 
     from anet.dsp.sync import banded_template
 
-    tmat = banded_template(template, n_shift * b, b)
+    tmat = banded_template(template, n_shift * blk, blk)
 
-    grid = (xr.shape[0] // bt, n_blocks)
-    in_specs = [
-        pl.BlockSpec((bt, b), functools.partial(lambda s, i, t: (i, t + s), sh))
-        for sh in range(n_shift)
-    ] + [pl.BlockSpec((n_shift * b, b), lambda i, t: (0, 0))]
+    grid = (x.shape[0] // bts, n_super)
     out = pl.pallas_call(
-        functools.partial(_corr_kernel, n_shift=n_shift),
-        out_shape=jax.ShapeDtypeStruct((xr.shape[0], n_blocks * b), jnp.float32),
+        functools.partial(_corr_kernel, g=g, n_shift=n_shift),
+        out_shape=jax.ShapeDtypeStruct((x.shape[0], n_super * g * blk), jnp.float32),
         grid=grid,
-        in_specs=in_specs,
-        out_specs=pl.BlockSpec((bt, b), lambda i, t: (i, t)),
+        in_specs=[
+            pl.BlockSpec((bts, g * blk), lambda i, t: (i, t)),
+            pl.BlockSpec((bts, g * blk), lambda i, t: (i, t + 1)),
+            pl.BlockSpec((n_shift * blk, blk), lambda i, t: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((bts, g * blk), lambda i, t: (i, t)),
+        scratch_shapes=[pltpu.VMEM((bts, (g + n_shift - 1) * blk), x.dtype)],
         interpret=interpret,
-    )(*([xr] * n_shift), tmat)
+    )(x, x, tmat)
     out = out[:n_streams, :out_len]
     return out.reshape(*batch_shape, out_len)
+
+
+# --- fused sync search (correlate + quality + argmax) ------------------------
+
+SRCH_BATCH_TILE = 128  # streams per grid cell (VMEM-sized with g=8 below)
+SRCH_CELL_TILES = 8  # 512-lag tiles per supercell
+
+
+def _search_kernel(
+    te_ref,
+    a_ref,
+    b_ref,
+    tmat_ref,
+    onesb_ref,
+    slid_ref,
+    q_ref,
+    idx_ref,
+    span_ref,
+    corr_ref,
+    rq_ref,
+    ridx_ref,
+    *,
+    g: int,
+    n_shift: int,
+    kb: int,
+    out_len: int,
+    n_super: int,
+):
+    """One supercell of the fused preamble search.
+
+    Computes g 512-lag correlation tiles from a single load of the shared
+    input span, normalizes them into blockwise match quality IN VMEM, and
+    folds the result into a running (best quality, best lag) pair held in
+    scratch across the supercell axis — so the [B, out_len] correlation
+    and quality arrays never exist in HBM. Only two [B, 1] vectors come
+    back, which is all the streaming receiver's candidate nomination uses
+    (anet.stream._find_candidate).
+    """
+    blk = COR_LAG_TILE
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _init():
+        rq_ref[...] = jnp.full_like(rq_ref, -1.0)
+        ridx_ref[...] = jnp.zeros_like(ridx_ref)
+
+    # 1. assemble the cell's input span in VMEM (one load of each block)
+    span_ref[:, : g * blk] = a_ref[...]
+    if n_shift > 1:
+        span_ref[:, g * blk :] = b_ref[:, : (n_shift - 1) * blk]
+
+    # 2. correlation tiles: full-depth [bts, n_shift*blk] x [.., blk] dots
+    for j in range(g):
+        corr_ref[:, j * blk : (j + 1) * blk] = jnp.abs(
+            jax.lax.dot_general(
+                span_ref[:, j * blk : j * blk + n_shift * blk],
+                tmat_ref[...],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        )
+
+    # 3. blockwise window energy (sync.blockwise_match_quality's grid):
+    # square the span, sum per 128-sample block (0/1 matmul), slide a
+    # kb-block superset window (banded 0/1 matmul), floor, rsqrt.
+    sp = span_ref[...].astype(jnp.float32)
+    sq = sp * sp
+    bsums = jax.lax.dot_general(
+        sq, onesb_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [bts, nblocks_span]
+    win = jax.lax.dot_general(
+        bsums, slid_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [bts, g*4] — one energy window per 128-lag block
+    te = te_ref[0]
+    floored = jnp.maximum(win, 1e-4 * te)
+    scale = jax.lax.rsqrt(te * floored)  # [bts, g*4]
+
+    # 4. blockwise quality: q = |corr| * scale, scale broadcast from one
+    # value per 128-lag block to lanes via a 0/1 block-diagonal matmul.
+    bcast = (
+        jax.lax.broadcasted_iota(jnp.int32, (g * 4, g * 4 * _LANE_BC), 1)
+        // _LANE_BC
+        == jax.lax.broadcasted_iota(jnp.int32, (g * 4, g * 4 * _LANE_BC), 0)
+    ).astype(jnp.float32)
+    scale_bc = jax.lax.dot_general(
+        scale, bcast, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [bts, g*blk]
+    q = corr_ref[...] * scale_bc
+    # mask lags beyond out_len (the zero-padded tail of the last cell)
+    lane = jax.lax.broadcasted_iota(jnp.int32, q.shape, 1)
+    q = jnp.where(lane + t * g * blk < out_len, q, -2.0)
+
+    # 5. fold into the running best (strict > keeps the earliest maximum,
+    # matching jnp.argmax semantics)
+    qmax = jnp.max(q, axis=1, keepdims=True)  # [bts, 1]
+    qarg = jnp.argmax(q, axis=1).astype(jnp.int32)[:, None]
+    better = qmax > rq_ref[...]
+    rq_ref[...] = jnp.where(better, qmax, rq_ref[...])
+    ridx_ref[...] = jnp.where(better, t * g * blk + qarg, ridx_ref[...])
+
+    @pl.when(t == n_super - 1)
+    def _emit():
+        q_ref[...] = rq_ref[...]
+        idx_ref[...] = ridx_ref[...]
+
+
+_LANE_BC = 128  # lags per quality block (sync.blockwise granularity)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("out_len", "batch_tile", "cell_tiles", "interpret"),
+)
+def sync_search_fused(
+    seg: jnp.ndarray,
+    template: jnp.ndarray,
+    out_len: int,
+    template_energy,
+    *,
+    batch_tile: int | None = None,
+    cell_tiles: int | None = None,
+    interpret: bool = False,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Fused preamble search: best blockwise match quality and its lag.
+
+    Equivalent to (but never materializing)::
+
+        corr = correlate_template(seg, template, method="matmul")[..., :out_len]
+        q = blockwise_match_quality(seg, corr, k, template_energy)
+        return q.max(-1), q.argmax(-1)
+
+    which at the streaming bench size writes+reads ~3 GB of [B, out_len]
+    f32 intermediates per step (measured 23.7 ms correlation + 15.7 ms
+    quality + argmax). Here the only HBM traffic is one read of ``seg``
+    and two [B, 1] outputs.
+
+    ``out_len`` must be a multiple of 128 (the streaming receiver's chunk
+    sizes are lane-aligned). Returns (best_q f32 [...], best_idx i32 [...]).
+    """
+    k = template.shape[-1]
+    blk = COR_LAG_TILE
+    if out_len % _LANE_BC:
+        raise ValueError(f"out_len {out_len} must be a multiple of {_LANE_BC}")
+    batch_shape = seg.shape[:-1]
+    x = seg.reshape(-1, seg.shape[-1])
+    n_streams = x.shape[0]
+    n_blocks = -(-out_len // blk)
+    n_shift = -(-(k + blk - 1) // blk)
+    g = cell_tiles or SRCH_CELL_TILES
+    g = max(min(g, n_blocks), n_shift - 1, 1)
+    bts = batch_tile or SRCH_BATCH_TILE
+    n_super = -(-n_blocks // g)
+    span_cols = (g + n_shift - 1) * blk
+    kb = -(-k // _LANE_BC) + 1  # energy blocks per window (superset)
+    if kb + g * blk // _LANE_BC - 1 > span_cols // _LANE_BC:
+        raise ValueError(
+            f"template ({k}) too long for cell span {span_cols}; raise cell_tiles"
+        )
+    cols = (n_super + 1) * g * blk
+    pad_t = cols - x.shape[-1]
+    if pad_t > 0:
+        x = jnp.pad(x, ((0, 0), (0, pad_t)))
+    else:
+        x = x[:, :cols]
+    pad_b = -n_streams % bts
+    if pad_b:
+        x = jnp.pad(x, ((0, pad_b), (0, 0)))
+
+    from anet.dsp.sync import banded_template
+
+    tmat = banded_template(template, n_shift * blk, blk)
+    nb_span = span_cols // _LANE_BC
+    # 0/1 block-sum matrix [span_cols, nb_span] and the banded sliding-
+    # window matrix [nb_span, g*4]: win[jb] = sum(bsums[jb:jb+kb])
+    onesb = (
+        jnp.arange(span_cols)[:, None] // _LANE_BC == jnp.arange(nb_span)[None, :]
+    ).astype(x.dtype if x.dtype == jnp.float32 else jnp.float32)
+    jb = jnp.arange(nb_span)[:, None]
+    jo = jnp.arange(g * (blk // _LANE_BC))[None, :]
+    slid = ((jb >= jo) & (jb < jo + kb)).astype(jnp.float32)
+    te = jnp.asarray(template_energy, jnp.float32).reshape(1)
+
+    grid = (x.shape[0] // bts, n_super)
+    q, idx = pl.pallas_call(
+        functools.partial(
+            _search_kernel,
+            g=g,
+            n_shift=n_shift,
+            kb=kb,
+            out_len=out_len,
+            n_super=n_super,
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((x.shape[0], 1), jnp.float32),
+            jax.ShapeDtypeStruct((x.shape[0], 1), jnp.int32),
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((bts, g * blk), lambda i, t: (i, t)),
+            pl.BlockSpec((bts, g * blk), lambda i, t: (i, t + 1)),
+            pl.BlockSpec((n_shift * blk, blk), lambda i, t: (0, 0)),
+            pl.BlockSpec((span_cols, nb_span), lambda i, t: (0, 0)),
+            pl.BlockSpec((nb_span, g * (blk // _LANE_BC)), lambda i, t: (0, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((bts, 1), lambda i, t: (i, 0)),
+            pl.BlockSpec((bts, 1), lambda i, t: (i, 0)),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((bts, span_cols), x.dtype),
+            pltpu.VMEM((bts, g * blk), jnp.float32),
+            pltpu.VMEM((bts, 1), jnp.float32),
+            pltpu.VMEM((bts, 1), jnp.int32),
+        ],
+        interpret=interpret,
+    )(te, x, x, tmat, onesb, slid)
+    q = q[:n_streams, 0].reshape(batch_shape)
+    idx = idx[:n_streams, 0].reshape(batch_shape)
+    return q, idx
+
+
+# --- dynamic-offset row gather (timing alignment) ----------------------------
+
+GR_STREAM_TILE = 16  # streams aligned per grid cell
+_GR_LANE = 128
+
+
+def _gather_rows_kernel(starts_ref, x_ref, out_ref, *, bs: int, rr: int, rt: int):
+    """Per-stream alignment: slice rt+1 consecutive 128-sample rows at the
+    stream's coarse offset (dynamic SUBLANE slice — a VMEM copy, no
+    gather instruction), then rotate the fine offset into place with a
+    dynamic lane roll and stitch adjacent rows with a lane-iota select.
+    Everything happens in VMEM; the only HBM traffic is the buffer read
+    and the aligned output write."""
+    cell = pl.program_id(0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (rt, _GR_LANE), 1)
+    for s in range(bs):
+        st = starts_ref[cell * bs + s]
+        hi = jax.lax.div(st, _GR_LANE)
+        lo = jax.lax.rem(st, _GR_LANE)
+        rows = x_ref[s, pl.ds(hi, rr), :]  # [rr, 128]
+        ru = pltpu.roll(rows, (_GR_LANE - lo) % _GR_LANE, axis=1)
+        out_ref[s, :, :] = jnp.where(lane < _GR_LANE - lo, ru[:rt], ru[1:rt + 1])
+
+
+@functools.partial(
+    jax.jit, static_argnames=("size", "block_streams", "interpret")
+)
+def gather_rows_fused(
+    buffer: jnp.ndarray,
+    start: jnp.ndarray,
+    size: int,
+    *,
+    block_streams: int = GR_STREAM_TILE,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """out[..., i] = buffer[..., start[...] + i] — the streaming
+    receiver's timing-alignment gather (sync.aligned_gather's contract),
+    fused into one kernel.
+
+    Each stream's rows are aligned entirely in VMEM: a dynamic sublane
+    slice picks the coarse (row) offset and a dynamic lane roll + select
+    applies the fine offset, so the only HBM traffic is reading the
+    buffer once and writing the aligned output. Exact for any dtype
+    (pure data movement — no arithmetic on the samples).
+
+    Honest measurement (v5e, B=8192, frame 36352): 30 ms vs the one-hot
+    matmul's 26 — the per-stream slice+roll+select loop serializes
+    (~3.5 us/stream of op dispatch) and loses to the one-hot's HBM-bound
+    but fully-vectorized matmuls, despite moving ~6x less data. Kept for
+    small batches and f32-exact callers (aligned_gather mode="roll");
+    the streaming hot path uses the fused sync+demod kernels instead.
+
+    Returns buffer.dtype [..., size]; callers guarantee
+    start + size <= buffer length.
+    """
+    batch_shape = buffer.shape[:-1]
+    x = buffer.reshape(-1, buffer.shape[-1])
+    st = start.reshape(-1).astype(jnp.int32)
+    b, length = x.shape
+    rt = -(-size // _GR_LANE)
+    rr = rt + 1
+    r_total = -(-length // _GR_LANE) + 2  # slack so hi + rr stays in range
+    pad_cols = r_total * _GR_LANE - length
+    if pad_cols:
+        x = jnp.pad(x, ((0, 0), (0, pad_cols)))
+    bs = min(block_streams, b) if b >= block_streams else b
+    pad_b = -b % bs
+    if pad_b:
+        x = jnp.pad(x, ((0, pad_b), (0, 0)))
+        st = jnp.pad(st, (0, pad_b))
+    xr = x.reshape(x.shape[0], r_total, _GR_LANE)
+
+    out = pl.pallas_call(
+        functools.partial(_gather_rows_kernel, bs=bs, rr=rr, rt=rt),
+        out_shape=jax.ShapeDtypeStruct((x.shape[0], rt, _GR_LANE), x.dtype),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(x.shape[0] // bs,),
+            in_specs=[
+                pl.BlockSpec((bs, r_total, _GR_LANE), lambda i, starts: (i, 0, 0))
+            ],
+            out_specs=pl.BlockSpec((bs, rt, _GR_LANE), lambda i, starts: (i, 0, 0)),
+        ),
+        interpret=interpret,
+    )(st, xr)
+    out = out.reshape(x.shape[0], rt * _GR_LANE)[:b, :size]
+    return out.reshape(batch_shape + (size,))

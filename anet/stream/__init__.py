@@ -118,15 +118,19 @@ def init_carry(
     payload_len: int,
     batch_shape: Tuple[int, ...] = (),
     track: bool = False,
+    dtype=jnp.float32,
 ) -> StreamCarry:
     """Fresh stream state (the playback_start_new_stream analog).
 
     ``track`` must match the receive calls (the tracking margin changes the
-    buffer geometry)."""
+    buffer geometry). ``dtype`` is the sliding buffer's storage dtype —
+    receive_stream defaults it to its compute_dtype, so a bf16 hot path
+    also slides/correlates/gathers bf16 (half the HBM traffic; samples
+    are quantized once at ingest, exactly where the demod casts anyway)."""
     length = _buffer_len(config, chunk_size, payload_len, track)
     zi = jnp.zeros(batch_shape, jnp.int32)
     return StreamCarry(
-        buffer=jnp.zeros(batch_shape + (length,), jnp.float32),
+        buffer=jnp.zeros(batch_shape + (length,), dtype),
         samples_seen=zi,
         last_frame_end=zi,
         frames_detected=zi,
@@ -225,6 +229,10 @@ def save_carry(path, carry: StreamCarry, pending=None) -> None:
     import numpy as np
 
     fields = {k: np.asarray(v) for k, v in carry._asdict().items()}
+    # npz has no bfloat16; store the buffer widened to f32 (lossless) and
+    # remember the dtype so load_carry restores it bit-exactly.
+    fields["buffer_dtype"] = np.asarray(str(carry.buffer.dtype))
+    fields["buffer"] = np.asarray(carry.buffer.astype(jnp.float32))
     fields["pending"] = (
         np.zeros(0, np.float32) if pending is None else np.asarray(pending, np.float32)
     )
@@ -241,8 +249,76 @@ def load_carry(path) -> StreamCheckpoint:
         if missing:
             raise ValueError(f"{path} is not a stream checkpoint (missing {missing})")
         carry = StreamCarry(**{f: jnp.asarray(z[f]) for f in StreamCarry._fields})
+        if "buffer_dtype" in z:
+            carry = carry._replace(
+                buffer=carry.buffer.astype(str(z["buffer_dtype"]))
+            )
         pending = jnp.asarray(z["pending"]) if "pending" in z else jnp.zeros(0)
         return StreamCheckpoint(carry=carry, pending=pending)
+
+
+def _slide_buffer(carry: StreamCarry, chunk: jnp.ndarray, t_frame: int, margin: int):
+    """Slide the carry buffer one chunk. Returns (buffer, samples_seen,
+    w0, buffer_abs0) where [w0, w0 + chunk_size) are the just-completed
+    frame starts — positions whose nominal frame END lies in the newest
+    fully-margined chunk: start in (L - T - chunk - margin, L - T -
+    margin] — exactly chunk_size wide. With margin > 0 (tracking)
+    detection waits until `margin` samples of tail context exist, so
+    drift-stretched frames stay inside the buffer."""
+    chunk_size = chunk.shape[-1]
+    length = carry.buffer.shape[-1]
+    if length != t_frame + chunk_size + margin:
+        raise ValueError(
+            f"carry buffer {length} != frame {t_frame} + chunk {chunk_size}"
+            f" + margin {margin}; init_carry with the same"
+            " chunk_size/payload_len/track"
+        )
+    buffer = jnp.concatenate(
+        [carry.buffer[..., chunk_size:], chunk.astype(carry.buffer.dtype)], axis=-1
+    )
+    samples_seen = carry.samples_seen + chunk_size
+    # Absolute index of buffer[0]:
+    buffer_abs0 = samples_seen - length
+    w0 = length - t_frame - chunk_size - margin + 1
+    return buffer, samples_seen, w0, buffer_abs0
+
+
+def _search_best(
+    carry: StreamCarry,
+    chunk: jnp.ndarray,
+    t_frame: int,
+    template: jnp.ndarray,
+    margin: int,
+    compute_dtype=jnp.float32,
+):
+    """Slide + preamble search, returning only the per-stream best:
+    (buffer, samples_seen, w0, buffer_abs0, best_q, best_rel).
+
+    On TPU this is one fused Pallas kernel (anet.kernels.sync_search_fused):
+    correlation, blockwise quality, and the running max/argmax all happen
+    in VMEM, so the [..., chunk_size] correlation and quality arrays never
+    exist in HBM (writing + re-reading them was ~2/3 of the round-2 stream
+    step — docs/PERF.md). CPU keeps the jnp golden path.
+    """
+    chunk_size = chunk.shape[-1]
+    k = template.shape[-1]
+    buffer, samples_seen, w0, buffer_abs0 = _slide_buffer(carry, chunk, t_frame, margin)
+    seg = jax.lax.dynamic_slice_in_dim(buffer, w0, chunk_size + k - 1, axis=-1)
+    seg_c = seg.astype(compute_dtype)
+    t_energy = jnp.sum(template * template)
+    if jax.default_backend() == "tpu" and chunk_size % 128 == 0:
+        from anet.kernels import sync_search_fused
+
+        best_q, best_rel = sync_search_fused(
+            seg_c, template.astype(compute_dtype), chunk_size, t_energy
+        )
+        best_rel = best_rel.astype(jnp.int32)
+    else:
+        corr = correlate_template(seg_c, template.astype(compute_dtype), method="matmul")
+        quality = blockwise_match_quality(seg_c, corr, k, t_energy)
+        best_rel = jnp.argmax(quality, axis=-1).astype(jnp.int32)
+        best_q = jnp.max(quality, axis=-1)
+    return buffer, samples_seen, w0, buffer_abs0, best_q, best_rel
 
 
 def _slide_and_quality(
@@ -258,29 +334,15 @@ def _slide_and_quality(
 
     Returns (buffer, samples_seen, w0, buffer_abs0, quality) where quality
     is [..., chunk_size] — the normalized preamble match at starts
-    [w0, w0 + chunk_size) of the buffer.
+    [w0, w0 + chunk_size) of the buffer. This materializing form exists
+    for the multi-candidate dynamic path, which iteratively masks the
+    quality array; single-candidate callers use _search_best.
     """
     chunk_size = chunk.shape[-1]
     k = template.shape[-1]
-    length = carry.buffer.shape[-1]
-    if length != t_frame + chunk_size + margin:
-        raise ValueError(
-            f"carry buffer {length} != frame {t_frame} + chunk {chunk_size}"
-            f" + margin {margin}; init_carry with the same"
-            " chunk_size/payload_len/track"
-        )
-
-    buffer = jnp.concatenate([carry.buffer[..., chunk_size:], chunk], axis=-1)
-    samples_seen = carry.samples_seen + chunk_size
-    # Absolute index of buffer[0]:
-    buffer_abs0 = samples_seen - length
-
-    # Candidate frame starts: positions whose nominal frame END lies in the
-    # newest fully-margined chunk: start in (L - T - chunk - margin,
-    # L - T - margin] — exactly chunk_size wide. With margin > 0 (tracking)
-    # detection waits until `margin` samples of tail context exist, so
-    # drift-stretched frames stay inside the buffer.
-    w0 = length - t_frame - chunk_size - margin + 1
+    buffer, samples_seen, w0, buffer_abs0 = _slide_buffer(
+        carry, chunk, t_frame, margin
+    )
     # Correlate template against starts [w0, w0 + chunk_size).
     seg = jax.lax.dynamic_slice_in_dim(buffer, w0, chunk_size + k - 1, axis=-1)
     # Block-Toeplitz matmul correlation: the MXU formulation, and the only
@@ -325,13 +387,9 @@ def _find_candidate(
 
     Returns (buffer, samples_seen, start_idx, start_abs, best_q, candidate).
     """
-    buffer, samples_seen, w0, buffer_abs0, quality = _slide_and_quality(
+    buffer, samples_seen, w0, buffer_abs0, best_q, best_rel = _search_best(
         carry, chunk, t_frame, template, margin, compute_dtype
     )
-    best_rel = jnp.argmax(quality, axis=-1).astype(jnp.int32)
-    # max == quality[argmax]; a one-element lane gather is scalar-core
-    # work on TPU, the reduction is free on the VPU.
-    best_q = jnp.max(quality, axis=-1)
     start_idx = w0 + best_rel  # buffer index of candidate frame start
     start_abs = buffer_abs0 + start_idx
 
@@ -399,9 +457,17 @@ def stream_step_dynamic(
 
     t_max = frame_samples(config, max_payload_len)
     template = family_geometry(config, max_payload_len, compute_dtype)[1]
-    buffer, samples_seen, w0, buffer_abs0, quality = _slide_and_quality(
-        carry, chunk, t_max, template, 0, compute_dtype
-    )
+    if max_frames_per_chunk == 1:
+        # Single-candidate: the fused sync search (no [..., chunk_size]
+        # quality array is ever materialized — see _search_best).
+        buffer, samples_seen, w0, buffer_abs0, best1_q, best1_rel = _search_best(
+            carry, chunk, t_max, template, 0, compute_dtype
+        )
+        quality = None
+    else:
+        buffer, samples_seen, w0, buffer_abs0, quality = _slide_and_quality(
+            carry, chunk, t_max, template, 0, compute_dtype
+        )
     demod = aligned_demod_dynamic_fn(config, max_payload_len, compute_dtype)
     chunk_size = chunk.shape[-1]
     rel_grid = jnp.arange(chunk_size, dtype=jnp.int32)
@@ -416,8 +482,11 @@ def stream_step_dynamic(
     outs: list = []
 
     for _slot in range(max_frames_per_chunk):
-        best_rel = jnp.argmax(quality, axis=-1).astype(jnp.int32)
-        best_q = jnp.max(quality, axis=-1)
+        if quality is None:
+            best_rel, best_q = best1_rel, best1_q
+        else:
+            best_rel = jnp.argmax(quality, axis=-1).astype(jnp.int32)
+            best_q = jnp.max(quality, axis=-1)
         start_idx = w0 + best_rel
         start_abs = buffer_abs0 + start_idx
         candidate = (best_q >= detect_threshold) & (start_abs >= carry.last_frame_end)
@@ -494,7 +563,9 @@ def receive_stream_dynamic(
         )
     batch_shape = capture.shape[:-1]
     if carry is None:
-        carry = init_carry(config, chunk_size, max_payload_len, batch_shape)
+        carry = init_carry(
+            config, chunk_size, max_payload_len, batch_shape, dtype=compute_dtype
+        )
 
     num_chunks = n // chunk_size
     chunks = jnp.moveaxis(
@@ -542,7 +613,9 @@ def receive_stream(
         raise ValueError(f"capture length {n} not a multiple of chunk_size {chunk_size}")
     batch_shape = capture.shape[:-1]
     if carry is None:
-        carry = init_carry(config, chunk_size, payload_len, batch_shape, track)
+        carry = init_carry(
+            config, chunk_size, payload_len, batch_shape, track, dtype=compute_dtype
+        )
 
     # time-major chunks for scan: [num_chunks, ..., chunk_size]
     num_chunks = n // chunk_size

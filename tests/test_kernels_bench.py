@@ -195,3 +195,73 @@ def test_correlate_fused_matches_direct():
         np.testing.assert_allclose(
             np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-3
         )
+
+
+def test_sync_search_fused_matches_blockwise():
+    """The fused sync search (interpret) returns exactly the max/argmax of
+    the materializing correlate + blockwise_match_quality path, in both
+    f32 and bf16, across template/cell-geometry edge cases."""
+    from anet.dsp.sync import blockwise_match_quality, correlate_template
+    from anet.kernels import sync_search_fused
+
+    rng = np.random.default_rng(7)
+    cases = [
+        (4, 4096, 2048, jnp.float32),
+        (3, 8192, 2048, jnp.bfloat16),
+        (2, 512, 300, jnp.float32),
+        (5, 4096, 700, jnp.bfloat16),
+    ]
+    for B, OL, K, dtype in cases:
+        tmpl = jnp.asarray(rng.normal(size=K), jnp.float32).astype(dtype)
+        seg = jnp.asarray(rng.normal(size=(B, OL + K - 1)), jnp.float32).astype(dtype)
+        te = jnp.sum(tmpl.astype(jnp.float32) ** 2)
+        corr = correlate_template(seg, tmpl, method="matmul")
+        q = blockwise_match_quality(seg, corr, K, te)
+        got_q, got_i = sync_search_fused(seg, tmpl, OL, te, interpret=True)
+        np.testing.assert_array_equal(np.asarray(got_i), np.asarray(q.argmax(-1)))
+        np.testing.assert_allclose(
+            np.asarray(got_q), np.asarray(q.max(-1)), rtol=2e-4, atol=1e-5
+        )
+
+
+def test_stream_fused_search_agrees_with_quality_path(monkeypatch):
+    """The _search_best fast path (fused kernel, interpret) nominates the
+    same candidates as the materializing quality path on a real frame."""
+    import functools
+
+    import anet.stream as S
+    from anet.dsp import family
+    from anet.kernels import sync_search_fused as real_search
+
+    cfg = CFG
+    payload_len = 32
+    t_frame = family.frame_samples(cfg, payload_len)
+    chunk = 1024
+    rng = np.random.default_rng(3)
+    payload = jnp.asarray(rng.integers(0, 256, (2, payload_len), dtype=np.uint8))
+    wave = family.transmit_fn(cfg)(payload)
+    total = -(-(t_frame + 700) // chunk) * chunk
+    cap = np.zeros((2, total), np.float32)
+    cap[:, 700 : 700 + t_frame] = np.asarray(wave)
+    cap += rng.normal(scale=0.02, size=cap.shape).astype(np.float32)
+    capture = jnp.asarray(cap)
+
+    ref = S.receive_stream(cfg, capture, chunk, payload_len)
+
+    # Force the TPU branch of _search_best through the interpret kernel.
+    monkeypatch.setattr(
+        S.jax, "default_backend", lambda: "tpu", raising=True
+    )
+    import anet.kernels as K
+
+    monkeypatch.setattr(
+        K, "sync_search_fused", functools.partial(real_search, interpret=True)
+    )
+    got = S.receive_stream(cfg, capture, chunk, payload_len)
+    assert int(got.carry.frames_ok.sum()) == int(ref.carry.frames_ok.sum()) == 2
+    np.testing.assert_array_equal(
+        np.asarray(got.steps.detected), np.asarray(ref.steps.detected)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(got.steps.frame_start), np.asarray(ref.steps.frame_start)
+    )
