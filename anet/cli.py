@@ -43,7 +43,7 @@ def _cmd_tx(args) -> int:
 
     from anet.codec import AudioFormat
     from anet.net import discover_receivers
-    from anet.tx import MulticastAudioOutput, normalize_for_opus, pcm_bytes, read_wav
+    from anet.tx import MulticastAudioOutput, normalize_for_opus, pcm_bytes, read_audio
 
     hosts = args.hosts
     if not hosts:
@@ -54,7 +54,7 @@ def _cmd_tx(args) -> int:
         hosts = [r.address for r in found]
         print(f"discovered {len(hosts)} receiver(s): {', '.join(hosts)}")
 
-    samples, fmt = read_wav(args.file)
+    samples, fmt = read_audio(args.file)
     samples, fmt = normalize_for_opus(samples, fmt)
     out = MulticastAudioOutput(fmt, paced=not args.unpaced)
     for host in hosts:
@@ -134,10 +134,10 @@ def _load_capture(path: str, expected_rate=None):
     loads the capture before a model is chosen)."""
     import numpy as np
 
-    if path.endswith(".wav"):
-        from anet.tx.audio import read_wav
+    if path.endswith(_AUDIO_EXTS):
+        from anet.tx.audio import read_audio
 
-        samples, fmt = read_wav(path)
+        samples, fmt = read_audio(path)
         capture = samples.mean(axis=1).astype(np.float32) / 32768.0
         if expected_rate is not None and fmt.sample_rate_hz != expected_rate:
             print(
@@ -204,13 +204,16 @@ def _link_line(cfg, snr_db: float) -> str:
     )
 
 
-def _wav_rate(path):
-    """The WAV file's sample rate, or None for raw captures."""
-    if not path.endswith(".wav"):
-        return None
-    from anet.tx.audio import read_wav
+_AUDIO_EXTS = (".wav", ".aif", ".aiff", ".aifc", ".au", ".snd")
 
-    return read_wav(path)[1].sample_rate_hz
+
+def _wav_rate(path):
+    """The audio file's sample rate, or None for raw captures."""
+    if not path.endswith(_AUDIO_EXTS):
+        return None
+    from anet.tx.audio import read_audio
+
+    return read_audio(path)[1].sample_rate_hz
 
 
 def _resolve_auto_model(args):
@@ -401,9 +404,25 @@ def _cmd_modem_stream(args) -> int:
             capture = np.concatenate(
                 [capture, np.zeros((-len(capture)) % chunk, np.float32)]
             )
+        k_frames = args.frames_per_chunk
+        if k_frames is None:
+            # Safe default from geometry: non-overlapping frames start at
+            # least one min-length frame apart, so at most 1 + chunk/t_min
+            # detection windows can complete within one chunk.
+            from anet.dsp.frame import dynamic_frame_samples
+
+            t_min = int(dynamic_frame_samples(cfg, 1))
+            k_frames = 1 + chunk // t_min
+            if k_frames > 8:
+                print(
+                    f"note: geometry allows up to {k_frames} frames/chunk; "
+                    "capping at 8 (pass --frames-per-chunk to raise)",
+                    file=sys.stderr,
+                )
+                k_frames = 8
         res = receive_stream_dynamic(
             cfg, jnp.asarray(capture), chunk, args.max_len, carry=carry,
-            max_frames_per_chunk=args.frames_per_chunk,
+            max_frames_per_chunk=k_frames,
         )
         # With --frames-per-chunk > 1 every step field gains a candidate
         # axis and emissions are quality-ordered within a chunk; flatten
@@ -438,6 +457,13 @@ def _cmd_modem_stream(args) -> int:
         _maybe_save(res.carry)
         return 0 if int(res.carry.frames_ok) > 0 else 2
 
+    if args.frames_per_chunk is not None and args.frames_per_chunk > 1:
+        print(
+            "warning: --frames-per-chunk applies to headers-from-stream "
+            "mode only; with --len each chunk decodes a single fixed-"
+            "length candidate (choose chunk <= frame length instead)",
+            file=sys.stderr,
+        )
     capture = np.concatenate(
         [capture, np.zeros((-len(capture)) % chunk, np.float32)]
     )
@@ -626,10 +652,12 @@ def build_parser() -> argparse.ArgumentParser:
             raise _ap.ArgumentTypeError("must be >= 1")
         return n
 
-    p.add_argument("--frames-per-chunk", type=_positive_int, default=1,
+    p.add_argument("--frames-per-chunk", type=_positive_int, default=None,
                    help="decode up to K frames per chunk (headers-from-"
-                        "stream mode); raise when short frames arrive "
-                        "densely enough that two end within one chunk")
+                        "stream mode); default: derived from chunk/"
+                        "min-frame geometry so no dense layout of short "
+                        "frames can drop one (capped at 8 — raise "
+                        "explicitly for extreme chunk/frame ratios)")
     p.add_argument("--out", help="concatenate recovered payloads here")
     p.add_argument("--track", action="store_true",
                    help="symbol-clock tracking per frame (MFSK; slower)")

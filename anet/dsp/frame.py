@@ -401,13 +401,15 @@ def demodulate_frame_dynamic(
     )
 
 
-def dynamic_frame_samples(config, payload_len: jnp.ndarray) -> jnp.ndarray:
+def dynamic_frame_samples(config, payload_len) -> jnp.ndarray:
     """frame_num_samples with a runtime (traced) payload length.
 
     Works for both families; used by the streaming receiver to advance its
-    dedupe cursor past exactly the frame it just decoded.
+    dedupe cursor past exactly the frame it just decoded. Also accepts a
+    plain Python int (the CLI derives its frames-per-chunk default from
+    the minimum frame length).
     """
-    n_bits = 8 * (OVERHEAD_BYTES + payload_len.astype(jnp.int32))
+    n_bits = 8 * (OVERHEAD_BYTES + jnp.asarray(payload_len).astype(jnp.int32))
     from anet.dsp.family import is_ofdm
 
     syms = (n_bits + config.bits_per_symbol - 1) // config.bits_per_symbol

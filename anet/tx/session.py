@@ -19,6 +19,17 @@ Parity with MulticastAudioOutput.kt:18-159:
 
 Beyond the reference: receivers deliver ReceiverError feedback (underflow/
 decode error) into per-receiver counters the application can read.
+
+Silent-drop window: with ``auto_reconnect=True`` (the default) and
+``reconnect_max_cooldowns=None`` (retry forever — the firmware's policy),
+``write()`` does NOT raise while the last receiver is down; frames are
+counted in ``frames_dropped`` and discarded until a reconnect lands, the
+same way the hardware keeps consuming its input stream while the WiFi
+link is re-established. Callers streaming finite content that must not be
+lost should either pass ``on_no_receivers`` (called once per total-loss
+episode), watch ``frames_dropped``, or bound the retry with
+``reconnect_max_cooldowns`` (write() then raises CombinedError once the
+last reconnect gives up).
 """
 
 from __future__ import annotations
@@ -64,6 +75,7 @@ class MulticastAudioOutput:
         auto_reconnect: bool = True,
         reconnect_cooldown_s: float = constants.RECONNECT_COOLDOWN_MS / 1000.0,
         reconnect_max_cooldowns: Optional[int] = None,
+        on_no_receivers=None,
     ) -> None:
         self.encoder = OpusEncoder(fmt, bitrate_bps=bitrate_bps)
         self._pacing = pacing if pacing is not None else (LeakyBucket() if paced else None)
@@ -79,6 +91,10 @@ class MulticastAudioOutput:
         self._reconnecting: Set[Tuple[str, int]] = set()
         self._reconnect_threads: List[threading.Thread] = []
         self._closing = threading.Event()
+        # total-loss surface (see module docstring: silent-drop window)
+        self._on_no_receivers = on_no_receivers
+        self._in_total_loss = False
+        self.frames_dropped = 0
         # quality-downgrade reaction (hardware/README.md:35 promised this;
         # the reference never built either end of the loop — anet does)
         self._adaptive = adaptive_quality
@@ -95,7 +111,15 @@ class MulticastAudioOutput:
 
     def add_receiver(self, host: str, port: int = constants.TCP_AUDIO_PORT) -> RemoteAudioReceiver:
         """Connect + negotiate + join the fan-out set
-        (MulticastAudioOutput.kt:58-70)."""
+        (MulticastAudioOutput.kt:58-70).
+
+        An endpoint can be attached once: a duplicate (host, port) would
+        double-send every frame and alias the per-endpoint stats that
+        reconnect continuity depends on, so it is rejected."""
+        with self._lock:
+            attached = set(self._endpoints.values())
+        if (host, port) in attached or (host, port) in self._reconnecting:
+            raise ValueError(f"receiver {host}:{port} is already attached")
         stats = self._endpoint_stats.setdefault((host, port), ReceiverStats())
         receiver = self._connect_endpoint(host, port, stats)
         self._attach(receiver, stats)
@@ -151,6 +175,11 @@ class MulticastAudioOutput:
             ):
                 return
             self._reconnecting.add(endpoint)
+            # prune finished reconnect threads so a flaky network does not
+            # grow the list (and close()'s join set) without bound
+            self._reconnect_threads = [
+                t for t in self._reconnect_threads if t.is_alive()
+            ]
             thread = threading.Thread(
                 target=self._reconnect_loop,
                 args=(endpoint,),
@@ -279,9 +308,10 @@ class MulticastAudioOutput:
     def _fan_out(self, frame: bytes) -> None:
         """Send one frame to every receiver; drop the dead (scheduling their
         background reconnect), keep going."""
+        targets = self.receivers
         dead: List[RemoteAudioReceiver] = []
         errors: List[BaseException] = []
-        for receiver in self.receivers:
+        for receiver in targets:
             try:
                 receiver.send_frame(frame)
                 self._stats[receiver].frames_sent += 1
@@ -291,8 +321,21 @@ class MulticastAudioOutput:
         for receiver in dead:
             logger.warning("receiver %s died; reconnecting in background", receiver.host)
             self._drop_dead(receiver)
-        if errors and not self.receivers and not self._reconnecting:
-            raise CombinedError(errors)  # nobody left to hear us, nobody coming back
+        if not self.receivers:
+            if errors and not self._reconnecting:
+                raise CombinedError(errors)  # nobody left, nobody coming back
+            # total loss while reconnecting: audio is dropped, not queued
+            # (module docstring) — count it and tell the caller once
+            self.frames_dropped += 1
+            if not self._in_total_loss:
+                self._in_total_loss = True
+                logger.warning(
+                    "no receivers; dropping audio while reconnecting"
+                )
+                if self._on_no_receivers is not None:
+                    self._on_no_receivers()
+        else:
+            self._in_total_loss = False
 
     def close(self) -> None:
         self._closing.set()

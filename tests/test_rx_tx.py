@@ -438,3 +438,57 @@ def test_dead_receiver_reconnects_and_session_resumes():
             out.close()
             flaky2.stop()
     assert len(got_stable) > len(got_flaky)  # the stable sink never missed a frame
+
+
+@needs_opus
+def test_duplicate_endpoint_rejected():
+    """Attaching the same (host, port) twice would double-send audio and
+    alias the endpoint stats that reconnect continuity uses — rejected."""
+    from anet.net.server import AudioStreamServer
+    from anet.proto import DiscoveryResponse
+    from anet.tx import MulticastAudioOutput
+
+    ident = DiscoveryResponse(1, 1, "once", False, "libopus")
+    with AudioStreamServer(ident, frame_sink=lambda f: None, port=0) as server:
+        out = MulticastAudioOutput(AudioFormat(48_000, 1), paced=False)
+        out.add_receiver("127.0.0.1", server.bound_port)
+        with pytest.raises(ValueError, match="already attached"):
+            out.add_receiver("127.0.0.1", server.bound_port)
+        assert len(out.receivers) == 1
+        out.close()
+
+
+@needs_opus
+def test_total_loss_surfaced_while_reconnecting():
+    """When the LAST receiver dies under auto_reconnect, audio is dropped
+    (not queued) while the background reconnect runs; the caller sees it
+    via frames_dropped and a single on_no_receivers callback per episode
+    instead of silence (ADVICE round 2)."""
+    from anet.net.server import AudioStreamServer
+    from anet.proto import DiscoveryResponse
+    from anet.tx import MulticastAudioOutput, pcm_bytes
+
+    ident = DiscoveryResponse(1, 1, "only", False, "libopus")
+    episodes = []
+    server = AudioStreamServer(ident, frame_sink=lambda f: None, port=0).start()
+    out = MulticastAudioOutput(
+        AudioFormat(48_000, 1),
+        paced=False,
+        reconnect_cooldown_s=30.0,  # keep the endpoint down for the test
+        on_no_receivers=lambda: episodes.append(time.monotonic()),
+    )
+    out.add_receiver("127.0.0.1", server.bound_port)
+    frame_ms = out.encoder.frame_duration_ms
+    pcm = pcm_bytes(np.zeros(int(48 * frame_ms), np.int16).reshape(-1, 1))
+    server.stop()
+    deadline = time.monotonic() + 5
+    while out.receivers and time.monotonic() < deadline:
+        out.write(pcm)
+        time.sleep(0.01)
+    assert not out.receivers
+    before = out.frames_dropped
+    for _ in range(3):
+        out.write(pcm)  # silently dropped, but counted + surfaced
+    assert out.frames_dropped >= before + 3
+    assert len(episodes) == 1  # one callback per total-loss episode
+    out.close()
