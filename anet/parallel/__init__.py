@@ -30,9 +30,11 @@ from anet.dsp.frame import FrameResult, demodulate_frame
 from anet.dsp.params import ModemConfig
 from anet.stream import (
     DEFAULT_DETECT_THRESHOLD,
+    DynamicStreamStepOutput,
     StreamStepOutput,
     init_carry,
     receive_stream,
+    receive_stream_dynamic,
 )
 
 __all__ = [
@@ -42,8 +44,11 @@ __all__ = [
     "sharded_demodulate",
     "BerPoint",
     "ber_sweep",
+    "ShardedResume",
     "sharded_receive_long_capture",
+    "sharded_receive_long_capture_dynamic",
     "sharded_receive_capture_grid",
+    "sharded_receive_capture_grid_dynamic",
 ]
 
 STREAM_AXIS = "streams"
@@ -227,35 +232,36 @@ def _popcount8(x: jnp.ndarray) -> jnp.ndarray:
     return (x + (x >> 4)) & 0x0F
 
 
+class ShardedResume(NamedTuple):
+    """Checkpoint of a sharded receive, for continuing the SAME logical
+    stream across successive sharded calls (SURVEY.md §5 checkpoint/
+    resume composed with scale-out).
+
+    ``tail`` is the stream's last ``halo`` samples (one demodulator memory),
+    which becomes device 0's left context next call; ``last_frame_end`` is
+    the global dedupe cursor — for dynamic-length streams it reflects the
+    ACTUAL length of the last accepted frame, so a frame straddling the
+    super-step boundary is not re-detected by the next call. Counters are
+    cumulative. Serialize with np.savez like stream.save_carry.
+    """
+
+    tail: jnp.ndarray  # float [halo] (1-D) or [B, halo] (grid)
+    samples_seen: jnp.ndarray  # int32 scalar — total samples consumed
+    last_frame_end: jnp.ndarray  # int32 — global ([] or [B])
+    frames_detected: jnp.ndarray  # int32 — cumulative global
+    frames_ok: jnp.ndarray  # int32
+    decode_errors: jnp.ndarray  # int32
+
+
 class ShardedStreamResult(NamedTuple):
     steps: StreamStepOutput  # per-chunk outputs, chunk axis global-ordered
     frames_detected: jnp.ndarray  # int32 scalar — global
     frames_ok: jnp.ndarray  # int32 scalar — global
     decode_errors: jnp.ndarray  # int32 scalar — global
+    resume: Optional[ShardedResume] = None  # continue-the-stream checkpoint
 
 
-def sharded_receive_long_capture(
-    config: ModemConfig,
-    mesh: Mesh,
-    capture: jnp.ndarray,
-    chunk_size: int,
-    payload_len: int,
-    detect_threshold: float = DEFAULT_DETECT_THRESHOLD,
-) -> ShardedStreamResult:
-    """Split ONE long capture along time across devices (the CP analog).
-
-    Each device scans a contiguous time segment; the left halo — the last
-    `frame_samples` of the previous device's segment, i.e. exactly the
-    demodulator's memory — arrives via `jax.lax.ppermute` over the ring
-    (SURVEY.md §5 long-context story). A frame is attributed to the device
-    where its *end* falls, so boundary frames are found exactly once.
-
-    ``capture``: float [N]; N must divide evenly into mesh_size segments of
-    whole chunks.
-    """
-    axis = mesh.axis_names[0]
-    n_dev = mesh.devices.size
-    n = capture.shape[-1]
+def _segment_geometry(config, n, n_dev, chunk_size, payload_len):
     t_frame = family.frame_samples(config, payload_len)
     seg = n // n_dev
     if n % n_dev or seg % chunk_size:
@@ -269,20 +275,79 @@ def sharded_receive_long_capture(
             f"per-device segment of {seg} samples is shorter than the "
             f"demodulator memory ({halo}); use fewer devices or a longer capture"
         )
+    return seg, halo
+
+
+def _resume_inputs(resume, halo, batch_shape=()):
+    """(tail, samples_base, cursor, counter-triple) for a fresh or resumed
+    sharded receive; validates the halo geometry on resume."""
+    zi = jnp.zeros(batch_shape, jnp.int32)
+    if resume is None:
+        return (
+            jnp.zeros(batch_shape + (halo,), jnp.float32),
+            jnp.zeros((), jnp.int32),
+            zi,
+            (zi.sum(), zi.sum(), zi.sum()),
+        )
+    if resume.tail.shape != batch_shape + (halo,):
+        raise ValueError(
+            f"resume.tail shape {resume.tail.shape} != expected "
+            f"{batch_shape + (halo,)}; same config/chunk/payload required"
+        )
+    return (
+        resume.tail.astype(jnp.float32),
+        resume.samples_seen.astype(jnp.int32),
+        resume.last_frame_end.astype(jnp.int32),
+        (
+            resume.frames_detected,
+            resume.frames_ok,
+            resume.decode_errors,
+        ),
+    )
+
+
+def sharded_receive_long_capture(
+    config: ModemConfig,
+    mesh: Mesh,
+    capture: jnp.ndarray,
+    chunk_size: int,
+    payload_len: int,
+    detect_threshold: float = DEFAULT_DETECT_THRESHOLD,
+    resume: Optional[ShardedResume] = None,
+) -> ShardedStreamResult:
+    """Split ONE long capture along time across devices (the CP analog).
+
+    Each device scans a contiguous time segment; the left halo — the last
+    `frame_samples` of the previous device's segment, i.e. exactly the
+    demodulator's memory — arrives via `jax.lax.ppermute` over the ring
+    (SURVEY.md §5 long-context story). A frame is attributed to the device
+    where its *end* falls, so boundary frames are found exactly once.
+
+    ``capture``: float [N]; N must divide evenly into mesh_size segments of
+    whole chunks. ``resume``: the previous call's ``result.resume`` to
+    continue the same logical stream (device 0 then seeds its left halo
+    and dedupe cursor from it instead of zeros, and counters accumulate).
+    """
+    axis = mesh.axis_names[0]
+    n_dev = mesh.devices.size
+    n = capture.shape[-1]
+    seg, halo = _segment_geometry(config, n, n_dev, chunk_size, payload_len)
+    tail0, seen0, cursor0, base_counts = _resume_inputs(resume, halo)
 
     @partial(
         shard_map,
         mesh=mesh,
         check_vma=False,
-        in_specs=P(axis),
+        in_specs=(P(axis), P(), P(), P()),
         out_specs=(
             jax.tree_util.tree_map(lambda _: P(axis), _stream_step_proto()),
             P(),
             P(),
             P(),
+            P(),
         ),
     )
-    def _scan_segment(cap_shard):
+    def _scan_segment(cap_shard, tail0, seen0, cursor0):
         cap_local = cap_shard.reshape(-1)  # [seg]
         idx = jax.lax.axis_index(axis)
         # Left halo: last `halo` samples of the left neighbor's segment.
@@ -290,13 +355,15 @@ def sharded_receive_long_capture(
         left_tail = jax.lax.ppermute(
             tail, axis, [(i, (i + 1) % n_dev) for i in range(n_dev)]
         )
-        # Device 0 has no left context: zero it.
-        left_tail = jnp.where(idx == 0, jnp.zeros_like(left_tail), left_tail)
+        # Device 0's left context is the previous super-step's tail
+        # (zeros on a fresh stream).
+        left_tail = jnp.where(idx == 0, tail0, left_tail)
 
         carry = init_carry(config, chunk_size, payload_len)
         carry = carry._replace(
             buffer=left_tail.astype(jnp.float32),
-            samples_seen=(idx * seg).astype(jnp.int32),
+            samples_seen=(seen0 + idx * seg).astype(jnp.int32),
+            last_frame_end=jnp.where(idx == 0, cursor0, 0).astype(jnp.int32),
         )
         res = receive_stream(
             config, cap_local, chunk_size, payload_len, detect_threshold, carry
@@ -304,18 +371,33 @@ def sharded_receive_long_capture(
         det = jax.lax.psum(res.carry.frames_detected, axis)
         ok = jax.lax.psum(res.carry.frames_ok, axis)
         err = jax.lax.psum(res.carry.decode_errors, axis)
+        cursor = jax.lax.pmax(res.carry.last_frame_end, axis)
         # steps currently [chunks_local, ...]; emit with a leading singleton
         # shard axis so out_specs P(axis) concatenates devices in ring order.
         steps = jax.tree_util.tree_map(lambda x: x[None], res.steps)
-        return steps, det, ok, err
+        return steps, det, ok, err, cursor
 
-    steps, det, ok, err = jax.jit(_scan_segment)(capture)
+    steps, det, ok, err, cursor = jax.jit(_scan_segment)(
+        capture, tail0, seen0, cursor0
+    )
     # steps: [n_dev, chunks_local, ...] -> flatten to global chunk order
     steps = jax.tree_util.tree_map(
         lambda x: x.reshape((-1,) + x.shape[2:]), steps
     )
+    det = det + base_counts[0]
+    ok = ok + base_counts[1]
+    err = err + base_counts[2]
+    new_resume = ShardedResume(
+        tail=capture[-halo:].astype(jnp.float32),
+        samples_seen=seen0 + n,
+        last_frame_end=cursor,
+        frames_detected=det,
+        frames_ok=ok,
+        decode_errors=err,
+    )
     return ShardedStreamResult(
-        steps=steps, frames_detected=det, frames_ok=ok, decode_errors=err
+        steps=steps, frames_detected=det, frames_ok=ok, decode_errors=err,
+        resume=new_resume,
     )
 
 
@@ -416,4 +498,218 @@ def sharded_receive_capture_grid(
     )
     return ShardedStreamResult(
         steps=steps, frames_detected=det, frames_ok=ok, decode_errors=err
+    )
+
+
+def _dyn_step_proto() -> DynamicStreamStepOutput:
+    z = 0
+    from anet.dsp.frame import DynamicFrameResult
+
+    frame = DynamicFrameResult(z, z, z, z, z, z, z, z, z)
+    return DynamicStreamStepOutput(frame=frame, detected=z, quality=z, frame_start=z)
+
+
+def sharded_receive_long_capture_dynamic(
+    config: ModemConfig,
+    mesh: Mesh,
+    capture: jnp.ndarray,
+    chunk_size: int,
+    max_payload_len: int,
+    detect_threshold: float = DEFAULT_DETECT_THRESHOLD,
+    max_frames_per_chunk: int = 1,
+    resume: Optional[ShardedResume] = None,
+) -> ShardedStreamResult:
+    """sharded_receive_long_capture with per-frame payload lengths read
+    from each frame's header (the varint-length-prefixed stream analog,
+    network.cpp:409-430).
+
+    The halo/attribution geometry is sized for ``max_payload_len`` (a
+    frame is attributed to the device where its max-length detection
+    window completes — one device exactly, so boundary frames are found
+    once). The dedupe cursor honors each frame's ACTUAL header length:
+    within a device through the stream carry, across devices by
+    construction (a frame's actual extent never reaches past its
+    attribution point, start + t_max), and across super-steps through
+    ``resume.last_frame_end``. Uncoded configs only (header must parse
+    without FEC state).
+    """
+    axis = mesh.axis_names[0]
+    n_dev = mesh.devices.size
+    n = capture.shape[-1]
+    seg, halo = _segment_geometry(config, n, n_dev, chunk_size, max_payload_len)
+    tail0, seen0, cursor0, base_counts = _resume_inputs(resume, halo)
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        check_vma=False,
+        in_specs=(P(axis), P(), P(), P()),
+        out_specs=(
+            jax.tree_util.tree_map(lambda _: P(axis), _dyn_step_proto()),
+            P(),
+            P(),
+            P(),
+            P(),
+        ),
+    )
+    def _scan_segment(cap_shard, tail0, seen0, cursor0):
+        cap_local = cap_shard.reshape(-1)  # [seg]
+        idx = jax.lax.axis_index(axis)
+        tail = cap_local[-halo:]
+        left_tail = jax.lax.ppermute(
+            tail, axis, [(i, (i + 1) % n_dev) for i in range(n_dev)]
+        )
+        left_tail = jnp.where(idx == 0, tail0, left_tail)
+
+        carry = init_carry(config, chunk_size, max_payload_len)
+        carry = carry._replace(
+            buffer=left_tail.astype(jnp.float32),
+            samples_seen=(seen0 + idx * seg).astype(jnp.int32),
+            last_frame_end=jnp.where(idx == 0, cursor0, 0).astype(jnp.int32),
+        )
+        res = receive_stream_dynamic(
+            config,
+            cap_local,
+            chunk_size,
+            max_payload_len,
+            detect_threshold,
+            carry,
+            max_frames_per_chunk=max_frames_per_chunk,
+        )
+        det = jax.lax.psum(res.carry.frames_detected, axis)
+        ok = jax.lax.psum(res.carry.frames_ok, axis)
+        err = jax.lax.psum(res.carry.decode_errors, axis)
+        cursor = jax.lax.pmax(res.carry.last_frame_end, axis)
+        steps = jax.tree_util.tree_map(lambda x: x[None], res.steps)
+        return steps, det, ok, err, cursor
+
+    steps, det, ok, err, cursor = jax.jit(_scan_segment)(
+        capture, tail0, seen0, cursor0
+    )
+    steps = jax.tree_util.tree_map(
+        lambda x: x.reshape((-1,) + x.shape[2:]), steps
+    )
+    det = det + base_counts[0]
+    ok = ok + base_counts[1]
+    err = err + base_counts[2]
+    new_resume = ShardedResume(
+        tail=capture[-halo:].astype(jnp.float32),
+        samples_seen=seen0 + n,
+        last_frame_end=cursor,
+        frames_detected=det,
+        frames_ok=ok,
+        decode_errors=err,
+    )
+    return ShardedStreamResult(
+        steps=steps, frames_detected=det, frames_ok=ok, decode_errors=err,
+        resume=new_resume,
+    )
+
+
+def sharded_receive_capture_grid_dynamic(
+    config,
+    mesh: Mesh,
+    captures: jnp.ndarray,
+    chunk_size: int,
+    max_payload_len: int,
+    detect_threshold: float = DEFAULT_DETECT_THRESHOLD,
+    max_frames_per_chunk: int = 1,
+    resume: Optional[ShardedResume] = None,
+) -> ShardedStreamResult:
+    """sharded_receive_capture_grid with header-declared frame lengths:
+    the DP x CP composition for a farm of variable-length streams.
+
+    Streams shard over the ``streams`` axis, each stream's timeline splits
+    over the ``time`` axis with a max-frame halo ppermute'd ring-wise
+    within its row. The dedupe cursor is per-stream and honors actual
+    header lengths (see sharded_receive_long_capture_dynamic); across
+    super-steps it continues via ``resume.last_frame_end`` ([B]).
+    """
+    s_axis, t_axis = mesh.axis_names
+    n_s = mesh.shape[s_axis]
+    n_t = mesh.shape[t_axis]
+    b, n = captures.shape
+    if b % n_s:
+        raise ValueError(f"B={b} must divide by the stream-axis size {n_s}")
+    seg, halo = _segment_geometry(config, n, n_t, chunk_size, max_payload_len)
+    b_local = b // n_s
+    tail0, seen0, cursor0, base_counts = _resume_inputs(
+        resume, halo, batch_shape=(b,)
+    )
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        check_vma=False,
+        in_specs=(P(s_axis, t_axis), P(s_axis, None), P(), P(s_axis)),
+        out_specs=(
+            jax.tree_util.tree_map(
+                lambda _: P(s_axis, None, t_axis), _dyn_step_proto()
+            ),
+            P(),
+            P(),
+            P(),
+            P(s_axis),
+        ),
+    )
+    def _scan_grid(cap_shard, tail0, seen0, cursor0):  # [b_local, seg]
+        t_idx = jax.lax.axis_index(t_axis)
+        tail = cap_shard[:, -halo:]
+        left_tail = jax.lax.ppermute(
+            tail, t_axis, [(i, (i + 1) % n_t) for i in range(n_t)]
+        )
+        left_tail = jnp.where(t_idx == 0, tail0, left_tail)
+
+        carry = init_carry(
+            config, chunk_size, max_payload_len, batch_shape=(b_local,)
+        )
+        carry = carry._replace(
+            buffer=left_tail.astype(jnp.float32),
+            samples_seen=jnp.full((b_local,), seen0 + t_idx * seg, jnp.int32),
+            last_frame_end=jnp.where(t_idx == 0, cursor0, 0).astype(jnp.int32),
+        )
+        res = receive_stream_dynamic(
+            config,
+            cap_shard,
+            chunk_size,
+            max_payload_len,
+            detect_threshold,
+            carry,
+            max_frames_per_chunk=max_frames_per_chunk,
+        )
+        det = jax.lax.psum(
+            jnp.sum(res.carry.frames_detected), (s_axis, t_axis)
+        )
+        ok = jax.lax.psum(jnp.sum(res.carry.frames_ok), (s_axis, t_axis))
+        err = jax.lax.psum(jnp.sum(res.carry.decode_errors), (s_axis, t_axis))
+        cursor = jax.lax.pmax(res.carry.last_frame_end, t_axis)  # [b_local]
+        # steps: [chunks_local, b_local, ...] (K==1) or [chunks_local, K,
+        # b_local, ...]; bring b_local to the front, then add singleton
+        # mesh axes so out_specs concatenates rows and columns.
+        batch_dim = 1 if max_frames_per_chunk == 1 else 2
+        steps = jax.tree_util.tree_map(
+            lambda x: jnp.moveaxis(x, batch_dim, 0)[None, :, None], res.steps
+        )
+        return steps, det, ok, err, cursor
+
+    steps, det, ok, err, cursor = jax.jit(_scan_grid)(
+        captures, tail0, seen0, cursor0
+    )
+    steps = jax.tree_util.tree_map(
+        lambda x: x.reshape((b, -1) + x.shape[4:]), steps
+    )
+    det = det + base_counts[0]
+    ok = ok + base_counts[1]
+    err = err + base_counts[2]
+    new_resume = ShardedResume(
+        tail=captures[:, -halo:].astype(jnp.float32),
+        samples_seen=seen0 + n,
+        last_frame_end=cursor,
+        frames_detected=det,
+        frames_ok=ok,
+        decode_errors=err,
+    )
+    return ShardedStreamResult(
+        steps=steps, frames_detected=det, frames_ok=ok, decode_errors=err,
+        resume=new_resume,
     )

@@ -297,3 +297,173 @@ def test_stream_random_frame_layout_property(seed):
         idx = order[i]
         assert abs(int(starts[idx]) - p) <= 1, (p, int(starts[idx]))
         assert np.array_equal(got_payloads[idx], payloads[i])
+
+
+# --- dynamic-length frames composed with scale-out ---------------------------
+
+MAX_DYN = 32
+
+
+def _make_dynamic_capture(total, placements, seed=5, snr_db=14.0):
+    """A [total]-sample capture with variable-length frames at given
+    (start, payload_len) placements, light AWGN. Returns (capture,
+    {start: payload})."""
+    rng = np.random.default_rng(seed)
+    cap = np.zeros(total, np.float32)
+    frames = {}
+    for start, n in placements:
+        p = rng.integers(0, 256, n, dtype=np.uint8)
+        w = np.asarray(transmit(CFG, jnp.asarray(p)))
+        assert start + len(w) <= total
+        cap[start : start + len(w)] = w
+        frames[start] = p
+    cap = np.asarray(awgn(jax.random.PRNGKey(seed), jnp.asarray(cap), snr_db))
+    return jnp.asarray(cap), frames
+
+
+def _detected_frames_dynamic(steps):
+    """{start: payload[:len]} for every detected frame in a dynamic steps
+    pytree (any leading shape)."""
+    det = np.asarray(steps.detected).reshape(-1)
+    starts = np.asarray(steps.frame_start).reshape(-1)
+    lens = np.asarray(steps.frame.payload_len).reshape(-1)
+    pays = np.asarray(steps.frame.payload)
+    pays = pays.reshape(-1, pays.shape[-1])
+    return {
+        int(starts[i]): pays[i, : int(lens[i])].tobytes()
+        for i in np.nonzero(det)[0]
+    }
+
+
+def test_sharded_dynamic_matches_single_device():
+    """Variable-length frames + time sharding: boundary-straddling frames
+    and back-to-back short frames decode identically to one device."""
+    from anet.dsp.family import frame_samples
+    from anet.parallel import sharded_receive_long_capture_dynamic
+    from anet.stream import receive_stream_dynamic
+
+    mesh = make_mesh()
+    n_dev = 8
+    t_max = frame_samples(CFG, MAX_DYN)
+    halo = t_max + CHUNK
+    seg = -(-halo // CHUNK) * CHUNK
+    total = n_dev * seg
+    t_min = frame_num_samples(CFG, 1)
+    # one frame fully inside segment 1, one straddling the 2/3 boundary,
+    # two back-to-back short frames inside segment 5
+    placements = [
+        (seg + 100, MAX_DYN),
+        (3 * seg - t_min // 2, 8),
+        (5 * seg + 40, 4),
+        (5 * seg + 40 + t_min + CHUNK, 4),
+    ]
+    cap, frames = _make_dynamic_capture(total, placements)
+    local = receive_stream_dynamic(CFG, cap, CHUNK, MAX_DYN)
+    res = sharded_receive_long_capture_dynamic(CFG, mesh, cap, CHUNK, MAX_DYN)
+    assert int(res.frames_ok) == int(local.carry.frames_ok) == len(placements)
+    assert int(res.frames_detected) == len(placements)
+    got = _detected_frames_dynamic(res.steps)
+    want = _detected_frames_dynamic(local.steps)
+    assert got == want
+    assert set(got) == {s for s, _ in placements}
+    for start, p in frames.items():
+        assert got[start] == p.tobytes()
+
+
+def test_sharded_dynamic_resume_across_super_steps():
+    """checkpoint/resume under sharding: a stream processed in two sharded
+    super-steps (with a frame straddling the super-step boundary) matches
+    the one-shot result, counters cumulative."""
+    from anet.dsp.family import frame_samples
+    from anet.parallel import sharded_receive_long_capture_dynamic
+
+    mesh = make_mesh()
+    n_dev = 8
+    t_max = frame_samples(CFG, MAX_DYN)
+    seg = -(-(t_max + CHUNK) // CHUNK) * CHUNK
+    half = n_dev * seg
+    total = 2 * half
+    placements = [
+        (2 * seg + 11, 16),
+        (half - t_max // 2, MAX_DYN),  # straddles the super-step boundary
+        (half + 3 * seg + 77, 5),
+    ]
+    cap, frames = _make_dynamic_capture(total, placements, seed=9)
+    one = sharded_receive_long_capture_dynamic(CFG, mesh, cap, CHUNK, MAX_DYN)
+    r1 = sharded_receive_long_capture_dynamic(
+        CFG, mesh, cap[:half], CHUNK, MAX_DYN
+    )
+    r2 = sharded_receive_long_capture_dynamic(
+        CFG, mesh, cap[half:], CHUNK, MAX_DYN, resume=r1.resume
+    )
+    assert int(one.frames_ok) == len(placements)
+    assert int(r2.frames_ok) == int(one.frames_ok)
+    assert int(r2.frames_detected) == int(one.frames_detected)
+    assert int(r2.resume.samples_seen) == total
+    got = dict(_detected_frames_dynamic(r1.steps))
+    got.update(_detected_frames_dynamic(r2.steps))
+    assert got == _detected_frames_dynamic(one.steps)
+
+
+def test_sharded_fixed_resume_across_super_steps():
+    """The fixed-length sharded path resumes the same way."""
+    from anet.parallel import sharded_receive_long_capture
+
+    mesh = make_mesh()
+    t_frame = frame_num_samples(CFG, PAYLOAD_LEN)
+    seg = -(-(t_frame + CHUNK) // CHUNK) * CHUNK
+    half = 8 * seg
+    # second frame straddles the super-step boundary: starts t_frame//2
+    # before `half`, so its decode needs r1's resume tail
+    gap2 = half - (700 + t_frame) - t_frame // 2
+    cap, _, starts = _make_capture([700, gap2, 900], align=2 * half)
+    cap = cap[: 2 * half]
+    assert starts[1] == half - t_frame // 2
+    one = sharded_receive_long_capture(CFG, mesh, cap, CHUNK, PAYLOAD_LEN)
+    r1 = sharded_receive_long_capture(CFG, mesh, cap[:half], CHUNK, PAYLOAD_LEN)
+    r2 = sharded_receive_long_capture(
+        CFG, mesh, cap[half:], CHUNK, PAYLOAD_LEN, resume=r1.resume
+    )
+    assert int(one.frames_ok) == 3
+    assert int(r2.frames_ok) == 3
+    assert int(r2.frames_detected) == int(one.frames_detected)
+
+
+def test_sharded_grid_dynamic_matches_per_stream():
+    """DP x CP with dynamic lengths: a 2x4 mesh farm of variable-length
+    streams matches per-stream single-device decode."""
+    from anet.dsp.family import frame_samples
+    from anet.parallel import make_mesh_2d, sharded_receive_capture_grid_dynamic
+    from anet.stream import receive_stream_dynamic
+
+    mesh = make_mesh_2d(2, 4)
+    n_t = 4
+    t_max = frame_samples(CFG, MAX_DYN)
+    seg = -(-(t_max + CHUNK) // CHUNK) * CHUNK
+    total = n_t * seg
+    caps, wants = [], []
+    for b, placements in enumerate(
+        [
+            [(100, 12), (2 * seg - t_max // 3, MAX_DYN)],
+            [(seg + 313, 1), (3 * seg + 17, 24)],
+        ]
+    ):
+        cap, _ = _make_dynamic_capture(total, placements, seed=20 + b)
+        caps.append(np.asarray(cap))
+        local = receive_stream_dynamic(CFG, cap, CHUNK, MAX_DYN)
+        wants.append(_detected_frames_dynamic(local.steps))
+    captures = jnp.asarray(np.stack(caps))
+    res = sharded_receive_capture_grid_dynamic(
+        CFG, mesh, captures, CHUNK, MAX_DYN
+    )
+    assert int(res.frames_ok) == sum(len(w) for w in wants) == 4
+    det = np.asarray(res.steps.detected)  # [B, chunks]
+    for b, want in enumerate(wants):
+        got = {
+            int(np.asarray(res.steps.frame_start)[b, i]): np.asarray(
+                res.steps.frame.payload
+            )[b, i, : int(np.asarray(res.steps.frame.payload_len)[b, i])].tobytes()
+            for i in np.nonzero(det[b])[0]
+        }
+        assert got == want
+    assert res.resume is not None and res.resume.tail.shape == (2, t_max + CHUNK)
