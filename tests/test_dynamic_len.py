@@ -383,10 +383,20 @@ def test_cli_stream_rx_frames_per_chunk(tmp_path, capsys):
     )
     assert rc == 0
     assert out.read_bytes() == p1 + p2
-    # the K=1 default on the same capture loses one
+    # the geometry-derived default also recovers both (it sizes K so no
+    # dense layout of short frames can drop one)
+    out_auto = tmp_path / "out_auto.bin"
+    rc = cli.main(
+        ["modem-stream-rx", str(f), "--model", "mfsk16-fast", "--max-len", "64",
+         "--chunk", str(t_max), "--out", str(out_auto)]
+    )
+    assert rc == 0
+    assert out_auto.read_bytes() == p1 + p2
+    # an explicit K=1 on the same capture loses one — the limitation the
+    # derived default exists to avoid
     out1 = tmp_path / "out1.bin"
     cli.main(
         ["modem-stream-rx", str(f), "--model", "mfsk16-fast", "--max-len", "64",
-         "--chunk", str(t_max), "--out", str(out1)]
+         "--chunk", str(t_max), "--frames-per-chunk", "1", "--out", str(out1)]
     )
     assert len(out1.read_bytes()) < 32
