@@ -270,6 +270,37 @@ def demodulate_frame_tm(
     )
 
 
+def frame_result_from_tone_decisions(
+    config: ModemConfig,
+    tone: jnp.ndarray,
+    best: jnp.ndarray,
+    total: jnp.ndarray,
+    payload_len: int,
+) -> FrameResult:
+    """Parse + verify from reduced decisions: winning tone index plus
+    best/total energies, all [..., S] batch-major — the contract of the
+    fused kernels (anet.kernels decide_tones_fused / demod_at_fused),
+    which never materialize full energies. Same quality math as
+    demodulate_frame_tm's tail; uncoded only (FEC soft decisions need
+    full per-tone energies)."""
+    from anet.dsp.bits import gray_decode
+
+    if config.fec == "conv":
+        raise ValueError("coded configs need full energies (use "
+                         "frame_result_from_decisions)")
+    m = config.num_tones
+    confidence = jnp.mean(best / jnp.maximum(total, 1e-20), axis=-1)
+    rest = (total - best) / (m - 1)
+    sig = jnp.mean(best, axis=-1)
+    noise = jnp.maximum(jnp.mean(rest, axis=-1), jnp.float32(1e-20))
+    snr_db = 10.0 * jnp.log10(jnp.maximum(sig / noise - 1.0, jnp.float32(1e-6)))
+    symbols = gray_decode(tone, config.bits_per_symbol)
+    bits = unpack_symbols(symbols, config.bits_per_symbol)
+    return frame_result_from_bits(
+        config, bits, payload_len, confidence=confidence, snr_db=snr_db
+    )
+
+
 def frame_result_from_decisions(
     config: ModemConfig,
     symbols: jnp.ndarray,

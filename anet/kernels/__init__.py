@@ -24,6 +24,7 @@ real Mosaic compiler by ``tools/tpu_validate.py``.
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -37,9 +38,11 @@ __all__ = [
     "tone_energies_fused",
     "decide_tones_fused",
     "decide_tones_tm",
+    "demod_at_fused",
     "viterbi_trellis",
     "correlate_fused",
     "gather_rows_fused",
+    "sync_search_fused",
     "SYMBOL_TILE",
     "TM_SYMBOL_TILE",
     "TM_LANE_TILE",
@@ -930,3 +933,202 @@ def gather_rows_fused(
     )(st, xr)
     out = out.reshape(x.shape[0], rt * _GR_LANE)[:b, :size]
     return out.reshape(batch_shape + (size,))
+
+
+# --- fused align + demodulate (timing gather folded into the filterbank) -----
+
+DA_STREAM_TILE = 8  # streams per grid cell (VMEM-sized at stream bench shapes)
+
+
+def _demod_at_kernel(
+    start_ref,
+    x_ref,
+    bbase_ref,
+    tone_ref,
+    best_ref,
+    total_ref,
+    *,
+    bs: int,
+    p_rows: int,
+    pp: int,
+    rows_total: int,
+    r_syms: int,
+    m: int,
+    pre: int,
+):
+    """One cell of the fused align+demod: bs streams, everything in VMEM.
+
+    Alignment never materializes: the coarse (row) offset is a batched
+    0/1 row-selection matmul built from an iota compare against each
+    stream's hi, and the fine (lane) offset is folded into the BASIS — a
+    per-stream shifted copy of the 128-row base filterbank (built by one
+    0/1 matmul), so the symbol windows are consumed straight out of the
+    row slab by two batched contractions. No per-stream serial ops
+    anywhere (the roll-gather kernel's 3.5 us/stream dispatch cost is
+    what this design removes).
+    """
+    base = start_ref[...].astype(jnp.int32) + pre  # [bs, 1]
+    hi = jax.lax.div(base, 128).reshape(bs, 1, 1)
+    lo = jax.lax.rem(base, 128).reshape(bs, 1, 1)
+
+    # 1. coarse slab: out-of-range rows clamp to the last buffer row (their
+    # groups are beyond the frame and discarded by the caller).
+    row_io = jax.lax.broadcasted_iota(jnp.int32, (bs, p_rows, rows_total), 1)
+    col_io = jax.lax.broadcasted_iota(jnp.int32, (bs, p_rows, rows_total), 2)
+    want = jnp.clip(row_io + hi, 0, rows_total - 1)
+    oh = (col_io == want).astype(x_ref.dtype)
+    slab = jax.lax.dot_general(
+        oh,
+        x_ref[...],
+        (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ).astype(x_ref.dtype)  # [bs, p_rows, 128] — exact (0/1 times bf16)
+
+    # 2. per-stream shifted basis: bgrp[s, j] = bbase[j - lo_s] (0 outside)
+    j_io = jax.lax.broadcasted_iota(jnp.int32, (bs, 256, 128), 1)
+    c_io = jax.lax.broadcasted_iota(jnp.int32, (bs, 256, 128), 2)
+    sh = (c_io == j_io - lo).astype(bbase_ref.dtype)
+    r2m = 2 * m * r_syms
+    bgrp = jax.lax.dot_general(
+        sh.reshape(bs * 256, 128),
+        bbase_ref[...],
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(bbase_ref.dtype).reshape(bs, 256, r2m)
+
+    # 3. symbol-group contraction: group p reads slab rows p and p+1
+    iq = jax.lax.dot_general(
+        slab[:, :pp, :],
+        bgrp[:, :128, :],
+        (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ) + jax.lax.dot_general(
+        slab[:, 1 : pp + 1, :],
+        bgrp[:, 128:, :],
+        (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # [bs, pp, r_syms*2M] f32
+
+    # 4. decisions per in-row symbol slot
+    for u in range(r_syms):
+        iqu = iq[:, :, u * 2 * m : (u + 1) * 2 * m]
+        i_part = iqu[:, :, :m]
+        q_part = iqu[:, :, m:]
+        e = i_part * i_part + q_part * q_part  # [bs, pp, M]
+        tone_ref[:, u * pp : (u + 1) * pp] = jnp.argmax(e, axis=-1).astype(
+            jnp.int32
+        )
+        best_ref[:, u * pp : (u + 1) * pp] = jnp.max(e, axis=-1)
+        total_ref[:, u * pp : (u + 1) * pp] = jnp.sum(e, axis=-1)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnums=(0, 3),
+    static_argnames=("batch_tile", "interpret"),
+)
+def demod_at_fused(
+    config: ModemConfig,
+    buffer: jnp.ndarray,
+    start: jnp.ndarray,
+    n_symbols: int,
+    *,
+    batch_tile: int | None = None,
+    interpret: bool = False,
+):
+    """Fused timing-align + MFSK symbol decision straight from the stream
+    buffer: (tone, best, total) int32/f32 [..., n_symbols] for the frame
+    whose PREAMBLE starts at ``start[...]`` (data section begins
+    ``preamble_symbols * sps`` later; callers guarantee the whole frame
+    fits: start + frame samples <= buffer length).
+
+    Equivalent to (but never materializing)::
+
+        aligned = aligned_gather(buffer, start, t_frame)
+        e = tone_energies(config, aligned[..., preamble:])
+        return argmax(e), max(e), sum(e)
+
+    which at the streaming bench size costs a ~23 ms HBM round-trip for
+    the aligned frames plus the demod re-read. Here the only HBM traffic
+    is one read of ``buffer`` and three [B, S] outputs. Exact for bf16
+    buffers (the 0/1 selection matmuls are exact in any dtype whose
+    values they move); f32 buffers lose the sub-bf16 bits on TPU — the
+    streaming hot path stores bf16 (anet.stream.init_carry).
+
+    Requires 128 %% samples_per_symbol == 0 (sps <= 128, power-of-two
+    fraction); other geometries use the unfused path.
+    """
+    sps = config.samples_per_symbol
+    m = config.num_tones
+    if 128 % sps:
+        raise ValueError(f"demod_at_fused needs 128 %% sps == 0, got sps={sps}")
+    r_syms = 128 // sps
+    pre = config.preamble_symbols * sps
+    batch_shape = buffer.shape[:-1]
+    x = buffer.reshape(-1, buffer.shape[-1])
+    st = start.reshape(-1, 1).astype(jnp.int32)
+    b, length = x.shape
+    if length % 128:
+        x = jnp.pad(x, ((0, 0), (0, (-length) % 128)))
+    rows_total = x.shape[-1] // 128
+    # symbol groups: r_syms consecutive symbols per 128-sample row
+    p = -(-n_symbols // r_syms)
+    # output lanes r_syms*pp must tile by 128 and slab sublanes by 8
+    gran = 128 // math.gcd(128, r_syms)
+    pp = -(-p // gran) * gran
+    p_rows = pp + 8
+    bs = batch_tile or DA_STREAM_TILE
+    pad_b = -b % bs
+    if pad_b:
+        x = jnp.pad(x, ((0, pad_b), (0, 0)))
+        st = jnp.pad(st, ((0, pad_b), (0, 0)))
+    xr = x.reshape(x.shape[0], rows_total, 128)
+
+    basis = demod_basis(config, dtype=x.dtype if x.dtype != jnp.float32 else jnp.float32)
+    j0 = jnp.arange(128)
+    blocks = []
+    for u in range(r_syms):
+        idx = j0 - u * sps
+        ok = (idx >= 0) & (idx < sps)
+        blocks.append(
+            jnp.where(ok[:, None], basis[jnp.clip(idx, 0, sps - 1)], 0.0)
+        )
+    bbase = jnp.concatenate(blocks, axis=1).astype(x.dtype)  # [128, R*2M]
+
+    grid = (x.shape[0] // bs,)
+    tone, best, total = pl.pallas_call(
+        functools.partial(
+            _demod_at_kernel,
+            bs=bs,
+            p_rows=p_rows,
+            pp=pp,
+            rows_total=rows_total,
+            r_syms=r_syms,
+            m=m,
+            pre=pre,
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((x.shape[0], r_syms * pp), jnp.int32),
+            jax.ShapeDtypeStruct((x.shape[0], r_syms * pp), jnp.float32),
+            jax.ShapeDtypeStruct((x.shape[0], r_syms * pp), jnp.float32),
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bs, 1), lambda i: (i, 0)),
+            pl.BlockSpec((bs, rows_total, 128), lambda i: (i, 0, 0)),
+            pl.BlockSpec((128, 2 * m * r_syms), lambda i: (0, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((bs, r_syms * pp), lambda i: (i, 0)),
+            pl.BlockSpec((bs, r_syms * pp), lambda i: (i, 0)),
+            pl.BlockSpec((bs, r_syms * pp), lambda i: (i, 0)),
+        ),
+        interpret=interpret,
+    )(st, xr, bbase)
+
+    def _unpack(o):
+        o3 = o[:b].reshape(b, r_syms, pp)
+        o3 = jnp.moveaxis(o3, 1, 2).reshape(b, pp * r_syms)[:, :n_symbols]
+        return o3.reshape(batch_shape + (n_symbols,))
+
+    return _unpack(tone), _unpack(best), _unpack(total)

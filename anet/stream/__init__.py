@@ -191,8 +191,38 @@ def stream_step(
             compute_dtype=compute_dtype,
         )
     else:
-        aligned = _batched_dynamic_slice(buffer, start_idx, t_frame, compute_dtype)
-        frame = demod(aligned)
+        from anet.dsp.family import is_ofdm
+
+        fused = (
+            jax.default_backend() == "tpu"
+            and not is_ofdm(config)
+            and config.fec != "conv"
+            and 128 % config.samples_per_symbol == 0
+            and buffer.dtype == jnp.bfloat16
+        )
+        if fused:
+            # Fused align+demod (anet.kernels.demod_at_fused): the aligned
+            # frame tensor never exists in HBM — the timing gather is folded
+            # into the filterbank contraction, so the only frame-sized HBM
+            # traffic in the whole step is the one buffer read the sync
+            # search already does. Uncoded MFSK with a bf16 buffer only
+            # (exactly the streaming hot path); everything else keeps the
+            # gather + demod golden pair below.
+            from anet.dsp.frame import (
+                data_symbols_for_payload,
+                frame_result_from_tone_decisions,
+            )
+            from anet.kernels import demod_at_fused
+
+            tone, best, total = demod_at_fused(
+                config, buffer, start_idx, data_symbols_for_payload(config, payload_len)
+            )
+            frame = frame_result_from_tone_decisions(
+                config, tone, best, total, payload_len
+            )
+        else:
+            aligned = _batched_dynamic_slice(buffer, start_idx, t_frame, compute_dtype)
+            frame = demod(aligned)
     detected = candidate & frame.magic_ok & frame.header_crc_ok
     frame = frame._replace(ok=frame.ok & detected)
 

@@ -265,3 +265,85 @@ def test_stream_fused_search_agrees_with_quality_path(monkeypatch):
     np.testing.assert_array_equal(
         np.asarray(got.steps.frame_start), np.asarray(ref.steps.frame_start)
     )
+
+
+def test_demod_at_fused_matches_gather_demod():
+    """The fused align+demod kernel (interpret) reproduces the unfused
+    aligned_gather -> tone_energies decisions exactly, in f32 and bf16,
+    at random frame starts inside a streaming buffer."""
+    from anet.dsp.sync import aligned_gather
+    from anet.kernels import demod_at_fused
+
+    rng = np.random.default_rng(0)
+    sps, pre = CFG.samples_per_symbol, CFG.preamble_symbols
+    for S, dtype in [(536, jnp.float32), (536, jnp.bfloat16), (7, jnp.bfloat16)]:
+        t_frame = (pre + S) * sps
+        B, chunk = 6, 4096
+        buf = jnp.asarray(
+            rng.normal(size=(B, t_frame + chunk)).astype(np.float32)
+        ).astype(dtype)
+        starts = jnp.asarray(rng.integers(0, chunk, B), jnp.int32)
+        aligned = aligned_gather(buf, starts, t_frame).astype(dtype)
+        e = tone_energies(CFG, aligned[..., pre * sps :], compute_dtype=dtype)
+        gt, gb, gtot = demod_at_fused(CFG, buf, starts, S, interpret=True)
+        np.testing.assert_array_equal(np.asarray(gt), np.asarray(e.argmax(-1)))
+        scale = float(np.abs(np.asarray(e.max(-1))).max())
+        np.testing.assert_allclose(
+            np.asarray(gb), np.asarray(e.max(-1)), atol=1e-5 * scale
+        )
+        np.testing.assert_allclose(
+            np.asarray(gtot), np.asarray(e.sum(-1)), atol=1e-4 * scale
+        )
+
+
+def test_stream_fused_demod_agrees_with_golden(monkeypatch):
+    """stream_step's fused align+demod branch (interpret kernels) emits the
+    same detections, payloads, and counters as the CPU golden path."""
+    import functools
+
+    import anet.stream as S
+    from anet.dsp import family
+    from anet.kernels import demod_at_fused as real_demod
+    from anet.kernels import sync_search_fused as real_search
+
+    cfg = CFG
+    payload_len = 32
+    t_frame = family.frame_samples(cfg, payload_len)
+    chunk = 1024
+    rng = np.random.default_rng(3)
+    payload = jnp.asarray(rng.integers(0, 256, (2, payload_len), dtype=np.uint8))
+    wave = family.transmit_fn(cfg)(payload)
+    total = -(-(t_frame + 700) // chunk) * chunk
+    cap = np.zeros((2, total), np.float32)
+    cap[:, 700 : 700 + t_frame] = np.asarray(wave)
+    cap += rng.normal(scale=0.02, size=cap.shape).astype(np.float32)
+    capture = jnp.asarray(cap)
+
+    ref = S.receive_stream(
+        cfg, capture, chunk, payload_len, compute_dtype=jnp.bfloat16
+    )
+
+    monkeypatch.setattr(S.jax, "default_backend", lambda: "tpu", raising=True)
+    import anet.kernels as K
+
+    monkeypatch.setattr(
+        K, "sync_search_fused", functools.partial(real_search, interpret=True)
+    )
+    monkeypatch.setattr(
+        K, "demod_at_fused", functools.partial(real_demod, interpret=True)
+    )
+    got = S.receive_stream(
+        cfg, capture, chunk, payload_len, compute_dtype=jnp.bfloat16
+    )
+    assert int(got.carry.frames_ok.sum()) == int(ref.carry.frames_ok.sum()) == 2
+    for field in ("detected", "frame_start"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(got.steps, field)),
+            np.asarray(getattr(ref.steps, field)),
+        )
+    np.testing.assert_array_equal(
+        np.asarray(got.steps.frame.payload), np.asarray(ref.steps.frame.payload)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(got.steps.frame.ok), np.asarray(ref.steps.frame.ok)
+    )
