@@ -586,8 +586,47 @@ def _evm_metrics(config: OfdmConfig, bits: jnp.ndarray, z_eq: jnp.ndarray):
     channel power."""
     ideal = bits_to_carriers(config, bits[..., : z_eq.shape[-2] * config.bits_per_symbol])
     evm2 = jnp.mean(jnp.abs(z_eq - ideal.reshape(z_eq.shape)) ** 2, axis=(-2, -1))
+    return _evm_to_metrics(evm2)
+
+
+def _evm_to_metrics(evm2: jnp.ndarray):
     snr_db = 10.0 * jnp.log10(jnp.maximum(1.0 / jnp.maximum(evm2, 1e-9), 1e-6))
     return 1.0 / (1.0 + evm2), snr_db
+
+
+def _equalized_llrs_fused(
+    config: OfdmConfig, samples: jnp.ndarray, s_data: int, evm_symbols: int
+):
+    """TPU path of the equalizer back half: carrier extraction and channel
+    estimate in XLA (matmul-dominated), then one Pallas kernel for
+    clock-track + LLR demap + EVM (anet.kernels.ofdm_track_decide_fused)
+    — the [B, S, C] complex intermediates of the two decision-directed
+    fit iterations never round-trip HBM. Golden-tested equal to
+    _equalized_bits + _evm_metrics."""
+    from anet.kernels import ofdm_track_decide_fused
+
+    body = samples[..., config.preamble_samples :]
+    carriers = _extract_carriers(config, body, 1 + s_data)
+    h = carriers[..., 0, :] * jnp.conj(pilot_carriers(config))
+    if config.pilot_smoothing:
+        h_pad = jnp.concatenate([h[..., :1], h, h[..., -1:]], axis=-1)
+        h = 0.25 * h_pad[..., :-2] + 0.5 * h_pad[..., 1:-1] + 0.25 * h_pad[..., 2:]
+    z = carriers[..., 1:, :] * jnp.conj(h[..., None, :])
+    h_pow = jnp.maximum(jnp.abs(h) ** 2, 1e-12)  # [..., C]
+    z_eq = z / h_pow[..., None, :]
+    if config.clock_tracking:
+        slope0 = preamble_phase_slope(config, samples)
+    else:
+        slope0 = jnp.zeros(z_eq.shape[:-2], jnp.float32)
+    llrs, evm2 = ofdm_track_decide_fused(
+        config, z_eq, h_pow, slope0, evm_symbols=evm_symbols
+    )
+    bits = (llrs > 0).astype(jnp.uint8)
+    return bits, llrs, evm2
+
+
+def _use_fused_track() -> bool:
+    return jax.default_backend() == "tpu"
 
 
 def demodulate_frame(
@@ -595,8 +634,12 @@ def demodulate_frame(
 ) -> FrameResult:
     """Aligned frame waveform (starting at the preamble) -> FrameResult."""
     s_data = config.data_symbols_for_payload(payload_len)
-    bits, llrs, z_eq = _equalized_bits(config, samples, s_data)
-    confidence, snr_db = _evm_metrics(config, bits, z_eq)
+    if _use_fused_track():
+        bits, llrs, evm2 = _equalized_llrs_fused(config, samples, s_data, s_data)
+        confidence, snr_db = _evm_to_metrics(evm2)
+    else:
+        bits, llrs, z_eq = _equalized_bits(config, samples, s_data)
+        confidence, snr_db = _evm_metrics(config, bits, z_eq)
     return frame_result_from_bits(
         config, bits, payload_len, llrs=llrs, confidence=confidence, snr_db=snr_db
     )
@@ -613,9 +656,13 @@ def demodulate_frame_dynamic(
     guaranteed to carry signal at any declared length.
     """
     s_data = config.data_symbols_for_payload(max_payload_len)
-    bits, _, z_eq = _equalized_bits(config, samples, s_data)
     s_min = config.data_symbols_for_payload(0)
-    confidence, snr_db = _evm_metrics(config, bits, z_eq[..., :s_min, :])
+    if _use_fused_track():
+        bits, _, evm2 = _equalized_llrs_fused(config, samples, s_data, s_min)
+        confidence, snr_db = _evm_to_metrics(evm2)
+    else:
+        bits, _, z_eq = _equalized_bits(config, samples, s_data)
+        confidence, snr_db = _evm_metrics(config, bits, z_eq[..., :s_min, :])
     return frame_result_from_bits_dynamic(
         config, bits, max_payload_len, confidence=confidence, snr_db=snr_db
     )

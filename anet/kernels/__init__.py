@@ -39,6 +39,7 @@ __all__ = [
     "decide_tones_fused",
     "decide_tones_tm",
     "demod_at_fused",
+    "ofdm_track_decide_fused",
     "viterbi_trellis",
     "correlate_fused",
     "gather_rows_fused",
@@ -521,31 +522,42 @@ COR_BATCH_TILE = 128  # streams per grid cell
 COR_CELL_TILES = 8  # lag tiles computed per grid cell from ONE input load
 
 
-def _corr_kernel(a_ref, b_ref, tmat_ref, out_ref, scratch_ref, *, g: int, n_shift: int):
+def _corr_kernel(a_ref, b_ref, tmat_ref, out_ref, *, g: int, n_shift: int):
     """Block-Toeplitz correlation supercell: G consecutive lag tiles from
     a single load of the shared input span.
 
     Round-2's version expressed the window overlap as n_shift aliased
     BlockSpecs per lag tile, which re-fetched every input block ~n_shift
     (=5) times and serialized five half-tile matmuls per cell — measured
-    23.7 ms/step at the stream bench size, ~3x its own MXU bound
-    (docs/PERF.md round-3 table). This version loads the cell's whole
-    input span once (two adjacent blocks), concatenates it in VMEM
-    scratch, and issues G fat [bts, n_shift*512] x [n_shift*512, 512]
-    dots over STATIC slices of the scratch — full-depth contractions,
-    one per lag tile, no re-reads.
+    23.7 ms/step at the stream bench size, ~3x its own MXU bound. An
+    intermediate version assembled the cell's span in VMEM scratch before
+    one fat dot per tile; the 2 MB/cell VMEM copy measured ~10 ms/step on
+    its own (docs/PERF.md round-3 table). This version reads the two
+    adjacent input blocks IN PLACE: each lag tile contracts a static
+    slice of block A plus (when its span crosses the block boundary) a
+    static slice of block B against the matching template band rows —
+    full-depth MACs, no copies, no re-reads.
     """
     blk = COR_LAG_TILE
-    scratch_ref[:, : g * blk] = a_ref[...]
-    if n_shift > 1:
-        scratch_ref[:, g * blk :] = b_ref[:, : (n_shift - 1) * blk]
+    ga = g * blk
     for j in range(g):
-        out_ref[:, j * blk : (j + 1) * blk] = jax.lax.dot_general(
-            scratch_ref[:, j * blk : j * blk + n_shift * blk],
-            tmat_ref[...],
+        lo = j * blk
+        hi = lo + n_shift * blk
+        cut = min(hi, ga)
+        acc = jax.lax.dot_general(
+            a_ref[:, lo:cut],
+            tmat_ref[: cut - lo, :],
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
+        if hi > ga:
+            acc = acc + jax.lax.dot_general(
+                b_ref[:, : hi - ga],
+                tmat_ref[cut - lo :, :],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        out_ref[:, lo : lo + blk] = acc
 
 
 @functools.partial(
@@ -583,7 +595,6 @@ def correlate_fused(
     while bts > 128:
         cell = (
             2 * 2 * g * blk * bts * esize  # a + b, double-buffered
-            + (g + n_shift - 1) * blk * bts * esize  # scratch
             + n_shift * blk * blk * esize  # tmat
             + 2 * g * blk * bts * 4  # out f32, double-buffered
         )
@@ -616,7 +627,6 @@ def correlate_fused(
             pl.BlockSpec((n_shift * blk, blk), lambda i, t: (0, 0)),
         ],
         out_specs=pl.BlockSpec((bts, g * blk), lambda i, t: (i, t)),
-        scratch_shapes=[pltpu.VMEM((bts, (g + n_shift - 1) * blk), x.dtype)],
         interpret=interpret,
     )(x, x, tmat)
     out = out[:n_streams, :out_len]
@@ -638,8 +648,6 @@ def _search_kernel(
     slid_ref,
     q_ref,
     idx_ref,
-    span_ref,
-    corr_ref,
     rq_ref,
     ridx_ref,
     *,
@@ -660,6 +668,7 @@ def _search_kernel(
     (anet.stream._find_candidate).
     """
     blk = COR_LAG_TILE
+    ga = g * blk
     t = pl.program_id(1)
 
     @pl.when(t == 0)
@@ -667,31 +676,27 @@ def _search_kernel(
         rq_ref[...] = jnp.full_like(rq_ref, -1.0)
         ridx_ref[...] = jnp.zeros_like(ridx_ref)
 
-    # 1. assemble the cell's input span in VMEM (one load of each block)
-    span_ref[:, : g * blk] = a_ref[...]
-    if n_shift > 1:
-        span_ref[:, g * blk :] = b_ref[:, : (n_shift - 1) * blk]
-
-    # 2. correlation tiles: full-depth [bts, n_shift*blk] x [.., blk] dots
-    for j in range(g):
-        corr_ref[:, j * blk : (j + 1) * blk] = jnp.abs(
-            jax.lax.dot_general(
-                span_ref[:, j * blk : j * blk + n_shift * blk],
-                tmat_ref[...],
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-        )
-
-    # 3. blockwise window energy (sync.blockwise_match_quality's grid):
-    # square the span, sum per 128-sample block (0/1 matmul), slide a
+    # 1. blockwise window energy (sync.blockwise_match_quality's grid):
+    # square the two input blocks IN PLACE (a VMEM span copy here measured
+    # ~10 ms/step at the bench size — docs/PERF.md round-3), sum per
+    # 128-sample block via static slices of one 0/1 matrix, slide a
     # kb-block superset window (banded 0/1 matmul), floor, rsqrt.
-    sp = span_ref[...].astype(jnp.float32)
-    sq = sp * sp
-    bsums = jax.lax.dot_general(
-        sq, onesb_ref[...], (((1,), (0,)), ((), ())),
+    sa = a_ref[...].astype(jnp.float32)
+    bsums_a = jax.lax.dot_general(
+        sa * sa, onesb_ref[:ga, : ga // _LANE_BC],
+        (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )  # [bts, nblocks_span]
+    )  # [bts, ga/128]
+    if n_shift > 1:
+        sb = b_ref[:, : (n_shift - 1) * blk].astype(jnp.float32)
+        bsums_b = jax.lax.dot_general(
+            sb * sb, onesb_ref[ga:, ga // _LANE_BC :],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        bsums = jnp.concatenate([bsums_a, bsums_b], axis=1)
+    else:
+        bsums = bsums_a
     win = jax.lax.dot_general(
         bsums, slid_ref[...], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -699,9 +704,7 @@ def _search_kernel(
     te = te_ref[0]
     floored = jnp.maximum(win, 1e-4 * te)
     scale = jax.lax.rsqrt(te * floored)  # [bts, g*4]
-
-    # 4. blockwise quality: q = |corr| * scale, scale broadcast from one
-    # value per 128-lag block to lanes via a 0/1 block-diagonal matmul.
+    # broadcast one value per 128-lag block to lanes via 0/1 matmul
     bcast = (
         jax.lax.broadcasted_iota(jnp.int32, (g * 4, g * 4 * _LANE_BC), 1)
         // _LANE_BC
@@ -711,18 +714,40 @@ def _search_kernel(
         scale, bcast, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # [bts, g*blk]
-    q = corr_ref[...] * scale_bc
-    # mask lags beyond out_len (the zero-padded tail of the last cell)
-    lane = jax.lax.broadcasted_iota(jnp.int32, q.shape, 1)
-    q = jnp.where(lane + t * g * blk < out_len, q, -2.0)
 
-    # 5. fold into the running best (strict > keeps the earliest maximum,
-    # matching jnp.argmax semantics)
-    qmax = jnp.max(q, axis=1, keepdims=True)  # [bts, 1]
-    qarg = jnp.argmax(q, axis=1).astype(jnp.int32)[:, None]
-    better = qmax > rq_ref[...]
-    rq_ref[...] = jnp.where(better, qmax, rq_ref[...])
-    ridx_ref[...] = jnp.where(better, t * g * blk + qarg, ridx_ref[...])
+    # 2. correlation tiles, read in place: each lag tile contracts a
+    # static slice of block A plus (when the span crosses the boundary) a
+    # static slice of block B against the matching template band rows —
+    # then folds straight into the running (best, arglag), so neither the
+    # correlation nor the quality array ever exists outside VMEM.
+    for j in range(g):
+        lo = j * blk
+        hi = lo + n_shift * blk
+        cut = min(hi, ga)
+        acc = jax.lax.dot_general(
+            a_ref[:, lo:cut],
+            tmat_ref[: cut - lo, :],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        if hi > ga:
+            acc = acc + jax.lax.dot_general(
+                b_ref[:, : hi - ga],
+                tmat_ref[cut - lo :, :],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        q = jnp.abs(acc) * scale_bc[:, lo : lo + blk]
+        # mask lags beyond out_len (the zero-padded tail of the last cell)
+        lane = jax.lax.broadcasted_iota(jnp.int32, q.shape, 1)
+        q = jnp.where(lane + t * ga + lo < out_len, q, -2.0)
+        # fold into the running best (strict > keeps the earliest maximum,
+        # matching jnp.argmax semantics)
+        qmax = jnp.max(q, axis=1, keepdims=True)  # [bts, 1]
+        qarg = jnp.argmax(q, axis=1).astype(jnp.int32)[:, None]
+        better = qmax > rq_ref[...]
+        rq_ref[...] = jnp.where(better, qmax, rq_ref[...])
+        ridx_ref[...] = jnp.where(better, t * ga + lo + qarg, ridx_ref[...])
 
     @pl.when(t == n_super - 1)
     def _emit():
@@ -834,8 +859,6 @@ def sync_search_fused(
             pl.BlockSpec((bts, 1), lambda i, t: (i, 0)),
         ),
         scratch_shapes=[
-            pltpu.VMEM((bts, span_cols), x.dtype),
-            pltpu.VMEM((bts, g * blk), jnp.float32),
             pltpu.VMEM((bts, 1), jnp.float32),
             pltpu.VMEM((bts, 1), jnp.int32),
         ],
@@ -1132,3 +1155,251 @@ def demod_at_fused(
         return o3.reshape(batch_shape + (n_symbols,))
 
     return _unpack(tone), _unpack(best), _unpack(total)
+
+
+# --- fused OFDM equalize + clock-track + decide -------------------------------
+
+OFDM_STREAM_TILE = 128  # streams per grid cell
+
+
+_QPSK_AMP = 0.7071067811865476  # 1/sqrt(2), unit average symbol power
+_QAM16_SCALE = 0.31622776601683794  # 1/sqrt(10)
+_QAM64_SCALE = 0.1543033499620919  # 1/sqrt(42)
+
+
+def _qam_nearest(a, scale: float, max_level: float):
+    """ofdm._hard_decision's per-axis nearest odd point (round-half-even)."""
+    return jnp.clip(2.0 * jnp.round((a / scale - 1.0) / 2.0) + 1.0,
+                    -max_level, max_level) * scale
+
+
+def _decide_axis(a, bpc: int):
+    """Per-axis hard decision used INSIDE the tracking iterations —
+    mirrors ofdm._hard_decision exactly (>= 0 sign rule, round-half-even
+    for the QAM magnitudes)."""
+    if bpc == 2:
+        return jnp.where(a >= 0, _QPSK_AMP, -_QPSK_AMP)
+    if bpc == 4:
+        return _qam_nearest(a, _QAM16_SCALE, 3.0)
+    return _qam_nearest(a, _QAM64_SCALE, 7.0)
+
+
+def _ideal_axis(a, bpc: int):
+    """Per-axis constellation point implied by the LLR-sign bits — mirrors
+    bits_to_carriers(llrs > 0) exactly, including the strict-> boundaries
+    (so the kernel's EVM equals ofdm._evm_metrics bit for bit)."""
+    if bpc == 2:
+        # llr = -a*w; bit = llr > 0 <=> a < 0; ideal = 1-2b scaled
+        return jnp.where(a < 0, -_QPSK_AMP, _QPSK_AMP)
+    mag_a = jnp.abs(a)
+    if bpc == 4:
+        # b_inner = (2s - |a|) w > 0 <=> |a| < 2s; mag = 3 - 2 b_inner
+        mag = jnp.where(mag_a < 2.0 * _QAM16_SCALE, 1.0, 3.0)
+        sign = jnp.where(a > 0, 1.0, -1.0)  # b_sign = a w > 0
+        return sign * mag * _QAM16_SCALE
+    s = _QAM64_SCALE
+    # b_mid = |a| < 4s (strict); b_inner = 2s < |a| < 6s (strict);
+    # gray mag = 7 - 2*(2*mid + (mid ^ inner)) -> thresholds:
+    mag = jnp.where(
+        mag_a <= 2.0 * s,
+        1.0,
+        jnp.where(mag_a < 4.0 * s, 3.0, jnp.where(mag_a < 6.0 * s, 5.0, 7.0)),
+    )
+    sign = jnp.where(a > 0, 1.0, -1.0)
+    return sign * mag * s
+
+
+def _llr_axis(a, w, bpc: int):
+    """Max-log LLR planes for one axis (ofdm._pam4_llrs/_pam8_llrs; for
+    QPSK the golden uses the UNNORMALIZED z = z_eq * h_pow, i.e. -a*w)."""
+    if bpc == 2:
+        return (-(a * w),)
+    if bpc == 4:
+        return (a * w, (2.0 * _QAM16_SCALE - jnp.abs(a)) * w)
+    mag = jnp.abs(a)
+    return (
+        a * w,
+        (4.0 * _QAM64_SCALE - mag) * w,
+        (2.0 * _QAM64_SCALE - jnp.abs(mag - 4.0 * _QAM64_SCALE)) * w,
+    )
+
+
+def _ofdm_track_kernel(
+    slope_ref,
+    zer_ref,
+    zei_ref,
+    hpow_ref,
+    *out_refs,
+    bs: int,
+    sp: int,
+    c: int,
+    s_data: int,
+    evm_rows: int,
+    first_carrier: int,
+    bpc: int,
+    track_iters: int,
+):
+    """One cell: bs streams' [sp, c] equalized symbol estimates in VMEM.
+
+    The decision-directed clock fit (ofdm._phase_track), the final
+    derotation, the per-bit LLRs, and the EVM accumulate entirely in
+    VMEM — the jnp formulation round-trips [B, S, C] complex through HBM
+    at every fusion barrier (two fits x decide/reduce + rotate + LLR).
+    """
+    w = hpow_ref[...].reshape(bs, 1, c)
+    zer = zer_ref[...]
+    zei = zei_ref[...]
+    row = jax.lax.broadcasted_iota(jnp.int32, (bs, sp, c), 1)
+    col = jax.lax.broadcasted_iota(jnp.int32, (bs, sp, c), 2)
+    # data symbol s (0-based; pilot = -1) at absolute carrier m rotates by
+    # cc*(s+1)*m — see ofdm._phase_track
+    phase = ((row + 1) * (col + first_carrier)).astype(jnp.float32)
+    mask = (row < s_data).astype(jnp.float32)
+
+    cc = slope_ref[...].astype(jnp.float32).reshape(bs, 1, 1)
+    zr, zi = zer, zei
+    for _ in range(track_iters):
+        ang = cc * phase
+        co = jnp.cos(ang)
+        si = jnp.sin(ang)
+        zr = zer * co + zei * si  # z_eq * exp(-i ang)
+        zi = zei * co - zer * si
+        dre = _decide_axis(zr, bpc)
+        dim = _decide_axis(zi, bpc)
+        # u = w * z_rot * conj(d)
+        ure = w * (zr * dre + zi * dim)
+        uim = w * (zi * dre - zr * dim)
+        num = jnp.sum(phase * uim * mask, axis=(1, 2), keepdims=True)
+        den = jnp.maximum(
+            jnp.sum(phase * phase * jnp.maximum(ure, 0.0) * mask,
+                    axis=(1, 2), keepdims=True),
+            1e-20,
+        )
+        cc = cc + num / den
+    if track_iters:
+        ang = cc * phase
+        co = jnp.cos(ang)
+        si = jnp.sin(ang)
+        zr = zer * co + zei * si
+        zi = zei * co - zer * si
+
+    planes = _llr_axis(zr, w, bpc) + _llr_axis(zi, w, bpc)
+    for ref, p in zip(out_refs[:-1], planes):
+        ref[...] = p.astype(jnp.float32)
+    # EVM vs the bits-implied ideal over the first evm_rows symbols
+    ir = _ideal_axis(zr, bpc)
+    ii = _ideal_axis(zi, bpc)
+    emask = (row < evm_rows).astype(jnp.float32)
+    er = zr - ir
+    ei = zi - ii
+    out_refs[-1][...] = jnp.sum(
+        (er * er + ei * ei) * emask, axis=(1, 2), keepdims=False
+    ).reshape(bs, 1)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnums=(0,),
+    static_argnames=("evm_symbols", "batch_tile", "interpret"),
+)
+def ofdm_track_decide_fused(
+    config,
+    z_eq: jnp.ndarray,
+    h_pow: jnp.ndarray,
+    slope0: jnp.ndarray,
+    *,
+    evm_symbols: int | None = None,
+    batch_tile: int | None = None,
+    interpret: bool = False,
+):
+    """Fused OFDM clock-track + symbol decide (ofdm._phase_track + LLR
+    demap + ofdm._evm_metrics' error power, one Pallas kernel).
+
+    Args:
+      config: OfdmConfig (static).
+      z_eq: complex64 [..., S, C] unit-constellation symbol estimates
+        (carriers * conj(h) / |h|^2 — ofdm._equalized_bits before track).
+      h_pow: float32 [..., C] per-carrier channel power (LLR weights and
+        tracking reliabilities).
+      slope0: float32 [...] preamble slope seed (ofdm.preamble_phase_slope);
+        ignored when config.clock_tracking is False.
+      evm_symbols: how many leading data symbols the EVM covers (the
+        dynamic path scores only the overhead span); default all S.
+
+    Returns:
+      (llrs float32 [..., S*C*bits_per_carrier] — ofdm._equalized_bits'
+      exact layout, evm2 float32 [...] — mean squared error vector the
+      confidence/SNR metrics derive from).
+    """
+    bpc = config.bits_per_carrier
+    track_iters = 2 if config.clock_tracking else 0
+    c = config.n_carriers
+    s = z_eq.shape[-2]
+    evm_rows = s if evm_symbols is None else evm_symbols
+    batch_shape = z_eq.shape[:-2]
+    b = 1
+    for d in batch_shape:
+        b *= d
+
+    sp = -(-s // 8) * 8
+    ze = z_eq.reshape(b, s, c)
+    if sp != s:  # zero rows: u = 0 there, so they never bias the fit
+        ze = jnp.pad(ze, ((0, 0), (0, sp - s), (0, 0)))
+    zer = jnp.real(ze).astype(jnp.float32)
+    zei = jnp.imag(ze).astype(jnp.float32)
+    hp = h_pow.reshape(b, c).astype(jnp.float32)
+    sl = slope0.reshape(b, 1).astype(jnp.float32)
+
+    bs = batch_tile or OFDM_STREAM_TILE
+    pad_b = -b % bs
+    if pad_b:
+        zer = jnp.pad(zer, ((0, pad_b), (0, 0), (0, 0)))
+        zei = jnp.pad(zei, ((0, pad_b), (0, 0), (0, 0)))
+        hp = jnp.pad(hp, ((0, pad_b), (0, 0)))
+        sl = jnp.pad(sl, ((0, pad_b), (0, 0)))
+    bt = zer.shape[0]
+
+    n_planes = bpc  # per-axis planes x 2 axes = bits per carrier
+    grid = (bt // bs,)
+    outs = pl.pallas_call(
+        functools.partial(
+            _ofdm_track_kernel,
+            bs=bs,
+            sp=sp,
+            c=c,
+            s_data=s,
+            evm_rows=evm_rows,
+            first_carrier=config.first_carrier,
+            bpc=bpc,
+            track_iters=track_iters,
+        ),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((bt, sp, c), jnp.float32) for _ in range(n_planes)
+        )
+        + (jax.ShapeDtypeStruct((bt, 1), jnp.float32),),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bs, 1), lambda i: (i, 0)),
+            pl.BlockSpec((bs, sp, c), lambda i: (i, 0, 0)),
+            pl.BlockSpec((bs, sp, c), lambda i: (i, 0, 0)),
+            pl.BlockSpec((bs, c), lambda i: (i, 0)),
+        ],
+        out_specs=tuple(
+            pl.BlockSpec((bs, sp, c), lambda i: (i, 0, 0)) for _ in range(n_planes)
+        )
+        + (pl.BlockSpec((bs, 1), lambda i: (i, 0)),),
+        interpret=interpret,
+    )(sl, zer, zei, hp)
+
+    planes = [o[:b, :s, :] for o in outs[:-1]]
+    evm_sum = outs[-1][:b, 0]
+    half = n_planes // 2
+    # golden layout: stack([i planes..., q planes...], -1) -> [.., S*C*bpc]
+    llrs = jnp.stack(planes[:half] + planes[half:], axis=-1).reshape(
+        b, s * c * bpc
+    )
+    evm2 = evm_sum / (evm_rows * c)
+    return (
+        llrs.reshape(batch_shape + (s * c * bpc,)),
+        evm2.reshape(batch_shape),
+    )

@@ -598,11 +598,12 @@ def receive_stream_dynamic(
         )
 
     num_chunks = n // chunk_size
-    chunks = jnp.moveaxis(
-        capture.reshape(batch_shape + (num_chunks, chunk_size)), -2, 0
+    cap = capture.astype(carry.buffer.dtype).reshape(
+        batch_shape + (num_chunks, chunk_size)
     )
 
-    def step(c, chunk):
+    def step(c, i):
+        chunk = jax.lax.dynamic_index_in_dim(cap, i, axis=-2, keepdims=False)
         return stream_step_dynamic(
             config,
             c,
@@ -613,7 +614,7 @@ def receive_stream_dynamic(
             max_frames_per_chunk,
         )
 
-    final_carry, outs = jax.lax.scan(step, carry, chunks)
+    final_carry, outs = jax.lax.scan(step, carry, jnp.arange(num_chunks))
     return StreamResult(carry=final_carry, steps=outs)
 
 
@@ -649,14 +650,19 @@ def receive_stream(
 
     # time-major chunks for scan: [num_chunks, ..., chunk_size]
     num_chunks = n // chunk_size
-    chunks = jnp.moveaxis(
-        capture.reshape(batch_shape + (num_chunks, chunk_size)), -2, 0
+    # One up-front cast to the buffer dtype (bf16 on the hot path), then
+    # scan over chunk INDICES with in-place slicing: a time-major
+    # moveaxis here materialized a full copy of the capture (4.3 GB at
+    # the bench size) before the first chunk was processed.
+    cap = capture.astype(carry.buffer.dtype).reshape(
+        batch_shape + (num_chunks, chunk_size)
     )
 
-    def step(c, chunk):
+    def step(c, i):
+        chunk = jax.lax.dynamic_index_in_dim(cap, i, axis=-2, keepdims=False)
         return stream_step(
             config, c, chunk, payload_len, detect_threshold, compute_dtype, track
         )
 
-    final_carry, outs = jax.lax.scan(step, carry, chunks)
+    final_carry, outs = jax.lax.scan(step, carry, jnp.arange(num_chunks))
     return StreamResult(carry=final_carry, steps=outs)

@@ -464,3 +464,95 @@ def test_demodulate_frame_tm_matches_batch_major(model):
     np.testing.assert_allclose(
         np.asarray(r_tm.snr_db), np.asarray(r_bm.snr_db), rtol=1e-3
     )
+
+
+@pytest.mark.parametrize(
+    "cfg,snr_db",
+    [
+        (CFG, 16.0),
+        (dataclasses.replace(CFG, clock_tracking=False), 16.0),
+        (dataclasses.replace(CFG, bits_per_carrier=4), 24.0),
+        (
+            dataclasses.replace(
+                CFG, bits_per_carrier=6, fec="conv", fec_interleave=32
+            ),
+            26.0,
+        ),
+    ],
+    ids=["qpsk", "qpsk-untracked", "qam16", "qam64-coded"],
+)
+def test_ofdm_fused_track_decide_matches_golden(cfg, snr_db, monkeypatch):
+    """The fused equalize+track+decide kernel (interpret mode) reproduces
+    the jnp _equalized_bits path through demodulate_frame: identical
+    payloads/ok and matching metrics, across constellations, coded and
+    uncoded, with and without tracking, under real clock drift."""
+    import functools
+
+    import anet.kernels as K
+    from anet.kernels import ofdm_track_decide_fused as real_kernel
+
+    rng = np.random.default_rng(31)
+    p = jnp.asarray(rng.integers(0, 256, (3, 128), np.uint8))
+    w = np.asarray(ofdm.transmit(cfg, p))
+    t = cfg.frame_num_samples(128)
+    ppms = (150, 0, -150) if cfg.clock_tracking else (0, 0, 0)
+    drifted = np.stack(
+        [
+            np.pad(r, (0, max(0, t - r.shape[-1])))[:t]
+            for r in (resample_ppm(x, ppm) for x, ppm in zip(w, ppms))
+        ]
+    )
+    aligned = jnp.asarray(drifted)
+    noisy = awgn(jax.random.PRNGKey(9), aligned, snr_db)
+
+    ref = ofdm.demodulate_frame(cfg, noisy, 128)
+
+    monkeypatch.setattr(ofdm, "_use_fused_track", lambda: True)
+    monkeypatch.setattr(
+        K, "ofdm_track_decide_fused", functools.partial(real_kernel, interpret=True)
+    )
+    got = ofdm.demodulate_frame(cfg, noisy, 128)
+
+    assert np.asarray(ref.ok).all()
+    np.testing.assert_array_equal(np.asarray(got.payload), np.asarray(ref.payload))
+    np.testing.assert_array_equal(np.asarray(got.ok), np.asarray(ref.ok))
+    np.testing.assert_allclose(
+        np.asarray(got.confidence), np.asarray(ref.confidence), rtol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.snr_db), np.asarray(ref.snr_db), rtol=1e-3, atol=1e-3
+    )
+
+
+def test_ofdm_fused_dynamic_matches_golden(monkeypatch):
+    """The fused path's EVM masking (overhead-span-only metrics) matches
+    demodulate_frame_dynamic's golden z_eq slice."""
+    import functools
+
+    import anet.kernels as K
+    from anet.kernels import ofdm_track_decide_fused as real_kernel
+
+    rng = np.random.default_rng(33)
+    p = jnp.asarray(rng.integers(0, 256, (2, 64), np.uint8))
+    w = ofdm.transmit(CFG, p)
+    t_max = CFG.frame_num_samples(200)
+    cap = jnp.zeros((2, t_max), jnp.float32).at[:, : w.shape[-1]].set(w)
+    noisy = awgn(jax.random.PRNGKey(11), cap, 18.0)
+
+    ref = ofdm.demodulate_frame_dynamic(CFG, noisy, 200)
+
+    monkeypatch.setattr(ofdm, "_use_fused_track", lambda: True)
+    monkeypatch.setattr(
+        K, "ofdm_track_decide_fused", functools.partial(real_kernel, interpret=True)
+    )
+    got = ofdm.demodulate_frame_dynamic(CFG, noisy, 200)
+
+    assert np.asarray(ref.ok).all()
+    np.testing.assert_array_equal(np.asarray(got.payload), np.asarray(ref.payload))
+    np.testing.assert_array_equal(
+        np.asarray(got.payload_len), np.asarray(ref.payload_len)
+    )
+    np.testing.assert_array_equal(np.asarray(got.ok), np.asarray(ref.ok))
+    np.testing.assert_allclose(
+        np.asarray(got.confidence), np.asarray(ref.confidence), rtol=1e-4
+    )

@@ -136,14 +136,105 @@ def main() -> int:
         )
         assert float(rel.max()) < 0.08, f"quality deviates {rel.max():.3f}"
 
+    def check_sync_search():
+        from anet.kernels import sync_search_fused
+
+        tmpl = preamble_waveform(cfg).astype(jnp.bfloat16)
+        k = tmpl.shape[-1]
+        out_len = 4096
+        seg_np = rng.normal(scale=0.05, size=(6, out_len + k - 1)).astype(np.float32)
+        # plant real preambles so the argmax rides a true peak, not noise
+        for i, off in enumerate((0, 777, 2048, 4095, 100, 3000)):
+            seg_np[i, off : off + k] += np.asarray(tmpl, np.float32)
+        seg = jnp.asarray(seg_np).astype(jnp.bfloat16)
+        t_e = jnp.sum(tmpl.astype(jnp.float32) ** 2)
+        corr = correlate_template(seg, tmpl, method="matmul")[..., :out_len]
+        qref = blockwise_match_quality(seg, corr, k, t_e)
+        got_q, got_i = sync_search_fused(seg, tmpl, out_len, t_e)
+        assert np.array_equal(
+            np.asarray(got_i), np.asarray(jnp.argmax(qref, -1))
+        ), "best lag differs"
+        np.testing.assert_allclose(
+            np.asarray(got_q), np.asarray(jnp.max(qref, -1)), rtol=5e-3, atol=5e-3
+        )
+
+    def check_demod_at():
+        from anet.dsp.frame import data_symbols_for_payload
+        from anet.kernels import demod_at_fused
+
+        pay = 64
+        s = data_symbols_for_payload(cfg, pay)
+        t_frame = (cfg.preamble_symbols + s) * cfg.samples_per_symbol
+        buf_np = rng.normal(scale=0.05, size=(16, t_frame + 2048)).astype(np.float32)
+        starts = rng.integers(0, 2048 + 1, 16).astype(np.int32)
+        starts[0] = 2048  # max-start edge
+        p = jnp.asarray(rng.integers(0, 256, (16, pay), np.uint8))
+        w = np.asarray(modulate_frame(cfg, p), np.float32)
+        for i in range(16):
+            buf_np[i, starts[i] : starts[i] + t_frame] += w[i]
+        buf = jnp.asarray(buf_np).astype(jnp.bfloat16)
+        st = jnp.asarray(starts)
+        aligned = aligned_gather(buf, st, t_frame, jnp.bfloat16)
+        e = tone_energies(
+            cfg,
+            aligned[..., cfg.preamble_symbols * cfg.samples_per_symbol :],
+            compute_dtype=jnp.bfloat16,
+        )
+        tone, best, total = demod_at_fused(cfg, buf, st, s)
+        assert np.array_equal(
+            np.asarray(tone), np.asarray(jnp.argmax(e, -1))
+        ), "tone decisions differ"
+        scale = float(np.abs(np.asarray(e.max(-1))).max()) or 1.0
+        np.testing.assert_allclose(
+            np.asarray(best), np.asarray(e.max(-1)), atol=1e-2 * scale
+        )
+
+    def check_ofdm_track():
+        import dataclasses
+
+        from anet.dsp import ofdm
+
+        for bpc in (2, 4, 6):
+            ocfg = dataclasses.replace(ofdm.OfdmConfig(), bits_per_carrier=bpc)
+            p = jnp.asarray(rng.integers(0, 256, (4, 96), np.uint8))
+            w = ofdm.transmit(ocfg, p)
+            noisy = w + jnp.asarray(
+                rng.normal(scale=0.002, size=w.shape).astype(np.float32)
+            )
+            s_data = ocfg.data_symbols_for_payload(96)
+            bits_g, llrs_g, z_eq = ofdm._equalized_bits(ocfg, noisy, s_data)
+            conf_g, snr_g = ofdm._evm_metrics(ocfg, bits_g, z_eq)
+            bits_f, llrs_f, evm2 = ofdm._equalized_llrs_fused(
+                ocfg, noisy, s_data, s_data
+            )
+            conf_f, _ = ofdm._evm_to_metrics(evm2)
+            assert np.array_equal(
+                np.asarray(bits_f), np.asarray(bits_g)
+            ), f"bpc={bpc}: bits differ"
+            lscale = float(np.abs(np.asarray(llrs_g)).max()) or 1.0
+            np.testing.assert_allclose(
+                np.asarray(llrs_f) / lscale,
+                np.asarray(llrs_g) / lscale,
+                atol=2e-3,
+                err_msg=f"bpc={bpc} llrs",
+            )
+            np.testing.assert_allclose(
+                np.asarray(conf_f), np.asarray(conf_g), rtol=1e-3,
+                err_msg=f"bpc={bpc} confidence",
+            )
+
     check("decide_tones_tm (time-major fused demod)", check_decide_tm)
     check("demodulate_frame_tm end-to-end", check_frame_tm)
     check("viterbi_trellis bit-exact vs scan", check_viterbi)
     check("correlate_fused vs block-Toeplitz", check_correlator)
     check("aligned_gather onehot == dma", check_gather_onehot)
     check("blockwise quality within tolerance", check_blockwise_quality)
+    check("sync_search_fused vs quality golden", check_sync_search)
+    check("demod_at_fused vs gather+demod", check_demod_at)
+    check("ofdm_track_decide_fused vs jnp equalizer", check_ofdm_track)
 
-    print(f"{6 - len(FAILURES)}/6 passed")
+    n_total = 9
+    print(f"{n_total - len(FAILURES)}/{n_total} passed")
     return 1 if FAILURES else 0
 
 
