@@ -6,10 +6,17 @@ Prints ONE JSON line:
 Headline: Msamples/s of audio demodulated through the full frame receiver
 (tone-energy filterbank -> symbol decisions -> Gray decode -> byte packing
 -> magic/length/CRC verification) on one chip, batched over independent
-streams. `extra_metrics` carries a second number measured the same way:
-`stream_throughput_per_chip`, the full *streaming* receive path — preamble
-matched-filter search + chunked-scan demod (anet.stream) — i.e. the
-production pipeline including synchronization, not just the aligned stage.
+streams. `extra_metrics` carries the measured matrix (every production
+path, so a regression in any of them is driver-visible, not prose-only):
+
+  stream_throughput_per_chip   full streaming path (sync search + chunked
+                               scan, anet.stream) on the headline modem —
+                               the production pipeline including
+                               synchronization, not just the aligned stage
+  aligned:ofdm-fast            OFDM family aligned demod (clock-tracked)
+  aligned:mfsk4-coded          convolutional-coded MFSK (Viterbi kernel)
+  stream:ofdm-fast             OFDM streaming receive path
+  stream-dynamic:mfsk16-fast   variable-length streaming receive path
 
 Baseline: the reference system's steady-state throughput is its real-time
 operating point — 96 ksamples/s (48 kHz stereo, playback.cpp:9) per
@@ -18,11 +25,14 @@ vs_baseline is the speedup over that 0.096 Msamples/s envelope.
 
 Usage: python bench.py                   (default backend — TPU)
        ANET_BENCH_CPU=1 python bench.py  (force CPU, for debugging)
+       ANET_BENCH_NO_STREAM=1            (headline only, no extras)
 
 Robustness: the TPU here sits behind a remote tunnel that can wedge; the
 top-level entry runs the measurement in a watchdogged subprocess and falls
 back to a CPU measurement (flagged in `details.backend`) rather than
-hanging the caller.
+hanging the caller. Each extra metric is individually guarded and the
+matrix stops adding entries past a soft time budget, so the JSON line is
+emitted even if one path fails or the tunnel slows down.
 """
 
 from __future__ import annotations
@@ -34,22 +44,40 @@ import sys
 import time
 
 BASELINE_MSAMPLES_S = 0.096  # reference steady-state, derived in BASELINE.md
-WATCHDOG_S = float(os.environ.get("ANET_BENCH_WATCHDOG_S", "600"))
+WATCHDOG_S = float(os.environ.get("ANET_BENCH_WATCHDOG_S", "900"))
+EXTRA_BUDGET_S = float(os.environ.get("ANET_BENCH_EXTRA_BUDGET_S", "480"))
 
 
-def measure_stream(cfg, payload_len: int) -> dict:
+def _bench_loop(run, arg, iters: int):
+    """Time `iters` dispatches of jitted `run`, forcing a device->host
+    scalar read at the end (block_until_ready alone under-reports on the
+    remote proxy backend — see module docstring)."""
+    out = run(arg)  # warmup/compile
+    int(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = run(arg)
+    final = int(out)
+    return time.perf_counter() - t0, final
+
+
+def measure_stream(model_name: str, payload_len: int, *, dynamic: bool = False) -> dict:
     """Full streaming receive path on this backend: preamble search
-    (block-Toeplitz matmul correlator) + chunked-scan demod, batched over
+    (fused Pallas sync kernel) + chunked-scan demod, batched over
     independent streams. This is the production path — the reference's
     socket->queue->decode loop (network.cpp:409-430 -> playback.cpp:80-143)
-    — not just the aligned-demod stage."""
+    — not just the aligned-demod stage. With dynamic=True, frames carry
+    their own lengths (half short, half max) through
+    stream.receive_stream_dynamic."""
     import jax
     import jax.numpy as jnp
     import numpy as np
 
     from anet import stream
     from anet.dsp import family
+    from anet.models import get_model
 
+    cfg = get_model(model_name).config
     on_cpu = jax.default_backend() == "cpu"
     batch = int(os.environ.get("ANET_BENCH_STREAM_BATCH", "64" if on_cpu else "8192"))
     chunk = int(os.environ.get("ANET_BENCH_STREAM_CHUNK", "32768"))
@@ -57,36 +85,58 @@ def measure_stream(cfg, payload_len: int) -> dict:
     chunk = min(chunk, t_frame)  # chunk <= frame: no frame can be skipped
 
     rng = np.random.default_rng(0)
-    payloads = jnp.asarray(
-        rng.integers(0, 256, (batch, payload_len), dtype=np.uint8)
-    )
-    wave = np.asarray(jax.jit(family.transmit_fn(cfg))(payloads), np.float32)
     gap = 1000
     nframes = 3
     per = gap + t_frame
     total = -(-(nframes * per) // chunk) * chunk
     cap = np.zeros((batch, total), np.float32)
-    for i in range(nframes):
-        cap[:, i * per + gap : i * per + gap + t_frame] = wave
+    if dynamic:
+        # alternate short/max payloads; every slot still fits t_frame
+        lens = [payload_len // 4, payload_len, payload_len // 2]
+        for i, plen in enumerate(lens[:nframes]):
+            payloads = jnp.asarray(
+                rng.integers(0, 256, (batch, plen), dtype=np.uint8)
+            )
+            w = np.asarray(jax.jit(family.transmit_fn(cfg))(payloads), np.float32)
+            cap[:, i * per + gap : i * per + gap + w.shape[-1]] = w
+    else:
+        payloads = jnp.asarray(
+            rng.integers(0, 256, (batch, payload_len), dtype=np.uint8)
+        )
+        wave = np.asarray(jax.jit(family.transmit_fn(cfg))(payloads), np.float32)
+        for i in range(nframes):
+            cap[:, i * per + gap : i * per + gap + t_frame] = wave
     capture = jnp.asarray(cap)
 
-    @jax.jit
-    def run(capture):
-        res = stream.receive_stream(
-            cfg, capture, chunk, payload_len, compute_dtype=jnp.bfloat16
-        )
-        return res.carry.frames_ok.sum()
+    if dynamic:
 
-    int(run(capture))  # warmup/compile
+        @jax.jit
+        def run(capture):
+            res = stream.receive_stream_dynamic(
+                cfg, capture, chunk, payload_len, compute_dtype=jnp.bfloat16
+            )
+            return res.carry.frames_ok.sum()
+
+    else:
+
+        @jax.jit
+        def run(capture):
+            res = stream.receive_stream(
+                cfg, capture, chunk, payload_len, compute_dtype=jnp.bfloat16
+            )
+            return res.carry.frames_ok.sum()
+
     iters = int(os.environ.get("ANET_BENCH_STREAM_ITERS", "2" if on_cpu else "10"))
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        ok = run(capture)
-    ok_count = int(ok)  # device->host read, see module docstring
-    dt = time.perf_counter() - t0
+    dt, ok_count = _bench_loop(run, capture, iters)
     msamples_s = batch * total * iters / dt / 1e6
+    name = "stream-dynamic" if dynamic else "stream"
+    metric = (
+        "stream_throughput_per_chip"
+        if not dynamic and model_name == "mfsk16-fast"
+        else f"{name}:{model_name}"
+    )
     return {
-        "metric": "stream_throughput_per_chip",
+        "metric": metric,
         "value": round(msamples_s, 2),
         "unit": "Msamples/s",
         "vs_baseline": round(msamples_s / BASELINE_MSAMPLES_S, 1),
@@ -102,11 +152,17 @@ def measure_stream(cfg, payload_len: int) -> dict:
     }
 
 
-def main() -> None:
-    import jax
+def measure_aligned(model_name: str, payload_len: int, *, batch: int, iters: int) -> dict:
+    """Aligned frame demod throughput for one modem preset.
 
-    if os.environ.get("ANET_BENCH_CPU"):
-        jax.config.update("jax_platforms", "cpu")
+    Layouts: "tm" (default for MFSK) demodulates TIME-MAJOR [T, B] input
+    — the natural layout for sample-interleaved multi-stream ingest —
+    through the fused Pallas kernel (anet.kernels.decide_tones_tm):
+    measured ~2x the batch-major path on a v5e (the [B,S,sps] symbol
+    split's lane relayout and the I/Q HBM round-trip both vanish; see
+    docs/PERF.md). OFDM benches batch-major (the tm twin measures ~equal).
+    """
+    import jax
     import jax.numpy as jnp
     import numpy as np
 
@@ -114,29 +170,11 @@ def main() -> None:
     from anet.dsp.frame import demodulate_frame
     from anet.models import get_model
 
-    backend = jax.default_backend()
-    # Layouts: "tm" (default for MFSK) demodulates TIME-MAJOR [T, B] input
-    # — the natural layout for sample-interleaved multi-stream ingest —
-    # through the fused Pallas kernel (anet.kernels.decide_tones_tm):
-    # measured ~2x the batch-major path on a v5e (the [B,S,sps] symbol
-    # split's lane relayout and the I/Q HBM round-trip both vanish; see
-    # docs/PERF.md). "bm" forces the round-1 batch-major path;
-    # ANET_BENCH_PALLAS=1 selects the batch-major fused kernel with it.
-    use_pallas = bool(os.environ.get("ANET_BENCH_PALLAS"))
-
-    model = os.environ.get("ANET_BENCH_MODEL", "mfsk16-fast")
-    cfg = get_model(model).config
+    cfg = get_model(model_name).config
     layout = os.environ.get("ANET_BENCH_LAYOUT", "tm")
     if family.is_ofdm(cfg) and layout != "bm":
-        if "ANET_BENCH_LAYOUT" in os.environ:
-            print("OFDM benches batch-major (the tm twin measures ~equal; "
-                  "see docs/PERF.md); ignoring ANET_BENCH_LAYOUT", file=sys.stderr)
         layout = "bm"
-    payload_len = int(os.environ.get("ANET_BENCH_PAYLOAD", "256"))
-    # 16384 streams ~fills the v5e MXU pipeline (45+ Gsamples/s vs ~35 at
-    # 4096) while keeping the input under 2.5 GB of HBM; 32768 adds only
-    # ~2% more for twice the footprint.
-    batch = int(os.environ.get("ANET_BENCH_BATCH", "16384"))
+    use_pallas = bool(os.environ.get("ANET_BENCH_PALLAS"))
     t_frame = family.frame_samples(cfg, payload_len)
 
     # Build one batch of frames host-side (not timed).
@@ -151,10 +189,6 @@ def main() -> None:
     waves.block_until_ready()
 
     if use_pallas and family.is_ofdm(cfg):
-        print(
-            "ANET_BENCH_PALLAS has no effect on OFDM models; running the XLA path",
-            file=sys.stderr,
-        )
         use_pallas = False
     uses_kernel = False
     if layout == "tm":
@@ -164,8 +198,7 @@ def main() -> None:
         # coded configs take the jnp tm path regardless (soft LLRs need
         # full energies)
         uses_kernel = (
-            jax.default_backend() == "tpu"
-            and getattr(cfg, "fec", "none") == "none"
+            jax.default_backend() == "tpu" and getattr(cfg, "fec", "none") == "none"
         )
         demod = lambda w: demodulate_frame_tm(
             cfg, w, payload_len, compute_dtype=jnp.bfloat16
@@ -183,29 +216,15 @@ def main() -> None:
         # transfer, not the demodulator.
         return jnp.sum(demod(w).ok.astype(jnp.int32))
 
-    # Warmup / compile.
-    int(step(waves))
-
-    iters = int(os.environ.get("ANET_BENCH_ITERS", "30"))
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = step(waves)
-    # Force a device->host read of the result: block_until_ready alone can
-    # under-report on remote-proxy backends where dispatch is fully async.
-    ok_count = int(out)
-    dt = time.perf_counter() - t0
-
-    ok_frac = ok_count / batch
-    samples = batch * t_frame * iters
-    msamples_s = samples / dt / 1e6
-
-    record = {
-        "metric": "demod_throughput_per_chip",
+    dt, ok_count = _bench_loop(step, waves, iters)
+    msamples_s = batch * t_frame * iters / dt / 1e6
+    return {
+        "metric": f"aligned:{model_name}",
         "value": round(msamples_s, 2),
         "unit": "Msamples/s",
         "vs_baseline": round(msamples_s / BASELINE_MSAMPLES_S, 1),
         "details": {
-            "backend": backend,
+            "backend": jax.default_backend(),
             "layout": layout,
             "pallas": use_pallas or uses_kernel,
             "batch_streams": batch,
@@ -213,14 +232,73 @@ def main() -> None:
             "frame_samples": t_frame,
             "iters": iters,
             "seconds": round(dt, 4),
-            "frames_ok_fraction": ok_frac,
-            "modem": model,
+            "frames_ok_fraction": ok_count / batch,
+            "modem": model_name,
         },
     }
-    # Second metric: the full streaming receive path (sync + scan), the
-    # number round 1 lacked. Skippable for quick aligned-only runs.
+
+
+def main() -> None:
+    import jax
+
+    if os.environ.get("ANET_BENCH_CPU"):
+        jax.config.update("jax_platforms", "cpu")
+
+    t_start = time.perf_counter()
+    backend = jax.default_backend()
+    model = os.environ.get("ANET_BENCH_MODEL", "mfsk16-fast")
+    payload_len = int(os.environ.get("ANET_BENCH_PAYLOAD", "256"))
+    # 16384 streams ~fills the v5e MXU pipeline (45+ Gsamples/s vs ~35 at
+    # 4096) while keeping the input under 2.5 GB of HBM; 32768 adds only
+    # ~2% more for twice the footprint.
+    batch = int(os.environ.get("ANET_BENCH_BATCH", "16384"))
+    iters = int(os.environ.get("ANET_BENCH_ITERS", "30"))
+    on_cpu = backend == "cpu"
+    if on_cpu:
+        batch = min(batch, 256)
+
+    record = measure_aligned(model, payload_len, batch=batch, iters=iters)
+    record["metric"] = "demod_throughput_per_chip"
+    record["details"]["modem"] = model
+
+    # The measured matrix: every production path as its own entry, so the
+    # driver sees regressions the headline alone would hide. Guarded per
+    # entry; stops adding entries past the soft time budget.
     if not os.environ.get("ANET_BENCH_NO_STREAM"):
-        record["extra_metrics"] = [measure_stream(cfg, payload_len)]
+        extra_iters = int(os.environ.get("ANET_BENCH_EXTRA_ITERS", "2" if on_cpu else "8"))
+        extra_batch = min(batch, 64 if on_cpu else 8192)
+        matrix = [
+            ("stream", lambda: measure_stream(model, payload_len)),
+            (
+                "aligned:ofdm-fast",
+                lambda: measure_aligned(
+                    "ofdm-fast", payload_len, batch=extra_batch, iters=extra_iters
+                ),
+            ),
+            (
+                "aligned:mfsk4-coded",
+                lambda: measure_aligned(
+                    "mfsk4-coded", payload_len, batch=extra_batch, iters=extra_iters
+                ),
+            ),
+            ("stream:ofdm-fast", lambda: measure_stream("ofdm-fast", payload_len)),
+            (
+                "stream-dynamic",
+                lambda: measure_stream(model, payload_len, dynamic=True),
+            ),
+        ]
+        extras = []
+        for name, fn in matrix:
+            if time.perf_counter() - t_start > EXTRA_BUDGET_S:
+                extras.append({"metric": name, "skipped": "time budget"})
+                continue
+            try:
+                extras.append(fn())
+            except Exception as e:  # one bad path must not hide the rest
+                extras.append(
+                    {"metric": name, "error": f"{type(e).__name__}: {str(e)[:200]}"}
+                )
+        record["extra_metrics"] = extras
     print(json.dumps(record))
 
 
