@@ -75,7 +75,7 @@ def _cmd_tx(args) -> int:
 
 
 def _cmd_rx(args) -> int:
-    from anet.config import ReceiverConfig, await_and_load
+    from anet.config import ConfigMode, ReceiverConfig, await_and_load
     from anet.obs.status import StatusIndicator, SystemState
     from anet.rx.playback import BufferSink, PacedSink, WavSink
     from anet.rx.receiver import AnetReceiver
@@ -89,10 +89,27 @@ def _cmd_rx(args) -> int:
     sink = PacedSink(raw_sink)
     receiver = AnetReceiver(sink, config).start()
 
+    # SIGHUP = the config button (config.cpp:16-45): blue-blink CONFIG
+    # state while the config file is re-awaited + re-applied. Without
+    # --config there is nothing to reload; the press is acknowledged and
+    # the bit drops immediately.
+    def _apply_config() -> None:
+        if args.config:
+            receiver.apply_config(
+                await_and_load(args.config, timeout_s=args.config_timeout)
+            )
+        else:
+            print("config mode: no --config file to reload", file=sys.stderr)
+
+    config_mode = ConfigMode(_apply_config)
+    config_mode.install_signal_handler()
+
     def state() -> SystemState:
         st = receiver.status()
         if st["panicked"]:
             return SystemState.PANIC
+        if config_mode.active:
+            return SystemState.CONFIG
         if st["modules"]["network"]["streaming"]:
             return SystemState.STREAMING
         return SystemState.CONNECTED

@@ -12,11 +12,15 @@ from __future__ import annotations
 
 import dataclasses
 import json
+import logging
 import os
+import threading
 import time
-from typing import Optional
+from typing import Callable, Optional
 
 from anet import constants
+
+logger = logging.getLogger("anet.config")
 
 
 @dataclasses.dataclass(frozen=True)
@@ -71,3 +75,65 @@ def await_and_load(
         time.sleep(poll_interval_s)
     with open(path, "r", encoding="utf-8") as fh:
         return ReceiverConfig.from_json(fh.read())
+
+
+class ConfigMode:
+    """Host analog of the firmware's config task (config.cpp:16-45).
+
+    On the device, a button ISR notifies the config task, which raises the
+    "config interface active" bit while the configuration interface is up;
+    the LED module renders that bit as the blue-blink pattern
+    (led.cpp:37-41). Here the trigger is a POSIX signal (or a direct
+    ``enter()`` call): while the latch is ``active``, status providers
+    should report ``SystemState.CONFIG``; a worker thread runs ``apply``
+    (typically: await + reload the config file, push the new identity) and
+    the bit drops when it returns — or on error, which is logged, never
+    raised into the app (the indicator contract).
+    """
+
+    def __init__(self, apply: Callable[[], None]) -> None:
+        self._apply = apply
+        self._active = threading.Event()
+        self._thread: Optional[threading.Thread] = None
+
+    @property
+    def active(self) -> bool:
+        return self._active.is_set()
+
+    def enter(self) -> bool:
+        """Raise the config bit and start the apply worker. Returns False
+        (no-op) if config mode is already active — repeated button presses
+        don't stack config tasks (config.cpp's single task)."""
+        if self._active.is_set():
+            return False
+        self._active.set()
+        self._thread = threading.Thread(
+            target=self._run, daemon=True, name="anet-config-mode"
+        )
+        self._thread.start()
+        return True
+
+    def _run(self) -> None:
+        try:
+            self._apply()
+        except Exception:  # noqa: BLE001 — config failure must not kill the app
+            logger.exception("config apply failed")
+        finally:
+            self._active.clear()
+
+    def wait(self, timeout_s: Optional[float] = None) -> bool:
+        """Block until the current apply finishes (for tests/shutdown)."""
+        t = self._thread
+        if t is None:
+            return True
+        t.join(timeout=timeout_s)
+        return not t.is_alive()
+
+    def install_signal_handler(self, signum: Optional[int] = None) -> None:
+        """Route a signal (default SIGHUP — the unix 'reconfigure' idiom,
+        standing in for the device's config button) to ``enter()``. Must be
+        called from the main thread."""
+        import signal as _signal
+
+        sig = _signal.SIGHUP if signum is None else signum
+        _signal.signal(sig, lambda *_: self.enter())

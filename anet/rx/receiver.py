@@ -167,6 +167,19 @@ class AnetReceiver:
     def stop(self) -> None:
         self.runtime.stop()
 
+    def apply_config(self, new_config: ReceiverConfig) -> None:
+        """Apply a reloaded configuration to the live receiver (the config
+        task's hand-off, config.cpp:16-45; the firmware reboots to apply —
+        here identity updates propagate in place). Live-applicable fields:
+        device_name / mac_address, pushed to the discovery responder so the
+        next DiscoveryResponse carries them. Transport fields (ports, frame
+        caps, queue depth) keep their bound values until restart, exactly
+        like the firmware's post-reboot semantics."""
+        self.config = new_config
+        self.network.config = new_config
+        if self.network.responder is not None:
+            self.network.responder.update_identity(self.network.identity())
+
     def status(self) -> Dict:
         return self.runtime.status()
 

@@ -9,7 +9,7 @@ import pytest
 
 from anet import constants
 from anet.codec import AudioFormat, opus_available
-from anet.config import ConfigTimeout, ReceiverConfig, await_and_load
+from anet.config import ConfigMode, ConfigTimeout, ReceiverConfig, await_and_load
 from anet.obs.metrics import MetricsRegistry
 from anet.obs.status import StatusIndicator, SystemState
 from anet.rx.playback import BufferSink, PlaybackPipeline
@@ -210,6 +210,50 @@ def test_status_indicator_transitions():
     assert [s for s, _ in changes] == [SystemState.DISCONNECTED, SystemState.STREAMING]
     assert changes[0][1] == "(R) _ (R) _"
     assert changes[1][1] == "(G)(G)(G)"
+
+
+def test_config_mode_latch():
+    """ConfigMode is the config task's bit (config.cpp:16-45): enter()
+    raises it for the duration of the apply worker, repeated presses don't
+    stack, and the bit drops when apply returns."""
+    gate = threading.Event()
+    cm = ConfigMode(lambda: gate.wait(2.0))
+    assert not cm.active
+    assert cm.enter()
+    assert cm.active
+    assert not cm.enter()  # second button press: no second config task
+    gate.set()
+    assert cm.wait(2.0)
+    assert not cm.active
+
+
+def test_config_mode_apply_failure_clears_bit():
+    def boom():
+        raise RuntimeError("bad config")
+
+    cm = ConfigMode(boom)
+    assert cm.enter()
+    assert cm.wait(2.0)
+    assert not cm.active  # error logged, bit dropped — app stays alive
+
+
+def test_receiver_apply_config_updates_identity():
+    """A reloaded config propagates to the live discovery identity — the
+    host analog of the firmware's post-config identity (the firmware
+    reboots; anet pushes in place, receiver.apply_config)."""
+    import dataclasses
+
+    from anet.rx.receiver import AnetReceiver
+
+    sink = BufferSink(buffered_seconds=0.05)
+    cfg = ReceiverConfig(
+        device_name="before", tcp_audio_port=0, udp_discovery_port=48767
+    )
+    with AnetReceiver(sink, cfg) as rx:
+        assert rx.network.identity().device_name == "before"
+        rx.apply_config(dataclasses.replace(cfg, device_name="after"))
+        assert rx.network.identity().device_name == "after"
+        assert rx.network.responder.identity.device_name == "after"
 
 
 def test_metrics_registry():
