@@ -11,7 +11,8 @@ Parity with the firmware playback module (playback.cpp:80-194):
   notify, then wait indefinitely for the stream to resume
   (playback.cpp:92-113);
 - per-stream decoder reset (playback_start_new_stream, :67-74);
-- mute/unmute gates output (:46-56).
+- mute/unmute gates output (:46-56);
+- volume scaling of decoded 16-bit PCM (adjust_volume, :58-64).
 
 Beyond the reference: underflow and decode errors are DELIVERED to the
 transmitter via the feedback callback (the TODO at playback.cpp:94) instead
@@ -32,6 +33,23 @@ from anet import constants
 logger = logging.getLogger("anet.rx.playback")
 
 FeedbackFn = Callable[[bool, bool], None]  # (underflow, decode_error)
+
+
+def adjust_volume(pcm: bytes, volume: float) -> bytes:
+    """Scale 16-bit interleaved PCM by ``volume``
+    (playback_adjust_volume_16bit_dual_channel, playback.cpp:58-64).
+
+    Matches the firmware helper's per-sample ``(int16)((double)s * volume)``
+    — truncation toward zero — with the products clamped to the int16
+    range (the firmware's cast is undefined there; it is only ever called
+    with attenuating volumes, where the two agree)."""
+    import numpy as np
+
+    if volume == 1.0:
+        return pcm
+    samples = np.frombuffer(pcm, dtype="<i2").astype(np.float64) * float(volume)
+    out = np.clip(np.trunc(samples), -32768, 32767).astype("<i2")
+    return out.tobytes()
 
 
 class PlaybackSink(Protocol):
@@ -197,6 +215,7 @@ class PlaybackPipeline:
         self._thread: Optional[threading.Thread] = None
         self._playing = False
         self._muted = False
+        self._volume = 1.0
         # running average decode time, seeded pessimistically like the
         # firmware (playback.cpp:115: starts at 0; we seed 1 ms)
         self._avg_decode_s = 0.001
@@ -284,7 +303,7 @@ class PlaybackPipeline:
                 self.sink.resume()
                 self._playing = True
             if not self._muted:
-                self.sink.write(pcm)
+                self.sink.write(adjust_volume(pcm, self._volume))
             self.frames_played += 1
 
     # --- controls ------------------------------------------------------------
@@ -294,6 +313,18 @@ class PlaybackPipeline:
 
     def unmute(self) -> None:
         self._muted = False
+
+    @property
+    def volume(self) -> float:
+        """Output gain applied to decoded PCM (1.0 = unity; see
+        adjust_volume)."""
+        return self._volume
+
+    @volume.setter
+    def volume(self, value: float) -> None:
+        if not (0.0 <= value):
+            raise ValueError(f"volume must be >= 0, got {value}")
+        self._volume = float(value)
 
     def stop(self) -> None:
         self._stop.set()
@@ -309,6 +340,7 @@ class PlaybackPipeline:
         return {
             "playing": self._playing,
             "muted": self._muted,
+            "volume": self._volume,
             "queued_frames": self._queue.qsize(),
             "frames_played": self.frames_played,
             "frames_dropped": self.frames_dropped,

@@ -109,6 +109,43 @@ def test_playback_mute_gates_output():
     assert sink.data == b"loudloud"
 
 
+def test_adjust_volume_matches_firmware_cast():
+    """Truncation toward zero per sample (playback.cpp:58-64)."""
+    import numpy as np
+
+    from anet.rx.playback import adjust_volume
+
+    pcm = np.array([100, -100, 32767, -32768, 1, -1, 0], dtype="<i2").tobytes()
+    half = np.frombuffer(adjust_volume(pcm, 0.5), dtype="<i2")
+    assert half.tolist() == [50, -50, 16383, -16384, 0, 0, 0]
+    # unity volume is the identity (no copy, no rounding)
+    assert adjust_volume(pcm, 1.0) == pcm
+    # amplification clamps instead of wrapping (beyond the firmware, which
+    # never amplifies)
+    loud = np.frombuffer(adjust_volume(pcm, 4.0), dtype="<i2")
+    assert loud.tolist() == [400, -400, 32767, -32768, 4, -4, 0]
+
+
+def test_playback_volume_scales_output():
+    import numpy as np
+
+    pipe, sink = make_pipeline()
+    pipe.volume = 0.5
+    pipe.start()
+    pcm_in = np.array([1000, -2000], dtype="<i2").tobytes()
+    pipe.queue_frame(pcm_in)
+    deadline = time.monotonic() + 2
+    while pipe.frames_played < 1 and time.monotonic() < deadline:
+        time.sleep(0.01)
+    pipe.stop()
+    # FakeDecoder doubles the frame bytes, then volume halves each sample
+    out = np.frombuffer(sink.data, dtype="<i2")
+    assert out.tolist() == [500, -1000, 500, -1000]
+    assert pipe.status()["volume"] == 0.5
+    with pytest.raises(ValueError):
+        pipe.volume = -0.1
+
+
 def test_start_new_stream_recreates_decoder():
     pipe, _ = make_pipeline()
     pipe.start_new_stream()
