@@ -412,6 +412,9 @@ def _cmd_modem_stream(args) -> int:
         if args.track:
             print("--track needs an explicit --len", file=sys.stderr)
             return 2
+        if args.lock:
+            print("note: --lock applies to fixed --len streams; headers-"
+                  "from-stream mode always searches", file=sys.stderr)
         if not args.save_state:
             # pad a full max-length window past the capture so a trailing
             # frame still completes, then round up to whole chunks (when
@@ -489,8 +492,12 @@ def _cmd_modem_stream(args) -> int:
         print("--track applies to MFSK models only; OFDM uses the cyclic "
               "prefix for timing tolerance", file=sys.stderr)
         track = False
+    if track and args.lock:
+        print("--lock does not compose with --track; using --track",
+              file=sys.stderr)
     res = receive_stream(
-        cfg, jnp.asarray(capture), chunk, args.len, carry=carry, track=track
+        cfg, jnp.asarray(capture), chunk, args.len, carry=carry, track=track,
+        lock=args.lock and not track,
     )
     det = np.asarray(res.steps.detected)
     ok = np.asarray(res.steps.frame.ok)
@@ -678,6 +685,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--out", help="concatenate recovered payloads here")
     p.add_argument("--track", action="store_true",
                    help="symbol-clock tracking per frame (MFSK; slower)")
+    p.add_argument("--lock", action="store_true",
+                   help="frame-lock mode: verify the predicted next frame "
+                        "with a cheap probe, full search only on "
+                        "acquisition (fastest for back-to-back frames; "
+                        "fixed --len mode)")
     p.add_argument("--resume", metavar="STATE.npz",
                    help="continue from a saved stream checkpoint")
     p.add_argument("--save-state", metavar="STATE.npz",

@@ -261,6 +261,69 @@ def blockwise_match_quality(
     return q.reshape(corr.shape)[..., :out_len]
 
 
+def preamble_quality_probe(
+    buffer: jnp.ndarray,
+    start: jnp.ndarray,
+    template: jnp.ndarray,
+    template_energy,
+    n_lags: int = 5,
+    compute_dtype=None,
+    mode: str = "auto",
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Normalized preamble match quality at ``n_lags`` consecutive lags
+    around per-stream ``start`` — the frame-lock verify/refine probe.
+
+    Where the full search scores EVERY lag in a chunk, a locked stream
+    already knows where its next frame should begin (the reference's TCP
+    reader never re-synchronizes — network.cpp:409-430 trusts the framing
+    after connect); it only needs (a) confirmation that a preamble really
+    is there and (b) a few lags of slack to servo out clock drift. Returns
+    ``(q, st0)``: q[..., o] is the quality at buffer index st0 + o with
+    st0 = clip(start - n_lags//2, 0, length - k - n_lags + 1).
+
+    Quality semantics match blockwise_match_quality's superset-energy
+    form: ONE window energy per stream, summed over the row-aligned span
+    [128*(st0//128), 128*(st0//128 + ceil((k+n_lags-1)/128) + 1)) — a
+    strict superset of every probed window, so quality only ever
+    under-reports, by the same ~6% bound as the streaming search. The
+    detection threshold applies unchanged.
+
+    Callers guarantee start + k + n_lags + 128 <= buffer length (true for
+    any in-window frame start, since frames are far longer than their
+    preamble). ``mode="fused"`` forces the Pallas kernel
+    (anet.kernels.preamble_probe_fused), "jnp" the golden path; "auto"
+    picks the kernel on TPU.
+    """
+    k = template.shape[-1]
+    length = buffer.shape[-1]
+    h = n_lags // 2
+    st = start.astype(jnp.int32)
+    st0 = jnp.clip(st - h, 0, length - k - n_lags + 1)
+    t_c = template.astype(compute_dtype) if compute_dtype else template
+    te = jnp.asarray(template_energy, jnp.float32)
+    if mode == "auto":
+        mode = "fused" if jax.default_backend() == "tpu" else "jnp"
+    if mode == "fused":
+        from anet.kernels import preamble_probe_fused
+
+        buf_c = buffer.astype(compute_dtype) if compute_dtype else buffer
+        return preamble_probe_fused(buf_c, st0, t_c, te, n_lags), st0
+    # golden jnp path (CPU runtime + interpret-mode kernel validation)
+    span_rows = -(-(k + n_lags - 1) // _LANE) + 1
+    row0 = st0 // _LANE
+    span = aligned_gather(buffer, row0 * _LANE, span_rows * _LANE, compute_dtype)
+    span_f = span.astype(jnp.float32)
+    energy = jnp.sum(span_f * span_f, axis=-1)
+    wins = aligned_gather(buffer, st0, k + n_lags - 1, compute_dtype)
+    idx = jnp.arange(n_lags)[:, None] + jnp.arange(k)[None, :]
+    corr = jnp.einsum(
+        "...ok,k->...o", wins[..., idx], t_c, preferred_element_type=jnp.float32
+    )
+    floored = jnp.maximum(energy, 1e-4 * te)
+    q = jnp.abs(corr) * jax.lax.rsqrt(te * floored)[..., None]
+    return q, st0
+
+
 def normalized_match_quality(
     corr: jnp.ndarray, window_energy: jnp.ndarray, template_energy: jnp.ndarray
 ) -> jnp.ndarray:

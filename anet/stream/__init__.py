@@ -72,6 +72,8 @@ class StreamCarry(NamedTuple):
     frames_detected: jnp.ndarray  # int32
     frames_ok: jnp.ndarray  # int32
     decode_errors: jnp.ndarray  # int32 — preamble locked but integrity failed
+    locked: jnp.ndarray  # bool — frame-lock mode: next frame start predicted
+    next_start: jnp.ndarray  # int32 — absolute predicted start of next frame
 
 
 class StreamStepOutput(NamedTuple):
@@ -136,6 +138,8 @@ def init_carry(
         frames_detected=zi,
         frames_ok=zi,
         decode_errors=zi,
+        locked=jnp.zeros(batch_shape, jnp.bool_),
+        next_start=zi,
     )
 
 
@@ -147,6 +151,7 @@ def stream_step(
     detect_threshold: float = DEFAULT_DETECT_THRESHOLD,
     compute_dtype=jnp.float32,
     track: bool = False,
+    lock: bool = False,
 ) -> Tuple[StreamCarry, StreamStepOutput]:
     """Consume one chunk; maybe emit one frame.
 
@@ -154,13 +159,36 @@ def stream_step(
     ``track=True`` demodulates each candidate frame with the symbol-clock
     tracker (MFSK only — sequential over symbols, so slower, but frames
     survive TX/RX sample-rate drift within a long capture).
+    ``lock=True`` enables frame-lock mode (_find_candidate_locked): locked
+    streams verify a predicted start with a cheap probe and the full
+    search runs only when some stream needs acquiring — the steady-state
+    fast path. Decoded frames are identical to the always-search mode;
+    per-chunk ``quality`` comes from the probe while locked and
+    ``frame_start`` can differ by the ±2-sample drift servo.
     """
     chunk_size = chunk.shape[-1]
     t_frame, template, demod = family_geometry(config, payload_len, compute_dtype)
+    if lock and track:
+        raise ValueError("lock=True does not compose with track=True (the "
+                         "clock tracker already re-times each frame)")
     margin = _track_margin(config, track)
-    buffer, samples_seen, start_idx, start_abs, best_q, candidate = _find_candidate(
-        carry, chunk, t_frame, template, margin, detect_threshold, compute_dtype
-    )
+    mid_flight = None
+    if lock:
+        (
+            buffer,
+            samples_seen,
+            start_idx,
+            start_abs,
+            best_q,
+            candidate,
+            mid_flight,
+        ) = _find_candidate_locked(
+            carry, chunk, t_frame, template, detect_threshold, compute_dtype
+        )
+    else:
+        buffer, samples_seen, start_idx, start_abs, best_q, candidate = _find_candidate(
+            carry, chunk, t_frame, template, margin, detect_threshold, compute_dtype
+        )
 
     # Fixed-cost demod at the candidate position. A lock counts as a real
     # detection only if the demodulated header validates (magic word +
@@ -226,6 +254,15 @@ def stream_step(
     detected = candidate & frame.magic_ok & frame.header_crc_ok
     frame = frame._replace(ok=frame.ok & detected)
 
+    if lock:
+        # a detection (re)locks the stream; a mid-flight prediction keeps
+        # its lock; everything else (probe failed, expired, searched and
+        # missed) re-acquires by full search next chunk
+        locked_new = detected | mid_flight
+        next_start_new = jnp.where(detected, start_abs + t_frame, carry.next_start)
+    else:
+        locked_new = carry.locked
+        next_start_new = carry.next_start
     new_carry = StreamCarry(
         buffer=buffer,
         samples_seen=samples_seen,
@@ -234,6 +271,8 @@ def stream_step(
         frames_ok=carry.frames_ok + frame.ok.astype(jnp.int32),
         decode_errors=carry.decode_errors
         + (detected & ~frame.ok).astype(jnp.int32),
+        locked=locked_new,
+        next_start=next_start_new,
     )
     out = StreamStepOutput(
         frame=frame, detected=detected, quality=best_q, frame_start=start_abs
@@ -275,10 +314,19 @@ def load_carry(path) -> StreamCheckpoint:
     import numpy as np
 
     with np.load(path) as z:
-        missing = [f for f in StreamCarry._fields if f not in z]
+        # lock fields default (pre-lock checkpoints resume unlocked — the
+        # next chunk re-acquires by full search, bit-identical behavior)
+        optional = {"locked", "next_start"}
+        missing = [
+            f for f in StreamCarry._fields if f not in z and f not in optional
+        ]
         if missing:
             raise ValueError(f"{path} is not a stream checkpoint (missing {missing})")
-        carry = StreamCarry(**{f: jnp.asarray(z[f]) for f in StreamCarry._fields})
+        fields = {f: jnp.asarray(z[f]) for f in StreamCarry._fields if f in z}
+        ref = fields["samples_seen"]
+        fields.setdefault("locked", jnp.zeros(ref.shape, jnp.bool_))
+        fields.setdefault("next_start", jnp.zeros_like(ref))
+        carry = StreamCarry(**fields)
         if "buffer_dtype" in z:
             carry = carry._replace(
                 buffer=carry.buffer.astype(str(z["buffer_dtype"]))
@@ -430,6 +478,98 @@ def _find_candidate(
     return buffer, samples_seen, start_idx, start_abs, best_q, candidate
 
 
+PROBE_LAGS = 5  # frame-lock probe lags: ±2 samples of clock-drift servo
+
+
+def _find_candidate_locked(
+    carry: StreamCarry,
+    chunk: jnp.ndarray,
+    t_frame: int,
+    template: jnp.ndarray,
+    detect_threshold: float,
+    compute_dtype=jnp.float32,
+):
+    """Frame-lock front half: probe the PREDICTED next frame start, and run
+    the full-window search only when some stream actually needs acquiring.
+
+    The reference receiver never re-synchronizes a connected stream — its
+    TCP reader trusts the length-delimited framing from connect onward
+    (network.cpp:409-430). This is the modem-level analog: once a frame
+    decodes, the next one is expected exactly one frame later, so the
+    steady-state chunk replaces the every-lag search (the step's single
+    largest cost) with an O(n_lags) probe (sync.preamble_quality_probe)
+    that both verifies the prediction and servos out ±2 samples of clock
+    drift per frame. The search still runs — under ``lax.cond``, paid only
+    when needed — whenever a stream is unlocked, its prediction expired,
+    or its probe failed (TX gap), so acquisition and re-acquisition behave
+    exactly like the always-search path.
+
+    Returns (buffer, samples_seen, start_idx, start_abs, quality,
+    candidate, mid_flight); ``start_idx`` is already drift-refined for
+    predicted candidates, and ``mid_flight`` marks streams that keep
+    their lock without a candidate this chunk.
+    """
+    from anet.dsp.sync import preamble_quality_probe
+
+    chunk_size = chunk.shape[-1]
+    k = template.shape[-1]
+    buffer, samples_seen, w0, buffer_abs0 = _slide_buffer(carry, chunk, t_frame, 0)
+    length = buffer.shape[-1]
+    t_c = template.astype(compute_dtype)
+    t_energy = jnp.sum(t_c.astype(jnp.float32) ** 2)
+
+    pred_idx = carry.next_start - buffer_abs0  # buffer index of prediction
+    in_win = carry.locked & (pred_idx >= w0) & (pred_idx < w0 + chunk_size)
+    # a locked stream whose prediction lies BEYOND this window cannot have
+    # any frame complete this chunk: such a frame would overlap the last
+    # accepted one and the dedupe cursor rejects it regardless
+    mid_flight = carry.locked & (pred_idx >= w0 + chunk_size)
+
+    probe_at = jnp.clip(pred_idx, 0, length - t_frame)
+    q5, st0 = preamble_quality_probe(
+        buffer, probe_at, t_c, t_energy, n_lags=PROBE_LAGS,
+        compute_dtype=compute_dtype,
+    )
+    probe_q = jnp.max(q5, axis=-1)
+    probe_off = jnp.argmax(q5, axis=-1).astype(jnp.int32)
+    pred_valid = in_win & (probe_q >= detect_threshold)
+
+    need_search = jnp.any(~(pred_valid | mid_flight))
+
+    def do_search(buf):
+        seg = jax.lax.dynamic_slice_in_dim(buf, w0, chunk_size + k - 1, axis=-1)
+        seg_c = seg.astype(compute_dtype)
+        if jax.default_backend() == "tpu" and chunk_size % 128 == 0:
+            from anet.kernels import sync_search_fused
+
+            bq, br = sync_search_fused(seg_c, t_c, chunk_size, t_energy)
+            return bq, br.astype(jnp.int32)
+        corr = correlate_template(seg_c, t_c, method="matmul")
+        quality = blockwise_match_quality(seg_c, corr, k, t_energy)
+        return jnp.max(quality, axis=-1), jnp.argmax(quality, axis=-1).astype(
+            jnp.int32
+        )
+
+    def skip_search(buf):
+        z = jnp.zeros(carry.samples_seen.shape, jnp.float32)
+        return z, jnp.zeros(carry.samples_seen.shape, jnp.int32)
+
+    best_q, best_rel = jax.lax.cond(need_search, do_search, skip_search, buffer)
+
+    # candidate per stream: drift-refined prediction when the probe holds,
+    # the searched argmax otherwise (mid-flight streams fail the dedupe
+    # gate by construction — see above)
+    refined_idx = st0 + probe_off
+    start_idx = jnp.where(pred_valid, refined_idx, w0 + best_rel)
+    start_abs = buffer_abs0 + start_idx
+    quality = jnp.where(pred_valid, probe_q, best_q)
+    searched_ok = (best_q >= detect_threshold) & (
+        (buffer_abs0 + w0 + best_rel) >= carry.last_frame_end
+    )
+    candidate = pred_valid | (~mid_flight & searched_ok)
+    return buffer, samples_seen, start_idx, start_abs, quality, candidate, mid_flight
+
+
 def _batched_dynamic_slice(
     buffer: jnp.ndarray, start: jnp.ndarray, size: int, compute_dtype=None
 ) -> jnp.ndarray:
@@ -561,6 +701,8 @@ def stream_step_dynamic(
         frames_detected=carry.frames_detected + detected_n,
         frames_ok=carry.frames_ok + ok_n,
         decode_errors=carry.decode_errors + err_n,
+        locked=carry.locked,
+        next_start=carry.next_start,
     )
     if max_frames_per_chunk == 1:
         return new_carry, outs[0]
@@ -627,6 +769,7 @@ def receive_stream(
     carry: StreamCarry | None = None,
     compute_dtype=jnp.float32,
     track: bool = False,
+    lock: bool = False,
 ) -> StreamResult:
     """Scan a capture chunk-by-chunk, emitting every frame found.
 
@@ -635,6 +778,11 @@ def receive_stream(
         zeros host-side — the final() analog).
       carry: resume state from a previous call (checkpoint/resume); fresh
         state if None.
+      lock: frame-lock mode — steady-state chunks verify the predicted next
+        frame with a cheap probe instead of searching every lag (see
+        stream_step); same decoded frames, much faster when frames arrive
+        back-to-back (the production case, like the reference's TCP
+        framing).
     Returns:
       StreamResult(final carry, per-chunk outputs stacked along a leading
       chunk axis of the `steps` field).
@@ -661,7 +809,8 @@ def receive_stream(
     def step(c, i):
         chunk = jax.lax.dynamic_index_in_dim(cap, i, axis=-2, keepdims=False)
         return stream_step(
-            config, c, chunk, payload_len, detect_threshold, compute_dtype, track
+            config, c, chunk, payload_len, detect_threshold, compute_dtype, track,
+            lock,
         )
 
     final_carry, outs = jax.lax.scan(step, carry, jnp.arange(num_chunks))

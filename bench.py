@@ -9,13 +9,17 @@ Headline: Msamples/s of audio demodulated through the full frame receiver
 streams. `extra_metrics` carries the measured matrix (every production
 path, so a regression in any of them is driver-visible, not prose-only):
 
-  stream_throughput_per_chip   full streaming path (sync search + chunked
-                               scan, anet.stream) on the headline modem —
-                               the production pipeline including
-                               synchronization, not just the aligned stage
+  stream_throughput_per_chip   full streaming path (sync + chunked scan,
+                               anet.stream) on the headline modem in
+                               frame-lock mode — the steady-state
+                               production pipeline: back-to-back frames,
+                               prediction probe, search on acquisition
+  stream-search:mfsk16-fast    the always-search mode on a gapped layout
+                               (the acquisition path's cost, measured so
+                               search-kernel regressions stay visible)
   aligned:ofdm-fast            OFDM family aligned demod (clock-tracked)
   aligned:mfsk4-coded          convolutional-coded MFSK (Viterbi kernel)
-  stream:ofdm-fast             OFDM streaming receive path
+  stream:ofdm-fast             OFDM streaming receive path (frame-lock)
   stream-dynamic:mfsk16-fast   variable-length streaming receive path
 
 Baseline: the reference system's steady-state throughput is its real-time
@@ -61,14 +65,22 @@ def _bench_loop(run, arg, iters: int):
     return time.perf_counter() - t0, final
 
 
-def measure_stream(model_name: str, payload_len: int, *, dynamic: bool = False) -> dict:
-    """Full streaming receive path on this backend: preamble search
-    (fused Pallas sync kernel) + chunked-scan demod, batched over
-    independent streams. This is the production path — the reference's
-    socket->queue->decode loop (network.cpp:409-430 -> playback.cpp:80-143)
-    — not just the aligned-demod stage. With dynamic=True, frames carry
-    their own lengths (half short, half max) through
-    stream.receive_stream_dynamic."""
+def measure_stream(
+    model_name: str, payload_len: int, *, dynamic: bool = False, lock: bool = False
+) -> dict:
+    """Full streaming receive path on this backend: preamble sync +
+    chunked-scan demod, batched over independent streams. This is the
+    production path — the reference's socket->queue->decode loop
+    (network.cpp:409-430 -> playback.cpp:80-143) — not just the
+    aligned-demod stage. With dynamic=True, frames carry their own lengths
+    (half short, half max) through stream.receive_stream_dynamic.
+
+    ``lock=True`` runs frame-lock mode — back-to-back frames verified by
+    the cheap prediction probe, full search only on acquisition (the
+    steady-state production behavior; the reference's TCP reader likewise
+    never re-syncs a connected stream). The capture layout is then
+    contiguous frames after one initial gap; the always-search mode keeps
+    the gapped layout so both acquisition behaviors stay measured."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -85,10 +97,13 @@ def measure_stream(model_name: str, payload_len: int, *, dynamic: bool = False) 
     chunk = min(chunk, t_frame)  # chunk <= frame: no frame can be skipped
 
     rng = np.random.default_rng(0)
-    gap = 1000
-    nframes = 3
+    if lock:
+        # production layout: one acquisition gap, then contiguous frames
+        gap0, gap, nframes = 1000, 0, 6
+    else:
+        gap0, gap, nframes = 1000, 1000, 3
     per = gap + t_frame
-    total = -(-(nframes * per) // chunk) * chunk
+    total = -(-(gap0 - gap + nframes * per) // chunk) * chunk
     cap = np.zeros((batch, total), np.float32)
     if dynamic:
         # alternate short/max payloads; every slot still fits t_frame
@@ -98,14 +113,14 @@ def measure_stream(model_name: str, payload_len: int, *, dynamic: bool = False) 
                 rng.integers(0, 256, (batch, plen), dtype=np.uint8)
             )
             w = np.asarray(jax.jit(family.transmit_fn(cfg))(payloads), np.float32)
-            cap[:, i * per + gap : i * per + gap + w.shape[-1]] = w
+            cap[:, gap0 + i * per : gap0 + i * per + w.shape[-1]] = w
     else:
         payloads = jnp.asarray(
             rng.integers(0, 256, (batch, payload_len), dtype=np.uint8)
         )
         wave = np.asarray(jax.jit(family.transmit_fn(cfg))(payloads), np.float32)
         for i in range(nframes):
-            cap[:, i * per + gap : i * per + gap + t_frame] = wave
+            cap[:, gap0 + i * per : gap0 + i * per + t_frame] = wave
     capture = jnp.asarray(cap)
 
     if dynamic:
@@ -122,17 +137,18 @@ def measure_stream(model_name: str, payload_len: int, *, dynamic: bool = False) 
         @jax.jit
         def run(capture):
             res = stream.receive_stream(
-                cfg, capture, chunk, payload_len, compute_dtype=jnp.bfloat16
+                cfg, capture, chunk, payload_len, compute_dtype=jnp.bfloat16,
+                lock=lock,
             )
             return res.carry.frames_ok.sum()
 
     iters = int(os.environ.get("ANET_BENCH_STREAM_ITERS", "2" if on_cpu else "10"))
     dt, ok_count = _bench_loop(run, capture, iters)
     msamples_s = batch * total * iters / dt / 1e6
-    name = "stream-dynamic" if dynamic else "stream"
+    name = "stream-dynamic" if dynamic else ("stream" if lock else "stream-search")
     metric = (
         "stream_throughput_per_chip"
-        if not dynamic and model_name == "mfsk16-fast"
+        if not dynamic and lock and model_name == "mfsk16-fast"
         else f"{name}:{model_name}"
     )
     return {
@@ -148,6 +164,7 @@ def measure_stream(model_name: str, payload_len: int, *, dynamic: bool = False) 
             "iters": iters,
             "seconds": round(dt, 4),
             "frames_ok_fraction": ok_count / (batch * nframes),
+            "lock": lock,
         },
     }
 
@@ -268,7 +285,12 @@ def main() -> None:
         extra_iters = int(os.environ.get("ANET_BENCH_EXTRA_ITERS", "2" if on_cpu else "8"))
         extra_batch = min(batch, 64 if on_cpu else 8192)
         matrix = [
-            ("stream", lambda: measure_stream(model, payload_len)),
+            # headline stream: frame-lock mode, the steady-state production
+            # path (back-to-back frames, search only on acquisition)
+            ("stream", lambda: measure_stream(model, payload_len, lock=True)),
+            # always-search mode on the gapped layout: acquisition path,
+            # kept measured so search-kernel regressions stay visible
+            ("stream-search", lambda: measure_stream(model, payload_len)),
             (
                 "aligned:ofdm-fast",
                 lambda: measure_aligned(
@@ -281,7 +303,10 @@ def main() -> None:
                     "mfsk4-coded", payload_len, batch=extra_batch, iters=extra_iters
                 ),
             ),
-            ("stream:ofdm-fast", lambda: measure_stream("ofdm-fast", payload_len)),
+            (
+                "stream:ofdm-fast",
+                lambda: measure_stream("ofdm-fast", payload_len, lock=True),
+            ),
             (
                 "stream-dynamic",
                 lambda: measure_stream(model, payload_len, dynamic=True),

@@ -1,0 +1,232 @@
+"""Frame-lock streaming mode: probe-verified predictions replace the
+every-lag search on steady-state chunks (anet.stream stream_step(lock=True)).
+
+The decoded output must be identical to the always-search mode across
+layouts: back-to-back frames (the production case — the reference's TCP
+reader never re-syncs, network.cpp:409-430), random gaps (acquisition and
+re-acquisition), small inter-frame slips (the ±2-sample drift servo), and
+noise-only tails (unlock)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from anet.dsp import family
+from anet.dsp.sync import preamble_quality_probe, preamble_waveform
+from anet.models import get_model
+from anet.stream import init_carry, receive_stream, stream_step
+
+CFG = get_model("mfsk16-fast").config
+PAY = 64
+T_FRAME = family.frame_samples(CFG, PAY)
+CHUNK = 4096
+
+
+def _build_capture(rng, gaps_per_stream, payloads, noise=0.05):
+    tx = jax.jit(family.transmit_fn(CFG))
+    b, n_frames, _ = payloads.shape
+    waves = np.asarray(tx(jnp.asarray(payloads.reshape(b * n_frames, PAY))))
+    waves = waves.reshape(b, n_frames, T_FRAME)
+    caps = []
+    for s in range(b):
+        sig = []
+        for i in range(n_frames):
+            sig.append(np.zeros(gaps_per_stream[s][i], np.float32))
+            sig.append(waves[s, i])
+        caps.append(np.concatenate(sig))
+    length = max(len(c) for c in caps) + T_FRAME + CHUNK
+    length = -(-length // CHUNK) * CHUNK
+    out = np.zeros((b, length), np.float32)
+    for s, c in enumerate(caps):
+        out[s, : len(c)] = c
+    out += noise * rng.standard_normal(out.shape).astype(np.float32)
+    return jnp.asarray(out)
+
+
+def _assert_equal_results(r_search, r_lock, want_ok):
+    det0 = np.asarray(r_search.steps.detected)
+    det1 = np.asarray(r_lock.steps.detected)
+    assert (det0 == det1).all()
+    p0 = np.asarray(r_search.steps.frame.payload)[det0]
+    p1 = np.asarray(r_lock.steps.frame.payload)[det1]
+    assert p0.shape == p1.shape and (p0 == p1).all()
+    assert int(r_search.carry.frames_ok.sum()) == want_ok
+    assert int(r_lock.carry.frames_ok.sum()) == want_ok
+    assert int(r_lock.carry.decode_errors.sum()) == int(
+        r_search.carry.decode_errors.sum()
+    )
+
+
+@pytest.mark.parametrize("layout", ["contiguous", "random_gaps", "slip"])
+def test_lock_equals_search(layout):
+    rng = np.random.default_rng(hash(layout) % 2**31)
+    b, n_frames = 3, 5
+    payloads = rng.integers(0, 256, (b, n_frames, PAY), dtype=np.uint8)
+    if layout == "contiguous":
+        gaps = [[450] + [0] * (n_frames - 1) for _ in range(b)]
+    elif layout == "random_gaps":
+        gaps = [
+            [int(g) for g in rng.integers(0, 3 * CHUNK, n_frames)]
+            for _ in range(b)
+        ]
+    else:  # per-frame 1-2 sample slips: inside the probe's drift servo
+        gaps = [
+            [777] + [int(g) for g in rng.integers(1, 3, n_frames - 1)]
+            for _ in range(b)
+        ]
+    cap = _build_capture(rng, gaps, payloads)
+    r0 = receive_stream(CFG, cap, CHUNK, PAY, lock=False)
+    r1 = receive_stream(CFG, cap, CHUNK, PAY, lock=True)
+    _assert_equal_results(r0, r1, b * n_frames)
+
+
+def test_lock_fuzz_random_layouts():
+    rng = np.random.default_rng(0xA55)
+    for trial in range(4):
+        b = int(rng.integers(1, 4))
+        n_frames = int(rng.integers(1, 6))
+        payloads = rng.integers(0, 256, (b, n_frames, PAY), dtype=np.uint8)
+        gaps = [
+            [int(g) for g in rng.integers(0, 2 * CHUNK, n_frames)]
+            for _ in range(b)
+        ]
+        cap = _build_capture(rng, gaps, payloads, noise=float(rng.uniform(0, 0.1)))
+        r0 = receive_stream(CFG, cap, CHUNK, PAY, lock=False)
+        r1 = receive_stream(CFG, cap, CHUNK, PAY, lock=True)
+        _assert_equal_results(r0, r1, b * n_frames)
+
+
+def test_lock_engages_and_skips_search():
+    """Steady state really uses the prediction: the emitted quality on
+    detection chunks is the PROBE's value (≈1 clean), and chunks between
+    detections report 0.0 — the search-skipped sentinel, proof the cond
+    took the cheap branch."""
+    rng = np.random.default_rng(5)
+    n_frames = 6
+    payloads = rng.integers(0, 256, (1, n_frames, PAY), dtype=np.uint8)
+    gaps = [[900] + [0] * (n_frames - 1)]
+    cap = _build_capture(rng, gaps, payloads, noise=0.0)
+    r = receive_stream(CFG, cap, CHUNK, PAY, lock=True)
+    det = np.asarray(r.steps.detected)[:, 0]
+    q = np.asarray(r.steps.quality)[:, 0]
+    assert int(r.carry.frames_ok[0]) == n_frames
+    first = int(np.argmax(det))
+    last = len(det) - 1 - int(np.argmax(det[::-1]))
+    # every locked chunk between detections skipped the search (after the
+    # LAST frame the prediction fails on tail noise and search resumes —
+    # that chunk legitimately reports a searched noise quality)
+    mid = ~det[first:last]
+    assert (q[first:last][mid] == 0.0).all()
+    assert (q[det] > 0.9).all()
+
+
+def test_lock_unlocks_on_stream_end_and_reacquires():
+    rng = np.random.default_rng(11)
+    payloads = rng.integers(0, 256, (1, 4, PAY), dtype=np.uint8)
+    # two frames, long silence (> frame + chunk), two frames
+    gaps = [[600, 0, 5 * CHUNK, 0]]
+    cap = _build_capture(rng, gaps, payloads)
+    r0 = receive_stream(CFG, cap, CHUNK, PAY, lock=False)
+    r1 = receive_stream(CFG, cap, CHUNK, PAY, lock=True)
+    _assert_equal_results(r0, r1, 4)
+
+
+def test_lock_checkpoint_roundtrip(tmp_path):
+    from anet.stream import load_carry, save_carry
+
+    rng = np.random.default_rng(21)
+    payloads = rng.integers(0, 256, (2, 4, PAY), dtype=np.uint8)
+    gaps = [[300, 0, 0, 0], [1200, 5, 0, 2]]
+    cap = _build_capture(rng, gaps, payloads)
+    n = cap.shape[-1]
+    half = (n // (2 * CHUNK)) * CHUNK
+    # one-shot reference
+    ref = receive_stream(CFG, cap, CHUNK, PAY, lock=True)
+    # two halves through a checkpoint file
+    r_a = receive_stream(CFG, cap[:, :half], CHUNK, PAY, lock=True)
+    path = tmp_path / "lock_ckpt.npz"
+    save_carry(path, r_a.carry)
+    resumed = load_carry(path)
+    assert bool(jnp.array_equal(resumed.carry.locked, r_a.carry.locked))
+    assert bool(jnp.array_equal(resumed.carry.next_start, r_a.carry.next_start))
+    r_b = receive_stream(
+        CFG, cap[:, half:], CHUNK, PAY, carry=resumed.carry, lock=True
+    )
+    assert int(r_a.carry.frames_ok.sum() + 0) + int(
+        r_b.carry.frames_ok.sum() - r_a.carry.frames_ok.sum()
+    ) == int(ref.carry.frames_ok.sum())
+    assert bool(jnp.array_equal(r_b.carry.frames_ok, ref.carry.frames_ok))
+    assert bool(jnp.array_equal(r_b.carry.last_frame_end, ref.carry.last_frame_end))
+
+
+def test_load_carry_defaults_lock_fields(tmp_path):
+    """Checkpoints written before the lock fields existed still load (the
+    stream resumes unlocked and re-acquires by search)."""
+    import numpy as onp
+
+    carry = init_carry(CFG, CHUNK, PAY, (2,))
+    fields = {k: onp.asarray(v) for k, v in carry._asdict().items()}
+    del fields["locked"], fields["next_start"]
+    fields["buffer_dtype"] = onp.asarray(str(carry.buffer.dtype))
+    fields["buffer"] = onp.asarray(carry.buffer.astype(jnp.float32))
+    fields["pending"] = onp.zeros(0, onp.float32)
+    path = tmp_path / "old_ckpt.npz"
+    onp.savez_compressed(path, **fields)
+    from anet.stream import load_carry
+
+    ck = load_carry(path)
+    assert not bool(ck.carry.locked.any())
+    assert ck.carry.next_start.shape == (2,)
+
+
+def test_probe_quality_golden_properties():
+    """The probe peaks at the true start lag and scores ~1 on a clean
+    preamble; quality at pure noise stays far below threshold."""
+    rng = np.random.default_rng(2)
+    tmpl = preamble_waveform(CFG)
+    k = tmpl.shape[-1]
+    te = float(jnp.sum(tmpl * tmpl))
+    length = 4 * k + 512
+    sig = np.zeros((3, length), np.float32)
+    pos = [100, 101, 2048 + 37]
+    t_np = np.asarray(tmpl, np.float32)
+    for i, p in enumerate(pos):
+        sig[i, p : p + k] = t_np
+    sig += 0.02 * rng.standard_normal(sig.shape).astype(np.float32)
+    q, st0 = preamble_quality_probe(
+        jnp.asarray(sig), jnp.asarray(pos, jnp.int32), tmpl, te
+    )
+    q = np.asarray(q)
+    assert (np.argmax(q, -1) == 2).all()  # center lag wins
+    assert (q.max(-1) > 0.95).all()
+    qn, _ = preamble_quality_probe(
+        jnp.asarray(rng.standard_normal((2, length)).astype(np.float32)),
+        jnp.asarray([500, 900], jnp.int32),
+        tmpl,
+        te,
+    )
+    assert float(np.asarray(qn).max()) < 0.2
+
+
+def test_probe_kernel_matches_golden_interpret():
+    from anet.kernels import preamble_probe_fused
+
+    rng = np.random.default_rng(9)
+    tmpl = preamble_waveform(CFG).astype(jnp.bfloat16)
+    k = tmpl.shape[-1]
+    te = float(jnp.sum(tmpl.astype(jnp.float32) ** 2))
+    length = 3 * k + 640
+    buf = jnp.asarray(
+        rng.standard_normal((16, length)).astype(np.float32)
+    ).astype(jnp.bfloat16)
+    starts = jnp.asarray(
+        np.concatenate([[0, 1, 2, 127, 128], rng.integers(0, length - k - 300, 11)]),
+        jnp.int32,
+    )
+    q_ref, st0 = preamble_quality_probe(buf, starts, tmpl, te, mode="jnp")
+    q_k = preamble_probe_fused(buf, st0, tmpl, te, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(q_k), np.asarray(q_ref), rtol=2e-4, atol=2e-5
+    )
