@@ -230,3 +230,33 @@ def test_probe_kernel_matches_golden_interpret():
     np.testing.assert_allclose(
         np.asarray(q_k), np.asarray(q_ref), rtol=2e-4, atol=2e-5
     )
+
+
+def test_lock_ofdm_equals_search():
+    """Frame-lock is family-generic: the probe/search/demod plumbing works
+    for OFDM frames too (the bench's stream:ofdm-fast entry runs lock)."""
+    ocfg = get_model("ofdm-fast").config
+    pay = 256  # t_frame 4800 > chunk (the one-candidate-per-chunk contract)
+    t_frame = family.frame_samples(ocfg, pay)
+    chunk = 4096
+    rng = np.random.default_rng(31)
+    tx = jax.jit(family.transmit_fn(ocfg))
+    n_frames = 4
+    payloads = rng.integers(0, 256, (2, n_frames, pay), dtype=np.uint8)
+    waves = np.asarray(tx(jnp.asarray(payloads.reshape(2 * n_frames, pay))))
+    waves = waves.reshape(2, n_frames, t_frame)
+    caps = []
+    for s in range(2):
+        sig = [np.zeros(500, np.float32)]
+        for i in range(n_frames):
+            sig.append(waves[s, i])
+        caps.append(np.concatenate(sig))
+    length = -(-(max(len(c) for c in caps) + t_frame + chunk) // chunk) * chunk
+    cap = np.zeros((2, length), np.float32)
+    for s, c in enumerate(caps):
+        cap[s, : len(c)] = c
+    cap += 0.01 * rng.standard_normal(cap.shape).astype(np.float32)
+    capj = jnp.asarray(cap)
+    r0 = receive_stream(ocfg, capj, chunk, pay, lock=False)
+    r1 = receive_stream(ocfg, capj, chunk, pay, lock=True)
+    _assert_equal_results(r0, r1, 2 * n_frames)

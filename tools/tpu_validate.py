@@ -189,6 +189,28 @@ def main() -> int:
             np.asarray(best), np.asarray(e.max(-1)), atol=1e-2 * scale
         )
 
+    def check_probe():
+        from anet.dsp.sync import preamble_quality_probe
+
+        tmpl = preamble_waveform(cfg).astype(jnp.bfloat16)
+        k = tmpl.shape[-1]
+        t_e = jnp.sum(tmpl.astype(jnp.float32) ** 2)
+        length = 3 * k + 640
+        buf_np = rng.normal(scale=0.05, size=(16, length)).astype(np.float32)
+        starts = rng.integers(0, length - k - 300, 16).astype(np.int32)
+        starts[:3] = (0, 1, 127)  # bottom-clip + lane edges
+        for i in range(4, 16):
+            buf_np[i, starts[i] : starts[i] + k] += np.asarray(tmpl, np.float32)
+        buf = jnp.asarray(buf_np).astype(jnp.bfloat16)
+        st = jnp.asarray(starts)
+        q_ref, st0 = preamble_quality_probe(buf, st, tmpl, t_e, mode="jnp")
+        q_k, _ = preamble_quality_probe(buf, st, tmpl, t_e, mode="fused")
+        np.testing.assert_allclose(
+            np.asarray(q_k), np.asarray(q_ref), rtol=5e-3, atol=5e-3
+        )
+        # planted preambles probed AT their start peak at the center lag
+        assert (np.asarray(jnp.argmax(q_k, -1))[4:] == 2).all(), "peak off-center"
+
     def check_ofdm_track():
         import dataclasses
 
@@ -231,6 +253,7 @@ def main() -> int:
     check("blockwise quality within tolerance", check_blockwise_quality)
     check("sync_search_fused vs quality golden", check_sync_search)
     check("demod_at_fused vs gather+demod", check_demod_at)
+    check("preamble_probe_fused vs jnp probe", check_probe)
     check("ofdm_track_decide_fused vs jnp equalizer", check_ofdm_track)
 
     n_total = 9
