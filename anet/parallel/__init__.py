@@ -314,6 +314,7 @@ def sharded_receive_long_capture(
     payload_len: int,
     detect_threshold: float = DEFAULT_DETECT_THRESHOLD,
     resume: Optional[ShardedResume] = None,
+    lock: bool = False,
 ) -> ShardedStreamResult:
     """Split ONE long capture along time across devices (the CP analog).
 
@@ -327,6 +328,9 @@ def sharded_receive_long_capture(
     whole chunks. ``resume``: the previous call's ``result.resume`` to
     continue the same logical stream (device 0 then seeds its left halo
     and dedupe cursor from it instead of zeros, and counters accumulate).
+    ``lock``: frame-lock mode per device segment — each device pays one
+    search to acquire, then probe-verifies predictions (stream_step);
+    decoded frames are identical either way.
     """
     axis = mesh.axis_names[0]
     n_dev = mesh.devices.size
@@ -366,7 +370,8 @@ def sharded_receive_long_capture(
             last_frame_end=jnp.where(idx == 0, cursor0, 0).astype(jnp.int32),
         )
         res = receive_stream(
-            config, cap_local, chunk_size, payload_len, detect_threshold, carry
+            config, cap_local, chunk_size, payload_len, detect_threshold, carry,
+            lock=lock,
         )
         det = jax.lax.psum(res.carry.frames_detected, axis)
         ok = jax.lax.psum(res.carry.frames_ok, axis)
@@ -413,6 +418,7 @@ def sharded_receive_capture_grid(
     chunk_size: int,
     payload_len: int,
     detect_threshold: float = DEFAULT_DETECT_THRESHOLD,
+    lock: bool = False,
 ) -> ShardedStreamResult:
     """A BATCH of long captures over a 2-D mesh: streams x time.
 
@@ -477,7 +483,8 @@ def sharded_receive_capture_grid(
             samples_seen=jnp.full((b_local,), t_idx * seg, jnp.int32),
         )
         res = receive_stream(
-            config, cap_shard, chunk_size, payload_len, detect_threshold, carry
+            config, cap_shard, chunk_size, payload_len, detect_threshold, carry,
+            lock=lock,
         )
         det = jax.lax.psum(
             jnp.sum(res.carry.frames_detected), (s_axis, t_axis)

@@ -467,3 +467,55 @@ def test_sharded_grid_dynamic_matches_per_stream():
         }
         assert got == want
     assert res.resume is not None and res.resume.tail.shape == (2, t_max + CHUNK)
+
+
+def test_sharded_long_capture_lock_matches_search():
+    """Frame-lock composes with time sharding: each device acquires once,
+    then rides predictions; decoded frames equal the always-search mode."""
+    mesh = make_mesh()
+    cap, payloads, starts = _make_capture(
+        [9000, 0, 0, 0, 7000, 0], align=8 * CHUNK
+    )
+    r_search = sharded_receive_long_capture(CFG, mesh, cap, CHUNK, PAYLOAD_LEN)
+    r_lock = sharded_receive_long_capture(
+        CFG, mesh, cap, CHUNK, PAYLOAD_LEN, lock=True
+    )
+    assert int(r_lock.frames_ok) == int(r_search.frames_ok) == 6
+    assert int(r_lock.decode_errors) == int(r_search.decode_errors) == 0
+    d0 = np.asarray(r_search.steps.detected)
+    d1 = np.asarray(r_lock.steps.detected)
+    assert (d0 == d1).all()
+    p0 = np.asarray(r_search.steps.frame.payload)[d0]
+    p1 = np.asarray(r_lock.steps.frame.payload)[d1]
+    assert np.array_equal(p0, p1)
+
+
+def test_sharded_grid_lock_matches_search():
+    from anet.parallel import make_mesh_2d, sharded_receive_capture_grid
+
+    mesh = make_mesh_2d(4, 2)
+    caps = []
+    metas = []
+    for s in range(4):
+        cap, payloads, starts = _make_capture(
+            [8000 + 100 * s, 0, 0], align=8 * CHUNK
+        )
+        caps.append(np.asarray(cap))
+        metas.append(payloads)
+    n = max(c.shape[-1] for c in caps)
+    batch = np.zeros((4, n), np.float32)
+    for s, c in enumerate(caps):
+        batch[s, : c.shape[-1]] = c
+    capj = jnp.asarray(batch)
+    r0 = sharded_receive_capture_grid(CFG, mesh, capj, CHUNK, PAYLOAD_LEN)
+    r1 = sharded_receive_capture_grid(
+        CFG, mesh, capj, CHUNK, PAYLOAD_LEN, lock=True
+    )
+    assert int(r1.frames_ok) == int(r0.frames_ok) == 12
+    d0 = np.asarray(r0.steps.detected)
+    d1 = np.asarray(r1.steps.detected)
+    assert (d0 == d1).all()
+    assert np.array_equal(
+        np.asarray(r0.steps.frame.payload)[d0],
+        np.asarray(r1.steps.frame.payload)[d1],
+    )
