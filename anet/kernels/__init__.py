@@ -1408,7 +1408,10 @@ def ofdm_track_decide_fused(
 
 # --- preamble quality probe (frame-lock verify + timing refine) ---------------
 
-PRB_STREAM_TILE = 32  # streams per grid cell
+# streams per grid cell: the sh5 one-hot intermediate is
+# [bs, 384, n_lags*128] bf16 (~0.5 MB per stream at n_lags=5), so 8 keeps
+# the cell's VMEM footprint ~5 MB with the buffer-rows block
+PRB_STREAM_TILE = 8
 
 
 def _probe_kernel(te_ref, st_ref, x_ref, dlo_ref, dhi_ref, jd5_ref, s_ref,
