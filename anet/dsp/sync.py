@@ -291,8 +291,13 @@ def preamble_quality_probe(
     Callers guarantee start + k + n_lags + 128 <= buffer length (true for
     any in-window frame start, since frames are far longer than their
     preamble). ``mode="fused"`` forces the Pallas kernel
-    (anet.kernels.preamble_probe_fused), "jnp" the golden path; "auto"
-    picks the kernel on TPU.
+    (anet.kernels.preamble_probe_fused) — interpret-validated but NOT in
+    auto: its Mosaic lowering SIGABRTs this runtime's remote compiler
+    (round-3 measurement; see docs/PERF.md). "auto" takes the jnp form
+    below everywhere, whose probe ops are themselves MXU-native:
+    row-aligned span slab once, lane-shift out of the span (not a second
+    full-buffer gather), and all n_lags correlations as ONE
+    shifted-template matmul — no minor-axis index gather anywhere.
     """
     k = template.shape[-1]
     length = buffer.shape[-1]
@@ -301,24 +306,30 @@ def preamble_quality_probe(
     st0 = jnp.clip(st - h, 0, length - k - n_lags + 1)
     t_c = template.astype(compute_dtype) if compute_dtype else template
     te = jnp.asarray(template_energy, jnp.float32)
-    if mode == "auto":
-        mode = "fused" if jax.default_backend() == "tpu" else "jnp"
     if mode == "fused":
         from anet.kernels import preamble_probe_fused
 
         buf_c = buffer.astype(compute_dtype) if compute_dtype else buffer
         return preamble_probe_fused(buf_c, st0, t_c, te, n_lags), st0
-    # golden jnp path (CPU runtime + interpret-mode kernel validation)
     span_rows = -(-(k + n_lags - 1) // _LANE) + 1
     row0 = st0 // _LANE
     span = aligned_gather(buffer, row0 * _LANE, span_rows * _LANE, compute_dtype)
     span_f = span.astype(jnp.float32)
     energy = jnp.sum(span_f * span_f, axis=-1)
-    wins = aligned_gather(buffer, st0, k + n_lags - 1, compute_dtype)
-    idx = jnp.arange(n_lags)[:, None] + jnp.arange(k)[None, :]
-    corr = jnp.einsum(
-        "...ok,k->...o", wins[..., idx], t_c, preferred_element_type=jnp.float32
+    # windows come out of the already-gathered span (37 MB at bench size)
+    # by fine lane shift, instead of a second full-buffer (GB-scale) pass
+    wins = aligned_gather(span, st0 - row0 * _LANE, k + n_lags - 1, compute_dtype)
+    # tsh[j, o] = template[j - o]: every probed lag is one column of a
+    # single [k+n_lags-1, n_lags] matmul. The [n_lags, k] window-index
+    # form (wins[..., idx]) is a minor-axis gather — the ~0.2 GB/s
+    # scalar-core pathology aligned_gather exists to avoid.
+    jj = jnp.arange(k + n_lags - 1)[:, None]
+    oo = jnp.arange(n_lags)[None, :]
+    tj = jj - oo
+    tsh = jnp.where(
+        (tj >= 0) & (tj < k), t_c[jnp.clip(tj, 0, k - 1)], jnp.zeros((), t_c.dtype)
     )
+    corr = jnp.einsum("...j,jo->...o", wins, tsh, preferred_element_type=jnp.float32)
     floored = jnp.maximum(energy, 1e-4 * te)
     q = jnp.abs(corr) * jax.lax.rsqrt(te * floored)[..., None]
     return q, st0

@@ -334,75 +334,85 @@ def decide_tones_tm(
 # no gather instruction anywhere (see fec._viterbi's layout discussion).
 
 VIT_LANE_TILE = 8192
-VIT_STEP_TILE = 8  # trellis steps per grid iteration (amortizes grid overhead)
+# Trellis steps per grid iteration. MUST be a multiple of 24: of 6
+# because the forward kernel's rotating state relabeling cycles with
+# period 6 (= state bits) and the per-step phase is static only when
+# r_steps % 6 == 0 makes the absolute step index congruent to the
+# unrolled loop index mod 6; and of 8 because the traceback kernel's
+# [r_steps, bt] output block needs sublane divisibility.
+VIT_STEP_TILE = 24
 _VIT_STATES = 64  # 2**(K-1), K=7
 _VIT_BIG = 1e9  # python scalar: a captured jnp constant would break kernel tracing
 
 
-def _vit_fwd_kernel(sign_ref, perm_ref, pack_ref, rx_ref, take_ref, pm_ref, *, r_steps, t_total):
+def _rotl6(x, k):
+    """Rotate 6-bit state labels left by k (numpy int array in, array out)."""
+    return ((x << k) | (x >> (6 - k))) & 63 if k else x
+
+
+def _vit_fwd_kernel(sign6_ref, pack6_ref, rx_ref, take_ref, pm_ref, *, r_steps, t_total):
+    """Forward ACS with ROTATING state labels — no permutation matmul.
+
+    The trellis transition is new = ((old << 1) | j) & 63: every step
+    shifts the 6-bit state register left. Instead of moving the path
+    metrics to follow (round 2 did it as a 3-pass one-hot MXU matmul —
+    ~1.7 TFLOP over a 2100-step trellis at B=16384, the measured bulk of
+    the 30-vs-17 ms roofline gap flagged by the round-2 review), keep
+    them IN PLACE and rotate the labels: store q_t[x] = pm_t[rotl6(x, t)].
+    Then step t touches only bit p = (5 - t) % 6 of the label — the two
+    predecessors of every destination are the pair {x, x ^ (1 << p)} —
+    so the data movement collapses to one static sublane roll per
+    candidate leg, and the branch-metric/pack tables are the same tables
+    pre-permuted per phase (6 static copies, built host-side). The phase
+    is static in the unrolled loop because r_steps % 6 == 0.
+    """
     tb = pl.program_id(1)
 
     @pl.when(tb == 0)
     def _init():
+        # pm_0 = 0 for state 0, BIG elsewhere — invariant under any
+        # relabeling (rotl6(0, k) == 0 and the rest are uniform).
         rows = jax.lax.broadcasted_iota(jnp.int32, pm_ref.shape, 0)
         pm_ref[...] = jnp.where(rows == 0, 0.0, _VIT_BIG).astype(jnp.float32)
 
-    s = sign_ref[...]  # [64, 4] — per-state +-1 branch-metric signs
-    perm = perm_ref[...]  # [128, 64] one-hot: rows 0-63 pm[ns>>1], 64-127 pm[(ns>>1)|32]
-    pack = pack_ref[...]  # [4, 64] bit weights 2^(s & 15) per 16-bit group
-    half = _VIT_STATES // 2
+    s6 = sign6_ref[...]  # [6, 64, 4] per-phase destination sign tables
+    p6 = pack6_ref[...]  # [6, 4, 64] per-phase bit-pack weight tables
+    rows = jax.lax.broadcasted_iota(jnp.int32, pm_ref.shape, 0)
     for r in range(r_steps):
 
         @pl.when(tb * r_steps + r < t_total)
         def _step(r=r):
+            p = (5 - r) % 6  # label bit replaced this step
+            phi = (r + 1) % 6  # destination labeling phase
+            shift = 1 << p
             rx0 = rx_ref[r, 0:1, :]  # [1, bt]
             rx1 = rx_ref[r, 1:2, :]
-            bm0 = s[:, 0:1] * rx0 + s[:, 1:2] * rx1  # [64, bt]
-            bm1 = s[:, 2:3] * rx0 + s[:, 3:4] * rx1
-            # pm[ns >> 1] and pm[(ns >> 1) | 32] via a one-hot MXU matmul:
-            # a sublane interleave (jnp.repeat) measures ~4.5 ms per use
-            # over the whole trellis on a v5e, while the 0/1 matmul rides
-            # the MXU concurrently with the VPU and is EXACT in f32 with
-            # HIGHEST precision (every product is 1.0*x or 0.0*x and the
-            # bf16x3 split reconstructs f32 losslessly).
-            # One-hot permute on the MXU, EXACT via a manual bf16x3
-            # split (Mosaic lowers Precision.HIGHEST as six passes and
-            # rejects HIGH; three DEFAULT passes suffice because f32
-            # splits losslessly into three bf16 terms and every product
-            # is 1.0*term or 0.0*term).
-            pm = pm_ref[...]
-            hi = pm.astype(jnp.bfloat16)
-            r1 = pm - hi.astype(jnp.float32)
-            mid = r1.astype(jnp.bfloat16)
-            lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
-            dims = (((1,), (0,)), ((), ()))
-            moved = (
-                jax.lax.dot_general(
-                    perm, hi, dims, preferred_element_type=jnp.float32
-                )
-                + jax.lax.dot_general(
-                    perm, mid, dims, preferred_element_type=jnp.float32
-                )
-                + jax.lax.dot_general(
-                    perm, lo, dims, preferred_element_type=jnp.float32
-                )
-            )  # [128, bt]
-            cand0 = moved[:_VIT_STATES] + bm0
-            cand1 = moved[_VIT_STATES:] + bm1
+            sp = s6[phi]  # [64, 4] signs[rotl6(x, phi)]
+            q = pm_ref[...]
+            bitp = (rows & shift) != 0
+            # e_b[x] = q[x with bit p := b]: a static sublane roll plus a
+            # select — roll(q, +s)[x] = q[x - s] clears a set bit p,
+            # roll(q, -s)[x] = q[x + s] sets a clear one. Exact copies
+            # (the round-2 one-hot matmul needed a bf16x3 split for the
+            # same exactness at 3 MXU passes per step).
+            e0 = jnp.where(bitp, jnp.roll(q, shift, axis=0), q)
+            e1 = jnp.where(bitp, q, jnp.roll(q, -shift, axis=0))
+            cand0 = e0 + sp[:, 0:1] * rx0 + sp[:, 1:2] * rx1
+            cand1 = e1 + sp[:, 2:3] * rx0 + sp[:, 3:4] * rx1
             takef = (cand1 < cand0).astype(jnp.float32)  # ties -> j=0
             # No per-step normalization: constants never change an argmin
             # and f32 holds the unnormalized metrics (see fec._viterbi).
             pm_ref[...] = jnp.minimum(cand0, cand1)
-            # Pack the 64 decision bits into two int32 lane words, again
-            # on the MXU: weights 2^(s & 15) sum each 16-state group into
-            # an exact f32 integer < 2^16 (distinct powers of two never
-            # carry), then two casts and a shift assemble each word.
+            # Pack the 64 decision bits into two int32 lane words on the
+            # MXU: the phase table carries weight 2^(ns & 15) at column x
+            # (ns = rotl6(x, phi)), so bits land at their ORIGINAL state
+            # positions and the traceback kernel needs no phase logic.
+            # Exact even single-pass: 0/1 times a power of two, f32
+            # accumulation of distinct powers never carries.
             grp = jax.lax.dot_general(
-                pack,
+                p6[phi],
                 takef,
                 (((1,), (0,)), ((), ())),
-                # exact even single-pass: 0/1 times a power of two, f32
-                # accumulation of distinct powers never carries
                 preferred_element_type=jnp.float32,
             )  # [4, bt] — 16-bit halves of the two words
             g = grp.astype(jnp.int32)
@@ -459,31 +469,35 @@ def viterbi_trellis(
     tp = t_steps + t_pad
     n_blocks = tp // rs
     grid = (np_ // bt, n_blocks)
-    ns = jnp.arange(_VIT_STATES, dtype=jnp.int32)
-    src_rows = jnp.concatenate([ns >> 1, (ns >> 1) | (_VIT_STATES // 2)])
-    perm = (src_rows[:, None] == ns[None, :]).astype(jnp.bfloat16)  # [128, 64]
-    pack = jnp.where(
-        (ns[None, :] >> 4) == jnp.arange(4, dtype=jnp.int32)[:, None],
+    # Per-phase tables for the rotating-label forward kernel: with
+    # q_t[x] = pm_t[rotl6(x, t)], step t's destination x is original
+    # state ns = rotl6(x, (t+1) % 6) — so phase phi's sign rows and pack
+    # weights are the base tables re-indexed through the rotation.
+    import numpy as np
+
+    x = np.arange(_VIT_STATES)
+    rot_idx = np.stack([_rotl6(x, phi) for phi in range(6)])  # [6, 64]
+    # signs is traced under jit: permute it with a (constant-index) jnp
+    # gather; pack6 is signs-independent and stays a folded constant.
+    sign6 = signs[jnp.asarray(rot_idx)]  # [6, 64, 4]
+    pack6 = np.zeros((6, 4, _VIT_STATES), np.float32)
+    for phi in range(6):
+        ns_of_x = rot_idx[phi]
         # exact powers of two via integer shift — jnp.exp2 is a ulp off
         # at 2^13/2^15, and the int32 truncation after the pack matmul
         # would turn that ulp into a borrowed low bit
-        jnp.left_shift(1, ns & 15)[None, :].astype(jnp.float32),
-        0.0,
-    )  # [4, 64]
+        pack6[phi, ns_of_x >> 4, x] = (1 << (ns_of_x & 15)).astype(np.float32)
     packed = pl.pallas_call(
         functools.partial(_vit_fwd_kernel, r_steps=rs, t_total=t_steps),
         out_shape=jax.ShapeDtypeStruct((tp, 2, np_), jnp.int32),
         grid=grid,
         in_specs=[
             pl.BlockSpec(
-                (_VIT_STATES, 4), lambda i, t: (0, 0), memory_space=pltpu.VMEM
+                (6, _VIT_STATES, 4), lambda i, t: (0, 0, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (2 * _VIT_STATES, _VIT_STATES),
-                lambda i, t: (0, 0),
-                memory_space=pltpu.VMEM,
+                (6, 4, _VIT_STATES), lambda i, t: (0, 0, 0), memory_space=pltpu.VMEM
             ),
-            pl.BlockSpec((4, _VIT_STATES), lambda i, t: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((rs, 2, bt), lambda i, t: (t, 0, i), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
@@ -491,7 +505,7 @@ def viterbi_trellis(
         ),
         scratch_shapes=[pltpu.VMEM((_VIT_STATES, bt), jnp.float32)],
         interpret=interpret,
-    )(signs, perm, pack, rx_tm)
+    )(sign6, jnp.asarray(pack6), rx_tm)
     bits = pl.pallas_call(
         functools.partial(
             _vit_bwd_kernel, r_steps=rs, t_total=t_steps, n_blocks=n_blocks
@@ -1484,6 +1498,15 @@ def preamble_probe_fused(
     Unlike the full search (sync_search_fused: every lag in the chunk),
     this reads the buffer rows once and does O(n_lags) work per stream —
     the steady-state replacement for the search when the stream is locked.
+
+    STATUS: interpret-validated (tests/test_stream_lock.py) but NOT
+    dispatched in production — lowering this kernel SIGABRTs the remote
+    Mosaic compiler on this runtime (round-3 measurement, no diagnostic
+    emitted; suspects: the batch-dim dot_generals or the
+    [sr, bs, n_lags*128] moveaxis+reshape). The production probe is the
+    MXU-native jnp form in anet.dsp.sync.preamble_quality_probe, which
+    reads the buffer the same number of times; revisit if the toolchain
+    updates.
     """
     k = template.shape[-1]
     batch_shape = buffer.shape[:-1]

@@ -203,13 +203,31 @@ def main() -> int:
             buf_np[i, starts[i] : starts[i] + k] += np.asarray(tmpl, np.float32)
         buf = jnp.asarray(buf_np).astype(jnp.bfloat16)
         st = jnp.asarray(starts)
-        q_ref, st0 = preamble_quality_probe(buf, st, tmpl, t_e, mode="jnp")
-        q_k, _ = preamble_quality_probe(buf, st, tmpl, t_e, mode="fused")
-        np.testing.assert_allclose(
-            np.asarray(q_k), np.asarray(q_ref), rtol=5e-3, atol=5e-3
+        # production path (auto = the MXU-native jnp form everywhere; the
+        # Pallas probe kernel is interpret-validated only — its Mosaic
+        # lowering SIGABRTs this runtime's remote compiler)
+        q, st0 = preamble_quality_probe(
+            buf, st, tmpl, t_e, compute_dtype=jnp.bfloat16
         )
+        qn = np.asarray(q, np.float32)
+        st0n = np.asarray(st0)
+        # numpy golden with the same superset-energy semantics
+        b16 = np.asarray(buf, np.float32)  # bf16-rounded samples
+        tn = np.asarray(tmpl, np.float32)
+        n_lags = 5
+        te_f = float(t_e)
+        span_rows = -(-(k + n_lags - 1) // 128) + 1
+        for s in range(16):
+            r0 = int(st0n[s]) // 128
+            span = b16[s, r0 * 128 : r0 * 128 + span_rows * 128]
+            energy = max(float((span.astype(np.float64) ** 2).sum()), 1e-4 * te_f)
+            for o in range(n_lags):
+                w = b16[s, int(st0n[s]) + o : int(st0n[s]) + o + k]
+                cref = float(np.dot(w.astype(np.float64), tn))
+                qref = abs(cref) / np.sqrt(te_f * energy)
+                np.testing.assert_allclose(qn[s, o], qref, rtol=2e-2, atol=2e-2)
         # planted preambles probed AT their start peak at the center lag
-        assert (np.asarray(jnp.argmax(q_k, -1))[4:] == 2).all(), "peak off-center"
+        assert (np.argmax(qn, -1)[4:] == 2).all(), "peak off-center"
 
     def check_ofdm_track():
         import dataclasses
@@ -253,10 +271,10 @@ def main() -> int:
     check("blockwise quality within tolerance", check_blockwise_quality)
     check("sync_search_fused vs quality golden", check_sync_search)
     check("demod_at_fused vs gather+demod", check_demod_at)
-    check("preamble_probe_fused vs jnp probe", check_probe)
+    check("preamble probe (production path) vs numpy golden", check_probe)
     check("ofdm_track_decide_fused vs jnp equalizer", check_ofdm_track)
 
-    n_total = 9
+    n_total = 10
     print(f"{n_total - len(FAILURES)}/{n_total} passed")
     return 1 if FAILURES else 0
 
