@@ -1284,10 +1284,17 @@ def _ofdm_track_kernel(
         # u = w * z_rot * conj(d)
         ure = w * (zr * dre + zi * dim)
         uim = w * (zi * dre - zr * dim)
-        num = jnp.sum(phase * uim * mask, axis=(1, 2), keepdims=True)
+        # single-axis reduces only: a multi-axis jnp.sum(axis=(1, 2)) on a
+        # 3-D block SIGABRTs this runtime's remote Mosaic compiler (the
+        # round-3 bisection that un-broke every OFDM path on chip)
+        num = jnp.sum(
+            jnp.sum(phase * uim * mask, axis=2), axis=1
+        ).reshape(bs, 1, 1)
         den = jnp.maximum(
-            jnp.sum(phase * phase * jnp.maximum(ure, 0.0) * mask,
-                    axis=(1, 2), keepdims=True),
+            jnp.sum(
+                jnp.sum(phase * phase * jnp.maximum(ure, 0.0) * mask, axis=2),
+                axis=1,
+            ).reshape(bs, 1, 1),
             1e-20,
         )
         cc = cc + num / den
@@ -1307,8 +1314,9 @@ def _ofdm_track_kernel(
     emask = (row < evm_rows).astype(jnp.float32)
     er = zr - ir
     ei = zi - ii
+    # two single-axis reduces (multi-axis reduce crashes Mosaic, see above)
     out_refs[-1][...] = jnp.sum(
-        (er * er + ei * ei) * emask, axis=(1, 2), keepdims=False
+        jnp.sum((er * er + ei * ei) * emask, axis=2), axis=1
     ).reshape(bs, 1)
 
 
@@ -1463,8 +1471,12 @@ def _probe_kernel(te_ref, st_ref, x_ref, dlo_ref, dhi_ref, jd5_ref, s_ref,
     tsh5 = jnp.moveaxis(tsh5, 0, 1).reshape(bs, sr, n_lags, 128)
 
     sf = slab.astype(jnp.float32)
-    corr = jnp.sum(sf[:, :, None, :] * tsh5, axis=(1, 3))  # [bs, n_lags]
-    energy = jnp.sum(sf * sf, axis=(1, 2), keepdims=False).reshape(bs, 1)
+    # single-axis reduces only: multi-axis jnp.sum SIGABRTs this
+    # runtime's remote Mosaic compiler (round-3 bisection)
+    corr = jnp.sum(
+        jnp.sum(sf[:, :, None, :] * tsh5, axis=3), axis=1
+    )  # [bs, n_lags]
+    energy = jnp.sum(jnp.sum(sf * sf, axis=2), axis=1).reshape(bs, 1)
     te = te_ref[0]
     scale = jax.lax.rsqrt(te * jnp.maximum(energy, 1e-4 * te))
     out = jnp.abs(corr) * scale  # [bs, n_lags]
@@ -1500,13 +1512,14 @@ def preamble_probe_fused(
     the steady-state replacement for the search when the stream is locked.
 
     STATUS: interpret-validated (tests/test_stream_lock.py) but NOT
-    dispatched in production — lowering this kernel SIGABRTs the remote
-    Mosaic compiler on this runtime (round-3 measurement, no diagnostic
-    emitted; suspects: the batch-dim dot_generals or the
-    [sr, bs, n_lags*128] moveaxis+reshape). The production probe is the
-    MXU-native jnp form in anet.dsp.sync.preamble_quality_probe, which
-    reads the buffer the same number of times; revisit if the toolchain
-    updates.
+    dispatched in production — this runtime's remote Mosaic compiler
+    rejects it (originally a SIGABRT from the multi-axis jnp.sum, which
+    the round-3 bisection fixed kernel-wide; after that fix it still
+    fails with a compile error the remote helper scrubs — suspects: the
+    batch-dim dot_generals or the [sr, bs, n_lags*128] moveaxis+
+    reshape). The production probe is the MXU-native jnp form in
+    anet.dsp.sync.preamble_quality_probe, which reads the buffer the
+    same number of times; revisit if the toolchain updates.
     """
     k = template.shape[-1]
     batch_shape = buffer.shape[:-1]

@@ -86,10 +86,17 @@ def main():
         dt = timeit(f"stream f32 {mb} MB (r+reduce)", f, x)
         if dt:
             print(f"  -> {mb / 1024 / dt:.0f} GB/s read", flush=True)
-        g = jax.jit(lambda x: x * 1.0000001)
-        dt = timeit(f"copy f32 {mb} MB (r+w)", g, x)
+        # copy probe: force the scaled copy to MATERIALIZE in HBM with an
+        # optimization barrier, then reduce on device — returning the
+        # array would time the 2 GB device->host transfer through the
+        # tunnel (measured: ~20 s!), and without the barrier XLA fuses
+        # the multiply into the reduce and never writes at all.
+        g = jax.jit(
+            lambda x: jax.lax.optimization_barrier(x * 1.0000001).sum()
+        )
+        dt = timeit(f"copy f32 {mb} MB (r+w+r via barrier)", g, x)
         if dt:
-            print(f"  -> {2 * mb / 1024 / dt:.0f} GB/s r+w", flush=True)
+            print(f"  -> {3 * mb / 1024 / dt:.0f} GB/s r+w+r", flush=True)
 
     # --- 3. The correlator's exact matmul shape, pure XLA (no pallas) ---
     # [B, 2560] x [2560, 512] repeated over lag tiles == the corr compute

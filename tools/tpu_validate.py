@@ -237,16 +237,23 @@ def main() -> int:
         for bpc in (2, 4, 6):
             ocfg = dataclasses.replace(ofdm.OfdmConfig(), bits_per_carrier=bpc)
             p = jnp.asarray(rng.integers(0, 256, (4, 96), np.uint8))
-            w = ofdm.transmit(ocfg, p)
+            # jit everything complex-valued: EAGER complex64 arithmetic is
+            # UNIMPLEMENTED on this remote TPU backend (the ops only exist
+            # inside compiled programs)
+            w = jax.jit(lambda q: ofdm.transmit(ocfg, q))(p)
             noisy = w + jnp.asarray(
                 rng.normal(scale=0.002, size=w.shape).astype(np.float32)
             )
             s_data = ocfg.data_symbols_for_payload(96)
-            bits_g, llrs_g, z_eq = ofdm._equalized_bits(ocfg, noisy, s_data)
-            conf_g, snr_g = ofdm._evm_metrics(ocfg, bits_g, z_eq)
-            bits_f, llrs_f, evm2 = ofdm._equalized_llrs_fused(
-                ocfg, noisy, s_data, s_data
-            )
+            bits_g, llrs_g, z_eq = jax.jit(
+                lambda x: ofdm._equalized_bits(ocfg, x, s_data)
+            )(noisy)
+            conf_g, snr_g = jax.jit(
+                lambda b, z: ofdm._evm_metrics(ocfg, b, z)
+            )(bits_g, z_eq)
+            bits_f, llrs_f, evm2 = jax.jit(
+                lambda x: ofdm._equalized_llrs_fused(ocfg, x, s_data, s_data)
+            )(noisy)
             conf_f, _ = ofdm._evm_to_metrics(evm2)
             assert np.array_equal(
                 np.asarray(bits_f), np.asarray(bits_g)
