@@ -32,12 +32,21 @@ def demod_basis(config: ModemConfig, dtype=jnp.float32) -> jnp.ndarray:
 
     Columns 0..M-1 are cos(2*pi*f_m*t), columns M..2M-1 are sin(2*pi*f_m*t).
     Computed at trace time from the static config; XLA constant-folds it.
+
+    The phases are ALWAYS computed in float32 and only the final basis is
+    rounded to ``dtype``: phase values reach ~1e2 radians, so a bfloat16
+    phase carries up to ~0.5 rad of error and cos() of it is garbage —
+    measured on chip as 88% of bf16 basis entries off (max 0.71 on a
+    ±1-scale table) whenever XLA compiled the bf16 arithmetic literally,
+    i.e. a ~4% energy bias in every jitted bf16 demod. (Eagerly the
+    constant-folder kept excess precision, which is how it hid.)
     """
     sps = config.samples_per_symbol
-    t = jnp.arange(sps, dtype=dtype)[:, None] / config.sample_rate_hz  # [sps, 1]
-    freqs = jnp.asarray(config.tone_freqs_hz, dtype=dtype)[None, :]  # [1, M]
+    t = jnp.arange(sps, dtype=jnp.float32)[:, None] / config.sample_rate_hz
+    freqs = jnp.asarray(config.tone_freqs_hz, jnp.float32)[None, :]  # [1, M]
     phase = 2.0 * jnp.pi * freqs * t  # [sps, M]
-    return jnp.concatenate([jnp.cos(phase), jnp.sin(phase)], axis=1)
+    basis = jnp.concatenate([jnp.cos(phase), jnp.sin(phase)], axis=1)
+    return basis.astype(dtype)
 
 
 def tone_energies(

@@ -37,8 +37,12 @@ def synthesize_tones(
         lowers to a parallel prefix scan, not a serial loop.
     """
     sps = config.samples_per_symbol
-    freqs = _tone_freqs(config, dtype)[tone_indices]  # [..., S]
-    t = jnp.arange(sps, dtype=dtype) / config.sample_rate_hz  # [sps]
+    # Phases ALWAYS in float32; only the final waveform is rounded to
+    # ``dtype``. Phase values reach ~1e2 radians, so low-precision phase
+    # arithmetic corrupts the sinusoids outright — the bf16 failure mode
+    # demod_basis documents (measured: 88% of bf16 table entries wrong).
+    freqs = _tone_freqs(config, jnp.float32)[tone_indices]  # [..., S]
+    t = jnp.arange(sps, dtype=jnp.float32) / config.sample_rate_hz  # [sps]
     if config.phase_continuous:
         # Per-sample frequency, then phase = cumsum(2*pi*f/fs) along time.
         f_per_sample = jnp.repeat(freqs, sps, axis=-1)  # [..., S*sps]

@@ -39,6 +39,7 @@ __all__ = [
     "decide_tones_fused",
     "decide_tones_tm",
     "demod_at_fused",
+    "demod_at_buffer_pad",
     "ofdm_track_decide_fused",
     "viterbi_trellis",
     "correlate_fused",
@@ -979,54 +980,53 @@ DA_STREAM_TILE = 8  # streams per grid cell (VMEM-sized at stream bench shapes)
 
 
 def _demod_at_kernel(
-    start_ref,
-    x_ref,
+    st_ref,
+    stv_ref,
+    x_hbm,
     bbase_ref,
     tone_ref,
     best_ref,
     total_ref,
+    slab_scr,
+    sem,
     *,
     bs: int,
-    p_rows: int,
+    sv: int,
+    pv: int,
     pp: int,
-    rows_total: int,
     r_syms: int,
     m: int,
     pre: int,
 ):
-    """One cell of the fused align+demod: bs streams, everything in VMEM.
+    """One cell of the fused align+demod: bs streams, DMA-gathered spans.
 
-    Alignment never materializes: the coarse (row) offset is a batched
-    0/1 row-selection matmul built from an iota compare against each
-    stream's hi, and the fine (lane) offset is folded into the BASIS — a
-    per-stream shifted copy of the 128-row base filterbank (built by one
-    0/1 matmul), so the symbol windows are consumed straight out of the
-    row slab by two batched contractions. No per-stream serial ops
-    anywhere (the roll-gather kernel's 3.5 us/stream dispatch cost is
-    what this design removes).
+    The buffer stays in HBM; each stream's frame span (sv rows of 128)
+    arrives by ONE async copy starting at its own (8-aligned) coarse row
+    — the kernel reads only the bytes it demodulates, where the round-3a
+    one-hot row-selection matmul streamed the ENTIRE buffer block through
+    VMEM per cell. (The 4% energy error that prompted the rebuild turned
+    out to be the bf16-phase basis bug — see demod_basis — not this
+    kernel; post-fix, this form measures ~2.5e-7 from float64 on chip.)
+    The residual sub-8-row alignment is
+    an 8-way static-slice select on the narrow iq result, and the fine
+    lane offset folds into the basis exactly as before.
     """
-    base = start_ref[...].astype(jnp.int32) + pre  # [bs, 1]
-    hi = jax.lax.div(base, 128).reshape(bs, 1, 1)
-    lo = jax.lax.rem(base, 128).reshape(bs, 1, 1)
+    i = pl.program_id(0)
+    r2m = 2 * m * r_syms
+    for s in range(bs):
+        hi = (st_ref[i * bs + s] + pre) // 128
+        hi8 = pl.multiple_of((hi // 8) * 8, 8)
+        pltpu.make_async_copy(
+            x_hbm.at[i * bs + s, pl.ds(hi8, sv), :],
+            slab_scr.at[s],
+            sem.at[s],
+        ).start()
 
-    # 1. coarse slab: out-of-range rows clamp to the last buffer row (their
-    # groups are beyond the frame and discarded by the caller).
-    row_io = jax.lax.broadcasted_iota(jnp.int32, (bs, p_rows, rows_total), 1)
-    col_io = jax.lax.broadcasted_iota(jnp.int32, (bs, p_rows, rows_total), 2)
-    want = jnp.clip(row_io + hi, 0, rows_total - 1)
-    oh = (col_io == want).astype(x_ref.dtype)
-    slab = jax.lax.dot_general(
-        oh,
-        x_ref[...],
-        (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    ).astype(x_ref.dtype)  # [bs, p_rows, 128] — exact (0/1 times bf16)
-
-    # 2. per-stream shifted basis: bgrp[s, j] = bbase[j - lo_s] (0 outside)
+    # per-stream shifted basis: bgrp[s, j] = bbase[j - lo_s] (0 outside)
+    lo = jax.lax.rem(stv_ref[...].astype(jnp.int32) + pre, 128).reshape(bs, 1, 1)
     j_io = jax.lax.broadcasted_iota(jnp.int32, (bs, 256, 128), 1)
     c_io = jax.lax.broadcasted_iota(jnp.int32, (bs, 256, 128), 2)
     sh = (c_io == j_io - lo).astype(bbase_ref.dtype)
-    r2m = 2 * m * r_syms
     bgrp = jax.lax.dot_general(
         sh.reshape(bs * 256, 128),
         bbase_ref[...],
@@ -1034,36 +1034,62 @@ def _demod_at_kernel(
         preferred_element_type=jnp.float32,
     ).astype(bbase_ref.dtype).reshape(bs, 256, r2m)
 
-    # 3. symbol-group contraction: group p reads slab rows p and p+1
-    iq = jax.lax.dot_general(
-        slab[:, :pp, :],
-        bgrp[:, :128, :],
-        (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    ) + jax.lax.dot_general(
-        slab[:, 1 : pp + 1, :],
-        bgrp[:, 128:, :],
-        (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    )  # [bs, pp, r_syms*2M] f32
+    iqs = []
+    for s in range(bs):
+        hi = (st_ref[i * bs + s] + pre) // 128
+        hi8 = pl.multiple_of((hi // 8) * 8, 8)
+        delta = hi - hi8  # in [0, 8)
+        pltpu.make_async_copy(
+            x_hbm.at[i * bs + s, pl.ds(hi8, sv), :],
+            slab_scr.at[s],
+            sem.at[s],
+        ).wait()
+        slab = slab_scr[s]
+        # group g of the frame is row delta + g of this span
+        iq_big = jax.lax.dot_general(
+            slab[: sv - 1],
+            bgrp[s, :128],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + jax.lax.dot_general(
+            slab[1:sv],
+            bgrp[s, 128:],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [sv - 1, r2m]
+        iq_s = jnp.zeros((pv, r2m), jnp.float32)
+        for r in range(8):
+            iq_s = jnp.where(delta == r, iq_big[r : r + pv], iq_s)
+        iqs.append(iq_s)
+    iq = jnp.stack(iqs)  # [bs, pv, r2m]
 
-    # 4. decisions per in-row symbol slot
+    # decisions per in-row symbol slot; groups >= pv are zero padding
     for u in range(r_syms):
         iqu = iq[:, :, u * 2 * m : (u + 1) * 2 * m]
         i_part = iqu[:, :, :m]
         q_part = iqu[:, :, m:]
-        e = i_part * i_part + q_part * q_part  # [bs, pp, M]
-        tone_ref[:, u * pp : (u + 1) * pp] = jnp.argmax(e, axis=-1).astype(
+        e = i_part * i_part + q_part * q_part  # [bs, pv, M]
+        tone_ref[:, u * pp : u * pp + pv] = jnp.argmax(e, axis=-1).astype(
             jnp.int32
         )
-        best_ref[:, u * pp : (u + 1) * pp] = jnp.max(e, axis=-1)
-        total_ref[:, u * pp : (u + 1) * pp] = jnp.sum(e, axis=-1)
+        best_ref[:, u * pp : u * pp + pv] = jnp.max(e, axis=-1)
+        total_ref[:, u * pp : u * pp + pv] = jnp.sum(e, axis=-1)
+        if pp > pv:
+            tone_ref[:, u * pp + pv : (u + 1) * pp] = jnp.zeros(
+                (bs, pp - pv), jnp.int32
+            )
+            best_ref[:, u * pp + pv : (u + 1) * pp] = jnp.zeros(
+                (bs, pp - pv), jnp.float32
+            )
+            total_ref[:, u * pp + pv : (u + 1) * pp] = jnp.zeros(
+                (bs, pp - pv), jnp.float32
+            )
 
 
 @functools.partial(
     jax.jit,
     static_argnums=(0, 3),
-    static_argnames=("batch_tile", "interpret"),
+    static_argnames=("start_bound", "batch_tile", "interpret"),
 )
 def demod_at_fused(
     config: ModemConfig,
@@ -1071,6 +1097,7 @@ def demod_at_fused(
     start: jnp.ndarray,
     n_symbols: int,
     *,
+    start_bound: int | None = None,
     batch_tile: int | None = None,
     interpret: bool = False,
 ):
@@ -1086,12 +1113,19 @@ def demod_at_fused(
         e = tone_energies(config, aligned[..., preamble:])
         return argmax(e), max(e), sum(e)
 
-    which at the streaming bench size costs a ~23 ms HBM round-trip for
-    the aligned frames plus the demod re-read. Here the only HBM traffic
-    is one read of ``buffer`` and three [B, S] outputs. Exact for bf16
-    buffers (the 0/1 selection matmuls are exact in any dtype whose
-    values they move); f32 buffers lose the sub-bf16 bits on TPU — the
-    streaming hot path stores bf16 (anet.stream.init_carry).
+    The buffer stays in HBM and each stream DMAs only its own frame span
+    into VMEM (see _demod_at_kernel) — the kernel reads ~the frame bytes,
+    not the whole buffer, and its arithmetic measures ~2.5e-7 from
+    float64 on chip. f32 buffers keep full f32 sample precision on the
+    DMA path (pure data movement).
+
+    ``start_bound`` (static) is the maximum ``start`` the caller can
+    produce. The span DMA must stay inside the array even for the latest
+    start, which needs the buffer padded by ``demod_at_buffer_pad``; when
+    the buffer is too short the function zero-pads it (a full HBM copy —
+    the streaming receiver instead carries a tail-padded buffer so this
+    is free on the hot path). Default start_bound assumes the worst
+    legal start for this buffer length.
 
     Requires 128 %% samples_per_symbol == 0 (sps <= 128, power-of-two
     fraction); other geometries use the unfused path.
@@ -1104,22 +1138,34 @@ def demod_at_fused(
     pre = config.preamble_symbols * sps
     batch_shape = buffer.shape[:-1]
     x = buffer.reshape(-1, buffer.shape[-1])
-    st = start.reshape(-1, 1).astype(jnp.int32)
+    st = start.reshape(-1).astype(jnp.int32)
     b, length = x.shape
     if length % 128:
         x = jnp.pad(x, ((0, 0), (0, (-length) % 128)))
     rows_total = x.shape[-1] // 128
     # symbol groups: r_syms consecutive symbols per 128-sample row
     p = -(-n_symbols // r_syms)
-    # output lanes r_syms*pp must tile by 128 and slab sublanes by 8
+    # output lanes r_syms*pp must tile by 128; slab/iq sublanes by 8
     gran = 128 // math.gcd(128, r_syms)
     pp = -(-p // gran) * gran
-    p_rows = pp + 8
+    pv = -(-p // 8) * 8
+    # span rows per DMA: pv+1 wanted rows, +1 sublane-rounding, +8 because
+    # the DMA starts at the 8-aligned row at-or-before the coarse row
+    sv = (-(-(pv + 2) // 8)) * 8 + 8
+    if start_bound is None:
+        start_bound = length - pre - n_symbols * sps  # worst legal start
+    hi_max = (start_bound + pre) // 128
+    pad_rows = max(0, hi_max + sv - rows_total)
+    if pad_rows:
+        # correctness fallback (full copy); hot callers pre-pad instead
+        x = jnp.pad(x, ((0, 0), (0, pad_rows * 128)))
+        rows_total += pad_rows
     bs = batch_tile or DA_STREAM_TILE
+    bs = min(bs, b) if b >= bs else b
     pad_b = -b % bs
     if pad_b:
         x = jnp.pad(x, ((0, pad_b), (0, 0)))
-        st = jnp.pad(st, ((0, pad_b), (0, 0)))
+        st = jnp.pad(st, (0, pad_b))
     xr = x.reshape(x.shape[0], rows_total, 128)
 
     basis = demod_basis(config, dtype=x.dtype if x.dtype != jnp.float32 else jnp.float32)
@@ -1132,15 +1178,33 @@ def demod_at_fused(
             jnp.where(ok[:, None], basis[jnp.clip(idx, 0, sps - 1)], 0.0)
         )
     bbase = jnp.concatenate(blocks, axis=1).astype(x.dtype)  # [128, R*2M]
+    r2m = 2 * m * r_syms
 
-    grid = (x.shape[0] // bs,)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(x.shape[0] // bs,),
+        in_specs=[
+            pl.BlockSpec((bs, 1), lambda i, st: (i, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((128, r2m), lambda i, st: (0, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((bs, r_syms * pp), lambda i, st: (i, 0)),
+            pl.BlockSpec((bs, r_syms * pp), lambda i, st: (i, 0)),
+            pl.BlockSpec((bs, r_syms * pp), lambda i, st: (i, 0)),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((bs, sv, 128), x.dtype),
+            pltpu.SemaphoreType.DMA((bs,)),
+        ],
+    )
     tone, best, total = pl.pallas_call(
         functools.partial(
             _demod_at_kernel,
             bs=bs,
-            p_rows=p_rows,
+            sv=sv,
+            pv=pv,
             pp=pp,
-            rows_total=rows_total,
             r_syms=r_syms,
             m=m,
             pre=pre,
@@ -1150,19 +1214,9 @@ def demod_at_fused(
             jax.ShapeDtypeStruct((x.shape[0], r_syms * pp), jnp.float32),
             jax.ShapeDtypeStruct((x.shape[0], r_syms * pp), jnp.float32),
         ),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((bs, 1), lambda i: (i, 0)),
-            pl.BlockSpec((bs, rows_total, 128), lambda i: (i, 0, 0)),
-            pl.BlockSpec((128, 2 * m * r_syms), lambda i: (0, 0)),
-        ],
-        out_specs=(
-            pl.BlockSpec((bs, r_syms * pp), lambda i: (i, 0)),
-            pl.BlockSpec((bs, r_syms * pp), lambda i: (i, 0)),
-            pl.BlockSpec((bs, r_syms * pp), lambda i: (i, 0)),
-        ),
+        grid_spec=grid_spec,
         interpret=interpret,
-    )(st, xr, bbase)
+    )(st, st.reshape(-1, 1), xr, bbase)
 
     def _unpack(o):
         o3 = o[:b].reshape(b, r_syms, pp)
@@ -1170,6 +1224,28 @@ def demod_at_fused(
         return o3.reshape(batch_shape + (n_symbols,))
 
     return _unpack(tone), _unpack(best), _unpack(total)
+
+
+def demod_at_buffer_pad(
+    config: ModemConfig, n_symbols: int, start_bound: int, live_length: int
+) -> int:
+    """Extra zero samples a ``live_length``-sample buffer needs so
+    demod_at_fused (called with this ``start_bound``) performs NO
+    in-step pad copies: lane alignment to 128 plus enough tail rows that
+    every span DMA stays inside the array. The streaming receiver sizes
+    its carry buffer with this (anet.stream._buffer_len); the arithmetic
+    mirrors demod_at_fused's internal pad computation exactly."""
+    sps = config.samples_per_symbol
+    r_syms = 128 // sps
+    pre = config.preamble_symbols * sps
+    p = -(-n_symbols // r_syms)
+    pv = -(-p // 8) * 8
+    sv = (-(-(pv + 2) // 8)) * 8 + 8
+    lane_pad = -live_length % 128
+    rows_total = (live_length + lane_pad) // 128
+    hi_max = (start_bound + pre) // 128
+    pad_rows = max(0, hi_max + sv - rows_total)
+    return lane_pad + pad_rows * 128
 
 
 # --- fused OFDM equalize + clock-track + decide -------------------------------

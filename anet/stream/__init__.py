@@ -109,9 +109,48 @@ def _track_margin(config, track: bool) -> int:
 
 
 def _buffer_len(config, chunk_size: int, payload_len: int, track: bool = False) -> int:
+    from anet.dsp.family import frame_samples, is_ofdm
+
+    live = frame_samples(config, payload_len) + chunk_size + _track_margin(config, track)
+    # zero tail pad sized so the fused align+demod kernel's per-stream
+    # span DMAs stay inside the array with no in-step pad copies (see
+    # anet.kernels.demod_at_buffer_pad). Applied whenever the MFSK fused
+    # geometry could dispatch; harmless zeros otherwise — and buffer
+    # geometry stays backend-independent, so checkpoints move freely
+    # between CPU and TPU.
+    if not is_ofdm(config) and 128 % config.samples_per_symbol == 0:
+        from anet.dsp.frame import data_symbols_for_payload
+        from anet.kernels import demod_at_buffer_pad
+
+        n_symbols = data_symbols_for_payload(config, payload_len)
+        live += demod_at_buffer_pad(config, n_symbols, chunk_size, live)
+    return live
+
+
+def _check_carry_geometry(
+    config, carry: StreamCarry, chunk_size: int, payload_len: int, track: bool
+) -> None:
+    """Reject a carry built for a different chunk/payload/track geometry.
+
+    Accepts either the current padded length (_buffer_len) or the legacy
+    unpadded frame + chunk + margin (pre-round-3b checkpoints; the demod
+    then pads in-step, slower but identical)."""
     from anet.dsp.family import frame_samples
 
-    return frame_samples(config, payload_len) + chunk_size + _track_margin(config, track)
+    length = carry.buffer.shape[-1]
+    expected = _buffer_len(config, chunk_size, payload_len, track)
+    legacy = (
+        frame_samples(config, payload_len)
+        + chunk_size
+        + _track_margin(config, track)
+    )
+    if length not in (expected, legacy):
+        raise ValueError(
+            f"carry buffer {length} != expected {expected} (or legacy"
+            f" {legacy}) for frame {frame_samples(config, payload_len)}"
+            f" + chunk {chunk_size}; init_carry with the same"
+            " chunk_size/payload_len/track"
+        )
 
 
 def init_carry(
@@ -171,6 +210,7 @@ def stream_step(
     if lock and track:
         raise ValueError("lock=True does not compose with track=True (the "
                          "clock tracker already re-times each frame)")
+    _check_carry_geometry(config, carry, chunk_size, payload_len, track)
     margin = _track_margin(config, track)
     mid_flight = None
     if lock:
@@ -243,7 +283,14 @@ def stream_step(
             from anet.kernels import demod_at_fused
 
             tone, best, total = demod_at_fused(
-                config, buffer, start_idx, data_symbols_for_payload(config, payload_len)
+                config,
+                buffer,
+                start_idx,
+                data_symbols_for_payload(config, payload_len),
+                # max candidate start = w0 + chunk - 1 = chunk_size; the
+                # carry buffer is pre-padded for exactly this bound
+                # (_buffer_len), so the kernel's pad copy is a no-op
+                start_bound=chunk_size,
             )
             frame = frame_result_from_tone_decisions(
                 config, tone, best, total, payload_len
@@ -309,8 +356,10 @@ def save_carry(path, carry: StreamCarry, pending=None) -> None:
 
 
 def load_carry(path) -> StreamCheckpoint:
-    """Restore a checkpoint written by save_carry. Geometry (buffer length =
-    frame + chunk + margin) is validated by the next stream step."""
+    """Restore a checkpoint written by save_carry. Geometry (buffer length >=
+    frame + chunk + margin, any excess being the demod tail pad) is
+    validated by the next stream step; pre-pad checkpoints stay loadable
+    (the demod then pads in-step instead)."""
     import numpy as np
 
     with np.load(path) as z:
@@ -342,22 +391,35 @@ def _slide_buffer(carry: StreamCarry, chunk: jnp.ndarray, t_frame: int, margin: 
     fully-margined chunk: start in (L - T - chunk - margin, L - T -
     margin] — exactly chunk_size wide. With margin > 0 (tracking)
     detection waits until `margin` samples of tail context exist, so
-    drift-stretched frames stay inside the buffer."""
+    drift-stretched frames stay inside the buffer.
+
+    Any buffer length beyond frame + chunk + margin is a ZERO TAIL PAD
+    (init_carry sizes it so demod_at_fused's per-stream span DMAs never
+    leave the array — see anet.kernels.demod_at_buffer_pad); the live
+    window slides ahead of it and the pad is carried through untouched.
+    Old (unpadded) checkpoints remain valid: the demod falls back to an
+    in-step pad copy, slower but identical."""
     chunk_size = chunk.shape[-1]
     length = carry.buffer.shape[-1]
-    if length != t_frame + chunk_size + margin:
+    live = t_frame + chunk_size + margin
+    if length < live:
         raise ValueError(
-            f"carry buffer {length} != frame {t_frame} + chunk {chunk_size}"
+            f"carry buffer {length} < frame {t_frame} + chunk {chunk_size}"
             f" + margin {margin}; init_carry with the same"
             " chunk_size/payload_len/track"
         )
     buffer = jnp.concatenate(
-        [carry.buffer[..., chunk_size:], chunk.astype(carry.buffer.dtype)], axis=-1
+        [
+            carry.buffer[..., chunk_size:live],
+            chunk.astype(carry.buffer.dtype),
+            carry.buffer[..., live:],
+        ],
+        axis=-1,
     )
     samples_seen = carry.samples_seen + chunk_size
-    # Absolute index of buffer[0]:
-    buffer_abs0 = samples_seen - length
-    w0 = length - t_frame - chunk_size - margin + 1
+    # Absolute index of buffer[0] (relative to the LIVE sample stream):
+    buffer_abs0 = samples_seen - live
+    w0 = 1  # = live - t_frame - chunk_size - margin + 1
     return buffer, samples_seen, w0, buffer_abs0
 
 
@@ -514,7 +576,9 @@ def _find_candidate_locked(
     chunk_size = chunk.shape[-1]
     k = template.shape[-1]
     buffer, samples_seen, w0, buffer_abs0 = _slide_buffer(carry, chunk, t_frame, 0)
-    length = buffer.shape[-1]
+    # clip probe/refine positions to the LIVE window (the physical buffer
+    # may carry a zero tail pad for the demod kernel's span DMAs)
+    length = t_frame + chunk_size
     t_c = template.astype(compute_dtype)
     t_energy = jnp.sum(t_c.astype(jnp.float32) ** 2)
 
@@ -627,6 +691,7 @@ def stream_step_dynamic(
 
     t_max = frame_samples(config, max_payload_len)
     template = family_geometry(config, max_payload_len, compute_dtype)[1]
+    _check_carry_geometry(config, carry, chunk.shape[-1], max_payload_len, False)
     if max_frames_per_chunk == 1:
         # Single-candidate: the fused sync search (no [..., chunk_size]
         # quality array is ever materialized — see _search_best).

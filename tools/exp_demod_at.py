@@ -76,7 +76,7 @@ def main():
         )
         print(f"VALIDATE bs={bs} decisions equal: {same}", flush=True)
 
-    for bs in (8, 16, 32, 64):
+    for bs in (8, 16):
         f = jax.jit(
             lambda b, s, bs=bs: sum(
                 x.sum()
@@ -84,6 +84,94 @@ def main():
             )
         )
         timeit(f"demod_at_fused bs={bs}", f, buf, starts)
+
+    # --- stage isolation: same kernel but the slab is a STATIC slice ---
+    # (decisions are garbage; only the timing matters). If this collapses
+    # toward the iq-contraction cost, the one-hot row selection (its iota
+    # compares + the batched [bs, p_rows, rows_total] x [bs, rows_total,
+    # 128] matmul) is the dominant term and the dynamic-slice slab design
+    # is the right replacement.
+    import functools
+    import math
+
+    from jax.experimental import pallas as pl
+    from anet.dsp.demod import demod_basis
+
+    sps = cfg.samples_per_symbol
+    m = cfg.num_tones
+    r_syms = 128 // sps
+    pre = cfg.preamble_symbols * sps
+    x = buf
+    b, length = x.shape
+    rows_total = length // 128
+    p = -(-n_symbols // r_syms)
+    gran = 128 // math.gcd(128, r_syms)
+    pp = -(-p // gran) * gran
+    p_rows = pp + 8
+    bs = 8
+    xr = x.reshape(b, rows_total, 128)
+    basis = demod_basis(cfg, dtype=jnp.float32)
+    j0 = jnp.arange(128)
+    blocks = []
+    for u in range(r_syms):
+        idx = j0 - u * sps
+        ok = (idx >= 0) & (idx < sps)
+        blocks.append(jnp.where(ok[:, None], basis[jnp.clip(idx, 0, sps - 1)], 0.0))
+    bbase = jnp.concatenate(blocks, axis=1).astype(x.dtype)
+    r2m = 2 * m * r_syms
+
+    def _kern(start_ref, x_ref, bbase_ref, tone_ref, best_ref, total_ref):
+        st0 = start_ref[...].astype(jnp.int32) + pre
+        lo = jax.lax.rem(st0, 128).reshape(bs, 1, 1)
+        slab = x_ref[:, :p_rows, :]  # STATIC rows — garbage, same shape
+        j_io = jax.lax.broadcasted_iota(jnp.int32, (bs, 256, 128), 1)
+        c_io = jax.lax.broadcasted_iota(jnp.int32, (bs, 256, 128), 2)
+        sh = (c_io == j_io - lo).astype(bbase_ref.dtype)
+        bgrp = jax.lax.dot_general(
+            sh.reshape(bs * 256, 128), bbase_ref[...],
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        ).astype(bbase_ref.dtype).reshape(bs, 256, r2m)
+        iq = jax.lax.dot_general(
+            slab[:, :pp, :], bgrp[:, :128, :],
+            (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32,
+        ) + jax.lax.dot_general(
+            slab[:, 1 : pp + 1, :], bgrp[:, 128:, :],
+            (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32,
+        )
+        for u in range(r_syms):
+            iqu = iq[:, :, u * 2 * m : (u + 1) * 2 * m]
+            i_part = iqu[:, :, :m]
+            q_part = iqu[:, :, m:]
+            e = i_part * i_part + q_part * q_part
+            tone_ref[:, u * pp : (u + 1) * pp] = jnp.argmax(e, -1).astype(jnp.int32)
+            best_ref[:, u * pp : (u + 1) * pp] = jnp.max(e, -1)
+            total_ref[:, u * pp : (u + 1) * pp] = jnp.sum(e, -1)
+
+    st2 = starts.reshape(-1, 1)
+
+    def run_static(xr, st2):
+        return pl.pallas_call(
+            _kern,
+            out_shape=(
+                jax.ShapeDtypeStruct((b, r_syms * pp), jnp.int32),
+                jax.ShapeDtypeStruct((b, r_syms * pp), jnp.float32),
+                jax.ShapeDtypeStruct((b, r_syms * pp), jnp.float32),
+            ),
+            grid=(b // bs,),
+            in_specs=[
+                pl.BlockSpec((bs, 1), lambda i: (i, 0)),
+                pl.BlockSpec((bs, rows_total, 128), lambda i: (i, 0, 0)),
+                pl.BlockSpec((128, r2m), lambda i: (0, 0)),
+            ],
+            out_specs=(
+                pl.BlockSpec((bs, r_syms * pp), lambda i: (i, 0)),
+                pl.BlockSpec((bs, r_syms * pp), lambda i: (i, 0)),
+                pl.BlockSpec((bs, r_syms * pp), lambda i: (i, 0)),
+            ),
+        )(st2, xr, bbase)
+
+    f = jax.jit(lambda xr, st2: sum(x.sum() for x in run_static(xr, st2)))
+    timeit("demod_at variant: STATIC slab (no one-hot row select)", f, xr, st2)
 
     print("DONE", flush=True)
 
