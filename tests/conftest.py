@@ -27,6 +27,14 @@ if "xla_force_host_platform_device_count" not in xla_flags:
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache (no-op on the CPU pin unless
+# ANET_CPU_COMPILE_CACHE=1 — XLA:CPU's AOT loader floods stderr with a
+# feature-string mismatch warning per cached program; see
+# anet.utils.compilecache).
+from anet.utils.compilecache import enable as _enable_compile_cache  # noqa: E402
+
+_enable_compile_cache()
+
 os.environ.setdefault("JAX_ENABLE_X64", "0")
 
 

@@ -43,6 +43,10 @@ def timeit(label, fn, *args, iters=10, extra=""):
 
 def main():
     import jax
+
+    from anet.utils.compilecache import enable as _cc
+
+    _cc()  # persistent compile cache: warm re-runs through the tunnel
     import jax.numpy as jnp
 
     print("backend:", jax.default_backend(), flush=True)

@@ -40,6 +40,10 @@ def check(name: str, fn) -> None:
 
 def main() -> int:
     import jax
+
+    from anet.utils.compilecache import enable as _cc
+
+    _cc()  # persistent compile cache: warm re-runs through the tunnel
     import jax.numpy as jnp
 
     if jax.default_backend() == "cpu":
