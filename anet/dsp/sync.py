@@ -269,6 +269,7 @@ def preamble_quality_probe(
     n_lags: int = 5,
     compute_dtype=None,
     mode: str = "auto",
+    start_bound: int | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Normalized preamble match quality at ``n_lags`` consecutive lags
     around per-stream ``start`` — the frame-lock verify/refine probe.
@@ -290,7 +291,13 @@ def preamble_quality_probe(
 
     Callers guarantee start + k + n_lags + 128 <= buffer length (true for
     any in-window frame start, since frames are far longer than their
-    preamble). ``mode="fused"`` forces the Pallas kernel
+    preamble). ``start_bound`` (static) is the maximum ``start`` the
+    caller can produce; pass it whenever the probed region is a small
+    prefix of a long buffer — the probe then touches only the rows a
+    bounded start can reach, instead of the whole buffer twice (at the
+    streaming bench geometry the unbounded form cost 16 ms/step: a
+    full-buffer pad copy inside aligned_gather plus a full-buffer
+    one-hot read, for a ~1 KB answer). ``mode="fused"`` forces the Pallas kernel
     (anet.kernels.preamble_probe_fused) — interpret-validated but NOT in
     auto: its Mosaic lowering SIGABRTs this runtime's remote compiler
     (round-3 measurement; see docs/PERF.md). "auto" takes the jnp form
@@ -313,12 +320,33 @@ def preamble_quality_probe(
         return preamble_probe_fused(buf_c, st0, t_c, te, n_lags), st0
     span_rows = -(-(k + n_lags - 1) // _LANE) + 1
     row0 = st0 // _LANE
-    span = aligned_gather(buffer, row0 * _LANE, span_rows * _LANE, compute_dtype)
+    if start_bound is not None:
+        # Static head slice: a bounded start can only read rows
+        # [0, bound_row + span_rows + 1); the one-hot row selection then
+        # contracts against this prefix instead of the full buffer, and
+        # the bound lets aligned_gather skip its safety pad copy.
+        bound0 = min(max(int(start_bound), 0), length - k - n_lags + 1)
+        head_rows = bound0 // _LANE + span_rows + 1
+        if head_rows * _LANE < length:
+            buffer = buffer[..., : head_rows * _LANE]
+    span = aligned_gather(
+        buffer,
+        row0 * _LANE,
+        span_rows * _LANE,
+        compute_dtype,
+        start_bound=None if start_bound is None else bound0 // _LANE * _LANE,
+    )
     span_f = span.astype(jnp.float32)
     energy = jnp.sum(span_f * span_f, axis=-1)
     # windows come out of the already-gathered span (37 MB at bench size)
     # by fine lane shift, instead of a second full-buffer (GB-scale) pass
-    wins = aligned_gather(span, st0 - row0 * _LANE, k + n_lags - 1, compute_dtype)
+    wins = aligned_gather(
+        span,
+        st0 - row0 * _LANE,
+        k + n_lags - 1,
+        compute_dtype,
+        start_bound=_LANE - 1,
+    )
     # tsh[j, o] = template[j - o]: every probed lag is one column of a
     # single [k+n_lags-1, n_lags] matmul. The [n_lags, k] window-index
     # form (wins[..., idx]) is a minor-axis gather — the ~0.2 GB/s
@@ -362,6 +390,7 @@ def aligned_gather(
     size: int,
     compute_dtype=None,
     mode: str = "auto",
+    start_bound: int | None = None,
 ) -> jnp.ndarray:
     """Slice ``size`` samples starting at per-stream dynamic offsets:
     out[..., i] = buffer[..., start[...] + i]. Callers guarantee
@@ -421,8 +450,21 @@ def aligned_gather(
     length = buffer.shape[-1]
     # Pad so every coarse read (incl. the +1 slack row when start % 128
     # == 0) stays in range; padded lanes only ever multiply a 0 weight.
+    # ``start_bound`` (static max start) skips the pad when it proves
+    # every read in-range already — the pad is a FULL buffer copy, which
+    # at streaming sizes costs more than the gather itself.
     pad = (-length) % _LANE + _LANE
-    x = jnp.pad(buffer, [(0, 0)] * (buffer.ndim - 1) + [(0, pad)])
+    if (
+        start_bound is not None
+        and length % _LANE == 0
+        and start_bound // _LANE + rt + 1 <= length // _LANE
+    ):
+        pad = 0
+    x = (
+        buffer
+        if pad == 0
+        else jnp.pad(buffer, [(0, 0)] * (buffer.ndim - 1) + [(0, pad)])
+    )
     rows_total = x.shape[-1] // _LANE
     xr = x.reshape(x.shape[:-1] + (rows_total, _LANE))
     hi = start // _LANE

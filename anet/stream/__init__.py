@@ -590,9 +590,12 @@ def _find_candidate_locked(
     mid_flight = carry.locked & (pred_idx >= w0 + chunk_size)
 
     probe_at = jnp.clip(pred_idx, 0, length - t_frame)
+    # start_bound = chunk_size (the clip above): the probe then reads
+    # only the ~bound//128 + preamble rows it can touch instead of the
+    # whole padded buffer twice (16 -> ~2 ms/step at bench geometry)
     q5, st0 = preamble_quality_probe(
         buffer, probe_at, t_c, t_energy, n_lags=PROBE_LAGS,
-        compute_dtype=compute_dtype,
+        compute_dtype=compute_dtype, start_bound=length - t_frame,
     )
     probe_q = jnp.max(q5, axis=-1)
     probe_off = jnp.argmax(q5, axis=-1).astype(jnp.int32)
