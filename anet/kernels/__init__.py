@@ -1034,34 +1034,41 @@ def _demod_at_kernel(
         preferred_element_type=jnp.float32,
     ).astype(bbase_ref.dtype).reshape(bs, 256, r2m)
 
-    iqs = []
     for s in range(bs):
         hi = (st_ref[i * bs + s] + pre) // 128
         hi8 = pl.multiple_of((hi // 8) * 8, 8)
-        delta = hi - hi8  # in [0, 8)
         pltpu.make_async_copy(
             x_hbm.at[i * bs + s, pl.ds(hi8, sv), :],
             slab_scr.at[s],
             sem.at[s],
         ).wait()
-        slab = slab_scr[s]
-        # group g of the frame is row delta + g of this span
-        iq_big = jax.lax.dot_general(
-            slab[: sv - 1],
-            bgrp[s, :128],
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) + jax.lax.dot_general(
-            slab[1:sv],
-            bgrp[s, 128:],
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [sv - 1, r2m]
-        iq_s = jnp.zeros((pv, r2m), jnp.float32)
-        for r in range(8):
-            iq_s = jnp.where(delta == r, iq_big[r : r + pv], iq_s)
-        iqs.append(iq_s)
-    iq = jnp.stack(iqs)  # [bs, pv, r2m]
+    # Batched contraction across the whole cell: one dot_general pair over
+    # [bs, sv-1, 128] x [bs, 128, r2m] replaces the per-stream loop
+    # (2 dots + an 8-way select + a stack PER STREAM). Measured on chip:
+    # a NULL result for speed (19.2 vs 19.4 ms at B=8192 — the kernel is
+    # not op-dispatch-bound), kept for the simpler single-trace form;
+    # the cost lives in the shifted-basis build + contraction FLOPs
+    # (see docs/PERF.md round-3 demod_at section).
+    slab_all = slab_scr[...]  # [bs, sv, 128]
+    iq_big = jax.lax.dot_general(
+        slab_all[:, : sv - 1, :],
+        bgrp[:, :128, :],
+        (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ) + jax.lax.dot_general(
+        slab_all[:, 1:sv, :],
+        bgrp[:, 128:, :],
+        (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # [bs, sv-1, r2m]
+    # group g of the frame is row delta_s + g of the span: resolve the
+    # sub-8-row DMA alignment with one batched 8-way static-slice select
+    deltav = jax.lax.rem(
+        jax.lax.div(stv_ref[...].astype(jnp.int32) + pre, 128), 8
+    ).reshape(bs, 1, 1)
+    iq = jnp.zeros((bs, pv, r2m), jnp.float32)
+    for r in range(8):
+        iq = jnp.where(deltav == r, iq_big[:, r : r + pv, :], iq)
 
     # decisions per in-row symbol slot; groups >= pv are zero padding
     for u in range(r_syms):
