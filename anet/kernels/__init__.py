@@ -39,6 +39,7 @@ __all__ = [
     "decide_tones_fused",
     "decide_tones_tm",
     "demod_at_fused",
+    "demod_at_energies_fused",
     "demod_at_buffer_pad",
     "ofdm_track_decide_fused",
     "viterbi_trellis",
@@ -666,6 +667,7 @@ def _search_kernel(
     idx_ref,
     rq_ref,
     ridx_ref,
+    qt_ref,
     *,
     g: int,
     n_shift: int,
@@ -733,9 +735,12 @@ def _search_kernel(
 
     # 2. correlation tiles, read in place: each lag tile contracts a
     # static slice of block A plus (when the span crosses the boundary) a
-    # static slice of block B against the matching template band rows —
-    # then folds straight into the running (best, arglag), so neither the
-    # correlation nor the quality array ever exists outside VMEM.
+    # static slice of block B against the matching template band rows.
+    # The normalized tiles collect in a supercell-wide VMEM buffer and
+    # fold into the running (best, arglag) ONCE per supercell: the
+    # per-tile max+argmax fold serialized a cross-lane reduction against
+    # every band matmul (g reduce pairs per cell); batching it cuts the
+    # reduction count g-fold for 2 MB of scratch.
     for j in range(g):
         lo = j * blk
         hi = lo + n_shift * blk
@@ -753,17 +758,18 @@ def _search_kernel(
                 (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-        q = jnp.abs(acc) * scale_bc[:, lo : lo + blk]
-        # mask lags beyond out_len (the zero-padded tail of the last cell)
-        lane = jax.lax.broadcasted_iota(jnp.int32, q.shape, 1)
-        q = jnp.where(lane + t * ga + lo < out_len, q, -2.0)
-        # fold into the running best (strict > keeps the earliest maximum,
-        # matching jnp.argmax semantics)
-        qmax = jnp.max(q, axis=1, keepdims=True)  # [bts, 1]
-        qarg = jnp.argmax(q, axis=1).astype(jnp.int32)[:, None]
-        better = qmax > rq_ref[...]
-        rq_ref[...] = jnp.where(better, qmax, rq_ref[...])
-        ridx_ref[...] = jnp.where(better, t * ga + lo + qarg, ridx_ref[...])
+        qt_ref[:, lo : lo + blk] = jnp.abs(acc) * scale_bc[:, lo : lo + blk]
+    q_all = qt_ref[...]  # [bts, g*blk]
+    # mask lags beyond out_len (the zero-padded tail of the last cell)
+    lane = jax.lax.broadcasted_iota(jnp.int32, q_all.shape, 1)
+    q_all = jnp.where(lane + t * ga < out_len, q_all, -2.0)
+    # fold into the running best (strict > keeps the earliest maximum,
+    # matching jnp.argmax semantics)
+    qmax = jnp.max(q_all, axis=1, keepdims=True)  # [bts, 1]
+    qarg = jnp.argmax(q_all, axis=1).astype(jnp.int32)[:, None]
+    better = qmax > rq_ref[...]
+    rq_ref[...] = jnp.where(better, qmax, rq_ref[...])
+    ridx_ref[...] = jnp.where(better, t * ga + qarg, ridx_ref[...])
 
     @pl.when(t == n_super - 1)
     def _emit():
@@ -877,6 +883,7 @@ def sync_search_fused(
         scratch_shapes=[
             pltpu.VMEM((bts, 1), jnp.float32),
             pltpu.VMEM((bts, 1), jnp.int32),
+            pltpu.VMEM((bts, g * COR_LAG_TILE), jnp.float32),
         ],
         interpret=interpret,
     )(te, x, x, tmat, onesb, slid)
@@ -979,6 +986,85 @@ def gather_rows_fused(
 DA_STREAM_TILE = 8  # streams per grid cell (VMEM-sized at stream bench shapes)
 
 
+def _demod_at_front(
+    st_ref, stv_ref, x_hbm, slab_scr, sem, dtype, *,
+    i, bs: int, sv: int, pv: int, pre: int,
+):
+    """Shared front half of the fused align+demod kernels: per-stream
+    span DMA + lane/row alignment. Returns srows [bs, pv, 128] — the
+    frame's 128-sample symbol-group rows, aligned to the frame start.
+
+    The buffer stays in HBM; each stream's frame span (sv rows of 128)
+    arrives by ONE async copy starting at its own (8-aligned) coarse row
+    — the kernel reads only the bytes it demodulates, where the round-3a
+    one-hot row-selection matmul streamed the ENTIRE buffer block through
+    VMEM per cell. (The 4% energy error that prompted the rebuild turned
+    out to be the bf16-phase basis bug — see demod_basis — not this
+    kernel; post-fix, this form measures ~2.5e-7 from float64 on chip.)
+    """
+    for s in range(bs):
+        hi = (st_ref[i * bs + s] + pre) // 128
+        hi8 = pl.multiple_of((hi // 8) * 8, 8)
+        pltpu.make_async_copy(
+            x_hbm.at[i * bs + s, pl.ds(hi8, sv), :],
+            slab_scr.at[s],
+            sem.at[s],
+        ).start()
+
+    # Shift the SLAB, not the basis. The one-hot matrix sh[s, j, c] =
+    # (j == c + lo_s) is the same permutation either way, but applying it
+    # to the slab costs bs x (sv-1) x 256 x 128 MACs and leaves the big
+    # contraction as ONE shared plain matmul against the 128-wide basis —
+    # vs the shifted-basis form's bs x 256 x 128 x r2m build PLUS a
+    # 256-deep batched contraction (~4x the FLOPs; on chip the two forms
+    # measure ~equal — see docs/PERF.md round-3 demod_at bisection — but
+    # this one frees the basis columns to be reordered for the energies
+    # epilogue below). Same nonzero products in the same order: the
+    # permute is exact (bf16 values round-trip the f32 one-hot dot).
+    lo = jax.lax.rem(stv_ref[...].astype(jnp.int32) + pre, 128).reshape(bs, 1, 1)
+    j_io = jax.lax.broadcasted_iota(jnp.int32, (bs, 128, 128), 1)
+    c_io = jax.lax.broadcasted_iota(jnp.int32, (bs, 128, 128), 2)
+    # two [128, 128] one-hots per stream, not one [256, 128]: row g's
+    # samples at lane offset lo_s straddle slab rows g and g+1, and the
+    # natural lane-concat of those rows trips Mosaic's offset-mismatch
+    # reject (sharp edge #5 — the 1-row slice carries a sublane offset)
+    sh_lo = (j_io == c_io + lo).astype(dtype)  # j = c + lo
+    sh_hi = (j_io == c_io + lo - 128).astype(dtype)  # j + 128 = c + lo
+
+    for s in range(bs):
+        hi = (st_ref[i * bs + s] + pre) // 128
+        hi8 = pl.multiple_of((hi // 8) * 8, 8)
+        pltpu.make_async_copy(
+            x_hbm.at[i * bs + s, pl.ds(hi8, sv), :],
+            slab_scr.at[s],
+            sem.at[s],
+        ).wait()
+    slab_all = slab_scr[...]  # [bs, sv, 128]
+    shifted = (
+        jax.lax.dot_general(
+            slab_all[:, : sv - 1, :],
+            sh_lo,
+            (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        + jax.lax.dot_general(
+            slab_all[:, 1:sv, :],
+            sh_hi,
+            (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+    ).astype(slab_all.dtype)  # [bs, sv-1, 128]: exact (one-hot permute)
+    # group g of the frame is row delta_s + g of the span: resolve the
+    # sub-8-row DMA alignment with one batched 8-way static-slice select
+    deltav = jax.lax.rem(
+        jax.lax.div(stv_ref[...].astype(jnp.int32) + pre, 128), 8
+    ).reshape(bs, 1, 1)
+    srows = jnp.zeros((bs, pv, 128), slab_all.dtype)
+    for r in range(8):
+        srows = jnp.where(deltav == r, shifted[:, r : r + pv, :], srows)
+    return srows
+
+
 def _demod_at_kernel(
     st_ref,
     stv_ref,
@@ -998,77 +1084,24 @@ def _demod_at_kernel(
     m: int,
     pre: int,
 ):
-    """One cell of the fused align+demod: bs streams, DMA-gathered spans.
-
-    The buffer stays in HBM; each stream's frame span (sv rows of 128)
-    arrives by ONE async copy starting at its own (8-aligned) coarse row
-    — the kernel reads only the bytes it demodulates, where the round-3a
-    one-hot row-selection matmul streamed the ENTIRE buffer block through
-    VMEM per cell. (The 4% energy error that prompted the rebuild turned
-    out to be the bf16-phase basis bug — see demod_basis — not this
-    kernel; post-fix, this form measures ~2.5e-7 from float64 on chip.)
-    The residual sub-8-row alignment is
-    an 8-way static-slice select on the narrow iq result, and the fine
-    lane offset folds into the basis exactly as before.
-    """
+    """Fused align+demod cell, decisions epilogue (fallback geometries —
+    see _demod_at_energies_kernel for the hot form). The residual sub-8
+    alignment is an 8-way static-slice select; the fine lane offset is a
+    one-hot permute of the slab (see _demod_at_front)."""
     i = pl.program_id(0)
     r2m = 2 * m * r_syms
-    for s in range(bs):
-        hi = (st_ref[i * bs + s] + pre) // 128
-        hi8 = pl.multiple_of((hi // 8) * 8, 8)
-        pltpu.make_async_copy(
-            x_hbm.at[i * bs + s, pl.ds(hi8, sv), :],
-            slab_scr.at[s],
-            sem.at[s],
-        ).start()
-
-    # per-stream shifted basis: bgrp[s, j] = bbase[j - lo_s] (0 outside)
-    lo = jax.lax.rem(stv_ref[...].astype(jnp.int32) + pre, 128).reshape(bs, 1, 1)
-    j_io = jax.lax.broadcasted_iota(jnp.int32, (bs, 256, 128), 1)
-    c_io = jax.lax.broadcasted_iota(jnp.int32, (bs, 256, 128), 2)
-    sh = (c_io == j_io - lo).astype(bbase_ref.dtype)
-    bgrp = jax.lax.dot_general(
-        sh.reshape(bs * 256, 128),
+    srows = _demod_at_front(
+        st_ref, stv_ref, x_hbm, slab_scr, sem, bbase_ref.dtype,
+        i=i, bs=bs, sv=sv, pv=pv, pre=pre,
+    )
+    # shared contraction: every stream's rows hit the same [128, r2m]
+    # basis, so the MXU sees one [bs*pv, 128] x [128, r2m] matmul
+    iq = jax.lax.dot_general(
+        srows.reshape(bs * pv, 128),
         bbase_ref[...],
         (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ).astype(bbase_ref.dtype).reshape(bs, 256, r2m)
-
-    for s in range(bs):
-        hi = (st_ref[i * bs + s] + pre) // 128
-        hi8 = pl.multiple_of((hi // 8) * 8, 8)
-        pltpu.make_async_copy(
-            x_hbm.at[i * bs + s, pl.ds(hi8, sv), :],
-            slab_scr.at[s],
-            sem.at[s],
-        ).wait()
-    # Batched contraction across the whole cell: one dot_general pair over
-    # [bs, sv-1, 128] x [bs, 128, r2m] replaces the per-stream loop
-    # (2 dots + an 8-way select + a stack PER STREAM). Measured on chip:
-    # a NULL result for speed (19.2 vs 19.4 ms at B=8192 — the kernel is
-    # not op-dispatch-bound), kept for the simpler single-trace form;
-    # the cost lives in the shifted-basis build + contraction FLOPs
-    # (see docs/PERF.md round-3 demod_at section).
-    slab_all = slab_scr[...]  # [bs, sv, 128]
-    iq_big = jax.lax.dot_general(
-        slab_all[:, : sv - 1, :],
-        bgrp[:, :128, :],
-        (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    ) + jax.lax.dot_general(
-        slab_all[:, 1:sv, :],
-        bgrp[:, 128:, :],
-        (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    )  # [bs, sv-1, r2m]
-    # group g of the frame is row delta_s + g of the span: resolve the
-    # sub-8-row DMA alignment with one batched 8-way static-slice select
-    deltav = jax.lax.rem(
-        jax.lax.div(stv_ref[...].astype(jnp.int32) + pre, 128), 8
-    ).reshape(bs, 1, 1)
-    iq = jnp.zeros((bs, pv, r2m), jnp.float32)
-    for r in range(8):
-        iq = jnp.where(deltav == r, iq_big[:, r : r + pv, :], iq)
+    ).reshape(bs, pv, r2m)
 
     # decisions per in-row symbol slot; groups >= pv are zero padding
     for u in range(r_syms):
@@ -1091,6 +1124,178 @@ def _demod_at_kernel(
             total_ref[:, u * pp + pv : (u + 1) * pp] = jnp.zeros(
                 (bs, pp - pv), jnp.float32
             )
+
+
+def _demod_at_energies_kernel(
+    st_ref,
+    stv_ref,
+    x_hbm,
+    bbase_ref,
+    e_ref,
+    slab_scr,
+    sem,
+    *,
+    bs: int,
+    sv: int,
+    pv: int,
+    r_syms: int,
+    m: int,
+    pre: int,
+):
+    """Fused align+demod cell, ENERGIES epilogue (demod_at_energies_fused).
+
+    Writes raw per-(group, slot, tone) energies e [bs, pv, m*r_syms]
+    with lane order (u-major, tone-minor); bbase's columns are reordered
+    I-block-then-Q-block so the square-add is ONE [bs, pv, mr] op on two
+    clean 128-aligned lane halves — no decisions loop in the kernel, and
+    the flat (group, slot) output order IS symbol order."""
+    i = pl.program_id(0)
+    mr = m * r_syms
+    srows = _demod_at_front(
+        st_ref, stv_ref, x_hbm, slab_scr, sem, bbase_ref.dtype,
+        i=i, bs=bs, sv=sv, pv=pv, pre=pre,
+    )
+    iq = jax.lax.dot_general(
+        srows.reshape(bs * pv, 128),
+        bbase_ref[...],
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).reshape(bs, pv, 2 * mr)
+    i_part = iq[:, :, :mr]
+    q_part = iq[:, :, mr:]
+    e_ref[...] = i_part * i_part + q_part * q_part
+
+
+def _demod_at_setup(config, buffer, start, n_symbols, start_bound, batch_tile):
+    """Shared geometry/padding/basis setup of the fused align+demod
+    wrappers. Returns (batch_shape, xr, st, b, bs, sv, pv, pp, r_syms,
+    m, pre, blocks) — xr is the (possibly padded) [Bp, rows_total, 128]
+    row view, blocks the per-slot [128, 2m] basis blocks (f32 unless the
+    buffer itself is low-precision). The pad arithmetic MUST stay in
+    sync with demod_at_buffer_pad."""
+    sps = config.samples_per_symbol
+    m = config.num_tones
+    if 128 % sps:
+        raise ValueError(f"demod_at_fused needs 128 %% sps == 0, got sps={sps}")
+    r_syms = 128 // sps
+    pre = config.preamble_symbols * sps
+    batch_shape = buffer.shape[:-1]
+    x = buffer.reshape(-1, buffer.shape[-1])
+    st = start.reshape(-1).astype(jnp.int32)
+    b, length = x.shape
+    if length % 128:
+        x = jnp.pad(x, ((0, 0), (0, (-length) % 128)))
+    rows_total = x.shape[-1] // 128
+    # symbol groups: r_syms consecutive symbols per 128-sample row
+    p = -(-n_symbols // r_syms)
+    # output lanes r_syms*pp must tile by 128; slab/iq sublanes by 8
+    gran = 128 // math.gcd(128, r_syms)
+    pp = -(-p // gran) * gran
+    pv = -(-p // 8) * 8
+    # span rows per DMA: pv+1 wanted rows, +1 sublane-rounding, +8 because
+    # the DMA starts at the 8-aligned row at-or-before the coarse row
+    sv = (-(-(pv + 2) // 8)) * 8 + 8
+    if start_bound is None:
+        start_bound = length - pre - n_symbols * sps  # worst legal start
+    hi_max = (start_bound + pre) // 128
+    pad_rows = max(0, hi_max + sv - rows_total)
+    if pad_rows:
+        # correctness fallback (full copy); hot callers pre-pad instead
+        x = jnp.pad(x, ((0, 0), (0, pad_rows * 128)))
+        rows_total += pad_rows
+    bs = batch_tile or DA_STREAM_TILE
+    bs = min(bs, b) if b >= bs else b
+    pad_b = -b % bs
+    if pad_b:
+        x = jnp.pad(x, ((0, pad_b), (0, 0)))
+        st = jnp.pad(st, (0, pad_b))
+    xr = x.reshape(x.shape[0], rows_total, 128)
+
+    basis = demod_basis(
+        config, dtype=x.dtype if x.dtype != jnp.float32 else jnp.float32
+    )
+    j0 = jnp.arange(128)
+    blocks = []
+    for u in range(r_syms):
+        idx = j0 - u * sps
+        ok = (idx >= 0) & (idx < sps)
+        blocks.append(
+            jnp.where(ok[:, None], basis[jnp.clip(idx, 0, sps - 1)], 0.0)
+        )
+    return batch_shape, xr, st, b, bs, sv, pv, pp, r_syms, m, pre, blocks
+
+
+@functools.partial(
+    jax.jit,
+    static_argnums=(0, 3),
+    static_argnames=("start_bound", "batch_tile", "interpret"),
+)
+def demod_at_energies_fused(
+    config: ModemConfig,
+    buffer: jnp.ndarray,
+    start: jnp.ndarray,
+    n_symbols: int,
+    *,
+    start_bound: int | None = None,
+    batch_tile: int | None = None,
+    interpret: bool = False,
+):
+    """Fused timing-align + FULL tone-energy filterbank straight from the
+    stream buffer: f32 [..., n_symbols, num_tones] — the energies twin of
+    demod_at_fused, for consumers that need every tone's energy (soft FEC
+    LLRs — anet.dsp.demod.bit_llrs — need the whole row, not just the
+    winner). Equivalent to (but never materializing)::
+
+        aligned = aligned_gather(buffer, start, t_frame)
+        return tone_energies(config, aligned[..., preamble:])
+
+    Same DMA-span front as demod_at_fused; the epilogue writes raw
+    energies with a basis whose columns are I-block-then-Q-block so the
+    square-add is one op on two 128-aligned lane halves. Kernel-only this
+    is FASTER than the decisions form (11.1 vs 13.4 ms at B=8192 on a
+    v5e) — the decisions kernel stays the uncoded-stream default only
+    because its reduced outputs fuse into the frame parse (see
+    demod_at_fused's body comment).
+
+    Same geometry rules as demod_at_fused (128 % sps == 0). The I/Q half
+    split is cheapest when num_tones * r_syms is a multiple of 128 (the
+    flagship's 16*16=256); narrower geometries still compile — the halves
+    are static lane slices, same as the decisions kernel's per-slot ones."""
+    (batch_shape, xr, st, b, bs, sv, pv, pp, r_syms, m, pre, blocks) = (
+        _demod_at_setup(config, buffer, start, n_symbols, start_bound, batch_tile)
+    )
+    mr = m * r_syms
+    bbase = jnp.concatenate(
+        [blk[:, :m] for blk in blocks] + [blk[:, m:] for blk in blocks],
+        axis=1,
+    ).astype(xr.dtype)  # [128, 2*mr], I-blocks then Q-blocks (u-major)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(xr.shape[0] // bs,),
+        in_specs=[
+            pl.BlockSpec((bs, 1), lambda i, st: (i, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((128, 2 * mr), lambda i, st: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((bs, pv, mr), lambda i, st: (i, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((bs, sv, 128), xr.dtype),
+            pltpu.SemaphoreType.DMA((bs,)),
+        ],
+    )
+    e = pl.pallas_call(
+        functools.partial(
+            _demod_at_energies_kernel,
+            bs=bs, sv=sv, pv=pv, r_syms=r_syms, m=m, pre=pre,
+        ),
+        out_shape=jax.ShapeDtypeStruct((xr.shape[0], pv, mr), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(st, st.reshape(-1, 1), xr, bbase)
+    # flat (group, slot) IS symbol order; merging the two major dims is
+    # layout-free (minor tone axis untouched)
+    e3 = e[:b].reshape(b, pv * r_syms, m)[:, :n_symbols, :]
+    return e3.reshape(batch_shape + (n_symbols, m))
 
 
 @functools.partial(
@@ -1137,56 +1342,19 @@ def demod_at_fused(
     Requires 128 %% samples_per_symbol == 0 (sps <= 128, power-of-two
     fraction); other geometries use the unfused path.
     """
-    sps = config.samples_per_symbol
-    m = config.num_tones
-    if 128 % sps:
-        raise ValueError(f"demod_at_fused needs 128 %% sps == 0, got sps={sps}")
-    r_syms = 128 // sps
-    pre = config.preamble_symbols * sps
-    batch_shape = buffer.shape[:-1]
-    x = buffer.reshape(-1, buffer.shape[-1])
-    st = start.reshape(-1).astype(jnp.int32)
-    b, length = x.shape
-    if length % 128:
-        x = jnp.pad(x, ((0, 0), (0, (-length) % 128)))
-    rows_total = x.shape[-1] // 128
-    # symbol groups: r_syms consecutive symbols per 128-sample row
-    p = -(-n_symbols // r_syms)
-    # output lanes r_syms*pp must tile by 128; slab/iq sublanes by 8
-    gran = 128 // math.gcd(128, r_syms)
-    pp = -(-p // gran) * gran
-    pv = -(-p // 8) * 8
-    # span rows per DMA: pv+1 wanted rows, +1 sublane-rounding, +8 because
-    # the DMA starts at the 8-aligned row at-or-before the coarse row
-    sv = (-(-(pv + 2) // 8)) * 8 + 8
-    if start_bound is None:
-        start_bound = length - pre - n_symbols * sps  # worst legal start
-    hi_max = (start_bound + pre) // 128
-    pad_rows = max(0, hi_max + sv - rows_total)
-    if pad_rows:
-        # correctness fallback (full copy); hot callers pre-pad instead
-        x = jnp.pad(x, ((0, 0), (0, pad_rows * 128)))
-        rows_total += pad_rows
-    bs = batch_tile or DA_STREAM_TILE
-    bs = min(bs, b) if b >= bs else b
-    pad_b = -b % bs
-    if pad_b:
-        x = jnp.pad(x, ((0, pad_b), (0, 0)))
-        st = jnp.pad(st, (0, pad_b))
-    xr = x.reshape(x.shape[0], rows_total, 128)
-
-    basis = demod_basis(config, dtype=x.dtype if x.dtype != jnp.float32 else jnp.float32)
-    j0 = jnp.arange(128)
-    blocks = []
-    for u in range(r_syms):
-        idx = j0 - u * sps
-        ok = (idx >= 0) & (idx < sps)
-        blocks.append(
-            jnp.where(ok[:, None], basis[jnp.clip(idx, 0, sps - 1)], 0.0)
-        )
-    bbase = jnp.concatenate(blocks, axis=1).astype(x.dtype)  # [128, R*2M]
+    (batch_shape, xr, st, b, bs, sv, pv, pp, r_syms, m, pre, blocks) = (
+        _demod_at_setup(config, buffer, start, n_symbols, start_bound, batch_tile)
+    )
+    x = xr  # [Bp, rows_total, 128]
     r2m = 2 * m * r_syms
 
+    # Decisions-in-kernel is the STREAM winner, measured, despite the
+    # energies twin (demod_at_energies_fused) being 2.3 ms faster
+    # kernel-only (11.1 vs 13.4 at B=8192): the energies form needs a
+    # real 3.3 ms argmax/max/sum pass over its [B, pv, r_syms, m] output,
+    # while this form's [B, r_syms, pp] unpack transpose fuses into the
+    # downstream frame parse (bit unpack / byte pack) under jit — the
+    # full stream measured 7425 (decisions) vs 7245 (energies) Msamp/s.
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(x.shape[0] // bs,),
@@ -1205,6 +1373,7 @@ def demod_at_fused(
             pltpu.SemaphoreType.DMA((bs,)),
         ],
     )
+    bbase = jnp.concatenate(blocks, axis=1).astype(x.dtype)  # [128, R*2M]
     tone, best, total = pl.pallas_call(
         functools.partial(
             _demod_at_kernel,

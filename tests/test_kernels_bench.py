@@ -296,6 +296,31 @@ def test_demod_at_fused_matches_gather_demod():
         )
 
 
+def test_demod_at_energies_fused_matches_tone_energies():
+    """The energies twin (full filterbank out, for soft-FEC consumers)
+    reproduces aligned_gather -> tone_energies, f32 and bf16."""
+    from anet.dsp.sync import aligned_gather
+    from anet.kernels import demod_at_energies_fused
+
+    rng = np.random.default_rng(1)
+    sps, pre = CFG.samples_per_symbol, CFG.preamble_symbols
+    for S, dtype in [(536, jnp.float32), (536, jnp.bfloat16), (7, jnp.bfloat16)]:
+        t_frame = (pre + S) * sps
+        B, chunk = 6, 4096
+        buf = jnp.asarray(
+            rng.normal(size=(B, t_frame + chunk)).astype(np.float32)
+        ).astype(dtype)
+        starts = jnp.asarray(rng.integers(0, chunk, B), jnp.int32)
+        aligned = aligned_gather(buf, starts, t_frame).astype(dtype)
+        e = tone_energies(CFG, aligned[..., pre * sps :], compute_dtype=dtype)
+        got = demod_at_energies_fused(CFG, buf, starts, S, interpret=True)
+        assert got.shape == e.shape
+        scale = float(np.abs(np.asarray(e)).max())
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(e), atol=1e-5 * scale
+        )
+
+
 def test_stream_fused_demod_agrees_with_golden(monkeypatch):
     """stream_step's fused align+demod branch (interpret kernels) emits the
     same detections, payloads, and counters as the CPU golden path."""
