@@ -988,7 +988,7 @@ DA_STREAM_TILE = 8  # streams per grid cell (VMEM-sized at stream bench shapes)
 
 def _demod_at_front(
     st_ref, stv_ref, x_hbm, slab_scr, sem, dtype, *,
-    i, bs: int, sv: int, pv: int, pre: int,
+    i, bs: int, sv: int, pv: int, pre: int, ncells: int,
 ):
     """Shared front half of the fused align+demod kernels: per-stream
     span DMA + lane/row alignment. Returns srows [bs, pv, 128] — the
@@ -1001,15 +1001,33 @@ def _demod_at_front(
     VMEM per cell. (The 4% energy error that prompted the rebuild turned
     out to be the bf16-phase basis bug — see demod_basis — not this
     kernel; post-fix, this form measures ~2.5e-7 from float64 on chip.)
+
+    The span copies are DOUBLE-BUFFERED across grid cells (slab_scr and
+    sem carry a leading [2] slot axis): cell i issues cell i+1's copies
+    before waiting on its own, so the per-cell DMA issue+latency (~4 ms
+    of the 13 ms stage at B=8192 — the bisection's dma-only floor) hides
+    behind cell i's matmuls instead of serializing ahead of them.
     """
-    for s in range(bs):
-        hi = (st_ref[i * bs + s] + pre) // 128
-        hi8 = pl.multiple_of((hi // 8) * 8, 8)
-        pltpu.make_async_copy(
-            x_hbm.at[i * bs + s, pl.ds(hi8, sv), :],
-            slab_scr.at[s],
-            sem.at[s],
-        ).start()
+    sl = jax.lax.rem(i, 2)
+    nsl = jax.lax.rem(i + 1, 2)
+
+    def _issue(cell, slot):
+        for s in range(bs):
+            hi = (st_ref[cell * bs + s] + pre) // 128
+            hi8 = pl.multiple_of((hi // 8) * 8, 8)
+            pltpu.make_async_copy(
+                x_hbm.at[cell * bs + s, pl.ds(hi8, sv), :],
+                slab_scr.at[slot, s],
+                sem.at[slot, s],
+            ).start()
+
+    @pl.when(i == 0)
+    def _first():
+        _issue(i, sl)
+
+    @pl.when(i + 1 < ncells)
+    def _next():
+        _issue(i + 1, nsl)
 
     # Shift the SLAB, not the basis. The one-hot matrix sh[s, j, c] =
     # (j == c + lo_s) is the same permutation either way, but applying it
@@ -1036,10 +1054,10 @@ def _demod_at_front(
         hi8 = pl.multiple_of((hi // 8) * 8, 8)
         pltpu.make_async_copy(
             x_hbm.at[i * bs + s, pl.ds(hi8, sv), :],
-            slab_scr.at[s],
-            sem.at[s],
+            slab_scr.at[sl, s],
+            sem.at[sl, s],
         ).wait()
-    slab_all = slab_scr[...]  # [bs, sv, 128]
+    slab_all = slab_scr[sl]  # [bs, sv, 128]
     shifted = (
         jax.lax.dot_general(
             slab_all[:, : sv - 1, :],
@@ -1083,6 +1101,7 @@ def _demod_at_kernel(
     r_syms: int,
     m: int,
     pre: int,
+    ncells: int,
 ):
     """Fused align+demod cell, decisions epilogue (fallback geometries —
     see _demod_at_energies_kernel for the hot form). The residual sub-8
@@ -1092,7 +1111,7 @@ def _demod_at_kernel(
     r2m = 2 * m * r_syms
     srows = _demod_at_front(
         st_ref, stv_ref, x_hbm, slab_scr, sem, bbase_ref.dtype,
-        i=i, bs=bs, sv=sv, pv=pv, pre=pre,
+        i=i, bs=bs, sv=sv, pv=pv, pre=pre, ncells=ncells,
     )
     # shared contraction: every stream's rows hit the same [128, r2m]
     # basis, so the MXU sees one [bs*pv, 128] x [128, r2m] matmul
@@ -1141,6 +1160,7 @@ def _demod_at_energies_kernel(
     r_syms: int,
     m: int,
     pre: int,
+    ncells: int,
 ):
     """Fused align+demod cell, ENERGIES epilogue (demod_at_energies_fused).
 
@@ -1153,7 +1173,7 @@ def _demod_at_energies_kernel(
     mr = m * r_syms
     srows = _demod_at_front(
         st_ref, stv_ref, x_hbm, slab_scr, sem, bbase_ref.dtype,
-        i=i, bs=bs, sv=sv, pv=pv, pre=pre,
+        i=i, bs=bs, sv=sv, pv=pv, pre=pre, ncells=ncells,
     )
     iq = jax.lax.dot_general(
         srows.reshape(bs * pv, 128),
@@ -1279,14 +1299,15 @@ def demod_at_energies_fused(
         ],
         out_specs=pl.BlockSpec((bs, pv, mr), lambda i, st: (i, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((bs, sv, 128), xr.dtype),
-            pltpu.SemaphoreType.DMA((bs,)),
+            pltpu.VMEM((2, bs, sv, 128), xr.dtype),  # double-buffered spans
+            pltpu.SemaphoreType.DMA((2, bs)),
         ],
     )
     e = pl.pallas_call(
         functools.partial(
             _demod_at_energies_kernel,
             bs=bs, sv=sv, pv=pv, r_syms=r_syms, m=m, pre=pre,
+            ncells=xr.shape[0] // bs,
         ),
         out_shape=jax.ShapeDtypeStruct((xr.shape[0], pv, mr), jnp.float32),
         grid_spec=grid_spec,
@@ -1369,8 +1390,8 @@ def demod_at_fused(
             pl.BlockSpec((bs, r_syms * pp), lambda i, st: (i, 0)),
         ),
         scratch_shapes=[
-            pltpu.VMEM((bs, sv, 128), x.dtype),
-            pltpu.SemaphoreType.DMA((bs,)),
+            pltpu.VMEM((2, bs, sv, 128), x.dtype),  # double-buffered spans
+            pltpu.SemaphoreType.DMA((2, bs)),
         ],
     )
     bbase = jnp.concatenate(blocks, axis=1).astype(x.dtype)  # [128, R*2M]
@@ -1384,6 +1405,7 @@ def demod_at_fused(
             r_syms=r_syms,
             m=m,
             pre=pre,
+            ncells=x.shape[0] // bs,
         ),
         out_shape=(
             jax.ShapeDtypeStruct((x.shape[0], r_syms * pp), jnp.int32),
