@@ -838,6 +838,7 @@ def receive_stream(
     compute_dtype=jnp.float32,
     track: bool = False,
     lock: bool = False,
+    resident: bool | None = None,
 ) -> StreamResult:
     """Scan a capture chunk-by-chunk, emitting every frame found.
 
@@ -851,6 +852,18 @@ def receive_stream(
         stream_step); same decoded frames, much faster when frames arrive
         back-to-back (the production case, like the reference's TCP
         framing).
+      resident: capture-RESIDENT lock scan (_receive_stream_resident):
+        the whole capture is already on device, so instead of copying it
+        chunk-by-chunk through a sliding carry buffer (~9 ms/step of
+        pure data movement at the bench size), the probe and the fused
+        demod read the capture in place at absolute positions and the
+        scan carries only counters. Decoded frames are identical. None =
+        auto: on when lock mode, a fresh carry, and the fused-demod
+        geometry apply (TPU, uncoded MFSK, bf16, 128 %% sps == 0).
+        Explicit True with a caller-supplied carry treats the carry's
+        buffer as all-zero history (the init_carry state) — only pass
+        carries whose buffer holds no live samples (e.g. a warm-lock
+        seed); resuming a mid-stream checkpoint needs resident=False.
     Returns:
       StreamResult(final carry, per-chunk outputs stacked along a leading
       chunk axis of the `steps` field).
@@ -859,6 +872,24 @@ def receive_stream(
     if n % chunk_size:
         raise ValueError(f"capture length {n} not a multiple of chunk_size {chunk_size}")
     batch_shape = capture.shape[:-1]
+    if resident is None:
+        resident = (
+            lock
+            and carry is None
+            and _resident_supported(config, compute_dtype, track)
+        )
+    if resident:
+        if not lock:
+            raise ValueError("resident=True requires lock=True")
+        if not _resident_supported(config, compute_dtype, track):
+            raise ValueError(
+                "resident=True needs the fused-demod geometry: TPU backend, "
+                "uncoded MFSK, bfloat16 compute, 128 %% samples_per_symbol == 0"
+            )
+        return _receive_stream_resident(
+            config, capture, chunk_size, payload_len, detect_threshold,
+            compute_dtype, carry,
+        )
     if carry is None:
         carry = init_carry(
             config, chunk_size, payload_len, batch_shape, track, dtype=compute_dtype
@@ -883,3 +914,217 @@ def receive_stream(
 
     final_carry, outs = jax.lax.scan(step, carry, jnp.arange(num_chunks))
     return StreamResult(carry=final_carry, steps=outs)
+
+
+def _resident_supported(config, compute_dtype, track: bool) -> bool:
+    """The capture-resident lock scan needs the fused DMA-span demod:
+    TPU backend, uncoded MFSK, bf16 compute, 128 % sps == 0 (mirrors
+    stream_step's `fused` gate), and no symbol-clock tracking."""
+    from anet.dsp.family import is_ofdm
+
+    return (
+        jax.default_backend() == "tpu"
+        and not is_ofdm(config)
+        and getattr(config, "fec", "none") == "none"
+        and 128 % config.samples_per_symbol == 0
+        and jnp.dtype(compute_dtype) == jnp.dtype(jnp.bfloat16)
+        and not track
+    )
+
+
+def _receive_stream_resident(
+    config,
+    capture: jnp.ndarray,
+    chunk_size: int,
+    payload_len: int,
+    detect_threshold: float,
+    compute_dtype,
+    carry: StreamCarry | None,
+    interpret: bool = False,
+) -> StreamResult:
+    """Capture-resident frame-lock scan — the slide-free fast path.
+
+    The chunked-carry scan exists to model a receiver that sees one chunk
+    at a time; when the caller hands the WHOLE capture to receive_stream,
+    sliding it chunk-by-chunk through a carry buffer is pure overhead:
+    at the bench geometry the slide concat + chunk slice move ~1.7 GB of
+    HBM per step (~9 ms) to give the kernels a contiguous window they do
+    not need — the probe and demod_at_fused already read per-stream spans
+    from HBM by absolute index. Here the capture is padded ONCE
+    (t_frame zeros of history on the left — exactly the zero-initialized
+    carry buffer's state — and the demod span pad on the right) and the
+    scan carries only counters and lock state.
+
+    Equivalence with the carry path: position arithmetic maps buffer
+    index b of step i to padded-capture index i*chunk + b, so candidate
+    windows, dedupe, probe clipping, and the search-on-miss cond mirror
+    _find_candidate_locked line for line; a CPU interpret test pins the
+    decoded frames equal. The returned carry materializes the sliding
+    buffer (one slice of the capture tail) so checkpoint/resume works
+    unchanged.
+
+    The reference analog is unchanged (network.cpp:409-430 ->
+    playback.cpp:80-143): this is the same receiver, minus copies the
+    functional formulation had introduced.
+
+    MEASURED OUTCOME on this TPU runtime (why bench.py does NOT use it):
+    end-to-end it is SLOWER than the carry path (7488 vs 9236 Msamp/s,
+    warm-locked, B=8192) even though it removes a measured ~9 ms/step of
+    slide+slice copies — demod_at_fused's per-call cost scales with the
+    SIZE of its HBM operand (19.9 ms on a 1-chunk buffer, 26.6 on 3,
+    40.6 on 7 — same spans, same starts; docs/PERF.md round-3 resident
+    section), so handing the kernel the whole capture costs more than the
+    copies saved. Kept (tested, checkpoint-compatible) for runtimes
+    without that pathology and as the measured record.
+    """
+    from anet.dsp.frame import (
+        data_symbols_for_payload,
+        frame_result_from_tone_decisions,
+    )
+    from anet.dsp.sync import preamble_quality_probe
+    from anet.kernels import demod_at_buffer_pad, demod_at_fused, sync_search_fused
+
+    n = capture.shape[-1]
+    num_chunks = n // chunk_size
+    batch_shape = capture.shape[:-1]
+    t_frame, template, _demod = family_geometry(config, payload_len, compute_dtype)
+    if chunk_size > t_frame:
+        raise ValueError("resident scan needs chunk_size <= frame length")
+    k = template.shape[-1]
+    t_c = template.astype(compute_dtype)
+    t_energy = jnp.sum(t_c.astype(jnp.float32) ** 2)
+    n_symbols = data_symbols_for_payload(config, payload_len)
+
+    if carry is None:
+        carry = init_carry(
+            config, chunk_size, payload_len, batch_shape, False,
+            dtype=compute_dtype,
+        )
+
+    # One-time pad: t_frame zeros of left history (the carry buffer's
+    # initial state) + the demod-span tail on the right. Padded index
+    # p = stream-absolute index + t_frame. The demod start bound covers
+    # probe-refined starts, whose window clip can land ~4*128 past n.
+    bound_p = n + 512
+    right = demod_at_buffer_pad(
+        config, n_symbols, start_bound=bound_p, live_length=t_frame + n
+    )
+    right = max(right, k + 4 * 128)
+    # keep the padded capture lane-aligned or demod_at_fused pads a full
+    # copy per step
+    right += (-(t_frame + n + right)) % 128
+    zshape_l = batch_shape + (t_frame,)
+    zshape_r = batch_shape + (right,)
+    xcap = jnp.concatenate(
+        [
+            jnp.zeros(zshape_l, compute_dtype),
+            capture.astype(compute_dtype),
+            jnp.zeros(zshape_r, compute_dtype),
+        ],
+        axis=-1,
+    )
+    # probe window: covers every clipped probe position of one step
+    wlen = chunk_size + k + 4 * 128
+
+    def step(c, i):
+        w0p = i * chunk_size + 1  # padded index of the window's first start
+        pred_p = c.next_start + t_frame
+        in_win = c.locked & (pred_p >= w0p) & (pred_p < w0p + chunk_size)
+        mid_flight = c.locked & (pred_p >= w0p + chunk_size)
+
+        # probe on a sliced window (bounded cost; positions outside the
+        # window belong to streams whose probe result is ignored)
+        base0 = jnp.maximum(w0p - 128, 0)
+        win = jax.lax.dynamic_slice_in_dim(xcap, base0, wlen, axis=-1)
+        probe_at = jnp.clip(pred_p - base0, 0, chunk_size + 256)
+        q5, st0w = preamble_quality_probe(
+            win, probe_at, t_c, t_energy, n_lags=PROBE_LAGS,
+            compute_dtype=compute_dtype, start_bound=chunk_size + 256,
+        )
+        st0_p = base0 + st0w
+        probe_q = jnp.max(q5, axis=-1)
+        probe_off = jnp.argmax(q5, axis=-1).astype(jnp.int32)
+        pred_valid = in_win & (probe_q >= detect_threshold)
+
+        need_search = jnp.any(~(pred_valid | mid_flight))
+
+        def do_search(_):
+            seg = jax.lax.dynamic_slice_in_dim(
+                xcap, w0p, chunk_size + k - 1, axis=-1
+            )
+            if (
+                jax.default_backend() == "tpu" and chunk_size % 128 == 0
+            ) or interpret:
+                bq, br = sync_search_fused(
+                    seg, t_c, chunk_size, t_energy, interpret=interpret
+                )
+                return bq, br.astype(jnp.int32)
+            corr = correlate_template(seg, t_c, method="matmul")
+            quality = blockwise_match_quality(seg, corr, k, t_energy)
+            return (
+                jnp.max(quality, axis=-1),
+                jnp.argmax(quality, axis=-1).astype(jnp.int32),
+            )
+
+        def skip_search(_):
+            z = jnp.zeros(c.samples_seen.shape, jnp.float32)
+            return z, jnp.zeros(c.samples_seen.shape, jnp.int32)
+
+        best_q, best_rel = jax.lax.cond(need_search, do_search, skip_search, None)
+
+        refined_p = st0_p + probe_off
+        start_p = jnp.where(pred_valid, refined_p, w0p + best_rel)
+        start_abs = start_p - t_frame
+        quality = jnp.where(pred_valid, probe_q, best_q)
+        searched_ok = (best_q >= detect_threshold) & (
+            (w0p + best_rel - t_frame) >= c.last_frame_end
+        )
+        candidate = pred_valid | (~mid_flight & searched_ok)
+
+        tone, best, total = demod_at_fused(
+            config, xcap, start_p, n_symbols,
+            start_bound=bound_p, interpret=interpret,
+        )
+        frame = frame_result_from_tone_decisions(
+            config, tone, best, total, payload_len
+        )
+        detected = candidate & frame.magic_ok & frame.header_crc_ok
+        frame = frame._replace(ok=frame.ok & detected)
+
+        locked_new = detected | mid_flight
+        next_start_new = jnp.where(detected, start_abs + t_frame, c.next_start)
+        new_c = StreamCarry(
+            buffer=c.buffer,  # placeholder scalar; materialized at the end
+            samples_seen=c.samples_seen + chunk_size,
+            last_frame_end=jnp.where(
+                detected, start_abs + t_frame, c.last_frame_end
+            ),
+            frames_detected=c.frames_detected + detected.astype(jnp.int32),
+            frames_ok=c.frames_ok + frame.ok.astype(jnp.int32),
+            decode_errors=c.decode_errors
+            + (detected & ~frame.ok).astype(jnp.int32),
+            locked=locked_new,
+            next_start=next_start_new,
+        )
+        out = StreamStepOutput(
+            frame=frame, detected=detected, quality=quality,
+            frame_start=start_abs,
+        )
+        return new_c, out
+
+    # the scan carries a DUMMY scalar in the buffer slot so the 1+ GB
+    # sliding window never rides the carry; the real buffer is cut from
+    # the capture tail afterwards (checkpoint/resume compatibility)
+    carry0 = carry._replace(buffer=jnp.zeros((), compute_dtype))
+    final_c, outs = jax.lax.scan(step, carry0, jnp.arange(num_chunks))
+
+    live = t_frame + chunk_size
+    length = _buffer_len(config, chunk_size, payload_len, False)
+    tail = jax.lax.slice_in_dim(
+        xcap, n + t_frame - live, n + t_frame, axis=-1
+    )
+    buffer = jnp.concatenate(
+        [tail, jnp.zeros(batch_shape + (length - live,), compute_dtype)],
+        axis=-1,
+    )
+    return StreamResult(carry=final_c._replace(buffer=buffer), steps=outs)

@@ -122,6 +122,41 @@ def test_lock_engages_and_skips_search():
     assert (q[det] > 0.9).all()
 
 
+@pytest.mark.parametrize("layout", ["contiguous", "random_gaps"])
+def test_resident_equals_carry_lock(layout):
+    """The capture-resident lock scan (no sliding carry buffer; kernels
+    read the padded capture in place) decodes the same frames as the
+    chunked-carry path, and its returned carry materializes the same
+    sliding buffer so checkpoint/resume stays compatible."""
+    from anet.stream import _receive_stream_resident
+
+    rng = np.random.default_rng(0x7E5 + hash(layout) % 1000)
+    b, n_frames = 3, 5
+    payloads = rng.integers(0, 256, (b, n_frames, PAY), dtype=np.uint8)
+    if layout == "contiguous":
+        gaps = [[450] + [0] * (n_frames - 1) for _ in range(b)]
+    else:
+        gaps = [
+            [int(g) for g in rng.integers(0, 3 * CHUNK, n_frames)]
+            for _ in range(b)
+        ]
+    cap = _build_capture(rng, gaps, payloads).astype(jnp.bfloat16)
+    r0 = receive_stream(CFG, cap, CHUNK, PAY, lock=True, compute_dtype=jnp.bfloat16)
+    r1 = _receive_stream_resident(
+        CFG, cap, CHUNK, PAY, 0.45, jnp.bfloat16, None, interpret=True
+    )
+    _assert_equal_results(r0, r1, b * n_frames)
+    np.testing.assert_array_equal(
+        np.asarray(r0.carry.buffer, np.float32),
+        np.asarray(r1.carry.buffer, np.float32),
+    )
+    for f in ("samples_seen", "last_frame_end", "frames_detected", "locked",
+              "next_start"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(r0.carry, f)), np.asarray(getattr(r1.carry, f))
+        )
+
+
 def test_lock_unlocks_on_stream_end_and_reacquires():
     rng = np.random.default_rng(11)
     payloads = rng.integers(0, 256, (1, 4, PAY), dtype=np.uint8)
