@@ -17,7 +17,22 @@ from __future__ import annotations
 
 import os
 
-DEFAULT_DIR = os.path.expanduser("~/.cache/anet-jax")
+# The cache lives IN THE REPO (committed) so a fresh checkout starts warm:
+# the driver's bench capture runs in a cold environment where ~/.cache is
+# empty, and a cold compile of the bench matrix through the remote tunnel
+# exceeds the bench watchdog (the round-3 artifact silently degraded to a
+# CPU run because of exactly this). Falls back to ~/.cache when the repo
+# tree is missing or read-only.
+_REPO_ROOT = os.path.dirname(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+_HOME_DIR = os.path.expanduser("~/.cache/anet-jax")
+DEFAULT_DIR = (
+    os.path.join(_REPO_ROOT, ".jax_cache")
+    # only when anet runs from a source checkout (not an installed package)
+    if os.path.exists(os.path.join(_REPO_ROOT, "bench.py"))
+    else _HOME_DIR
+)
 
 
 def enable(cache_dir: str | None = None) -> None:
@@ -42,6 +57,12 @@ def enable(cache_dir: str | None = None) -> None:
     if platforms == "cpu" and not os.environ.get("ANET_CPU_COMPILE_CACHE"):
         return
     path = cache_dir or os.environ.get("ANET_COMPILE_CACHE", DEFAULT_DIR)
-    os.makedirs(path, exist_ok=True)
+    try:
+        os.makedirs(path, exist_ok=True)
+    except OSError:
+        # read-only checkout: fall back to the home cache (still useful
+        # within one machine; just not pre-warmed)
+        path = _HOME_DIR
+        os.makedirs(path, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", path)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

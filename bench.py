@@ -23,7 +23,11 @@ path, so a regression in any of them is driver-visible, not prose-only):
   aligned:ofdm-fast            OFDM family aligned demod (clock-tracked)
   aligned:mfsk4-coded          convolutional-coded MFSK (Viterbi kernel)
   stream:ofdm-fast             OFDM streaming receive path (frame-lock)
+  stream:mfsk4-coded           coded streaming fast path (frame-lock;
+                               energies kernel -> soft LLRs -> Viterbi)
   stream-dynamic:mfsk16-fast   variable-length streaming receive path
+  stream-dynamic-lock:...      dynamic frame-lock: header lengths predict
+                               each next start, back-to-back mixed frames
 
 Baseline: the reference system's steady-state throughput is its real-time
 operating point — 96 ksamples/s (48 kHz stereo, playback.cpp:9) per
@@ -98,6 +102,13 @@ def measure_stream(
     chunk = int(os.environ.get("ANET_BENCH_STREAM_CHUNK", "32768"))
     t_frame = family.frame_samples(cfg, payload_len)
     chunk = min(chunk, t_frame)  # chunk <= frame: no frame can be skipped
+    lens = [payload_len // 4, payload_len, payload_len // 2]
+    if dynamic and lock:
+        # dynamic lock layout: back-to-back mixed-length frames; at most
+        # one frame completes per chunk needs chunk <= the minimum ACTUAL
+        # frame length (stream_step_dynamic's lock contract)
+        t_min = family.frame_samples(cfg, min(lens))
+        chunk = min(chunk, t_min // 128 * 128)
 
     rng = np.random.default_rng(0)
     if lock:
@@ -107,19 +118,50 @@ def measure_stream(
         gap0, gap, nframes = 1000, 1000, 3
     per = gap + t_frame
     total = -(-(gap0 - gap + nframes * per) // chunk) * chunk
-    cap = np.zeros((batch, total), np.float32)
-    if dynamic:
+    # Build DISTINCT streams for a small sub-batch and tile it to the full
+    # batch ON DEVICE: host-side construction + tunnel transfer of the
+    # full (batch, total) capture measured ~minutes per entry at 7.5 GB —
+    # it alone blew the bench's extras budget even with a warm compile
+    # cache. The demodulator's cost is data-independent and frames_ok
+    # still verifies every stream x frame by CRC.
+    distinct = batch if batch < 64 else 64
+    assert batch % distinct == 0
+    cap = np.zeros((distinct, total), np.float32)
+    if dynamic and lock:
+        # back-to-back mixed-length frames: the decoded header's length
+        # predicts each next start exactly (dynamic frame-lock)
+        pos = gap0
+        frame_lens = [lens[i % len(lens)] for i in range(nframes)]
+        total = 0  # recomputed below from the actual layout
+        for plen in frame_lens:
+            payloads = jnp.asarray(
+                rng.integers(0, 256, (distinct, plen), dtype=np.uint8)
+            )
+            w = np.asarray(jax.jit(family.transmit_fn(cfg))(payloads), np.float32)
+            end = pos + w.shape[-1]
+            if end > cap.shape[-1]:
+                cap = np.concatenate(
+                    [cap, np.zeros((distinct, end - cap.shape[-1]), np.float32)],
+                    axis=1,
+                )
+            cap[:, pos:end] = w
+            pos = end
+        # a full max-length window must fit past the last frame start
+        total = -(-(pos + t_frame) // chunk) * chunk
+        cap = np.concatenate(
+            [cap, np.zeros((distinct, total - cap.shape[-1]), np.float32)], axis=1
+        ) if cap.shape[-1] < total else cap[:, :total]
+    elif dynamic:
         # alternate short/max payloads; every slot still fits t_frame
-        lens = [payload_len // 4, payload_len, payload_len // 2]
         for i, plen in enumerate(lens[:nframes]):
             payloads = jnp.asarray(
-                rng.integers(0, 256, (batch, plen), dtype=np.uint8)
+                rng.integers(0, 256, (distinct, plen), dtype=np.uint8)
             )
             w = np.asarray(jax.jit(family.transmit_fn(cfg))(payloads), np.float32)
             cap[:, gap0 + i * per : gap0 + i * per + w.shape[-1]] = w
     else:
         payloads = jnp.asarray(
-            rng.integers(0, 256, (batch, payload_len), dtype=np.uint8)
+            rng.integers(0, 256, (distinct, payload_len), dtype=np.uint8)
         )
         wave = np.asarray(jax.jit(family.transmit_fn(cfg))(payloads), np.float32)
         for i in range(nframes):
@@ -129,10 +171,24 @@ def measure_stream(
     # a production ingest path would quantize once at the edge. Keeping
     # the f32->bf16 cast inside the timed loop re-read 7.5 GB of f32
     # capture per iteration (~4 ms/step of pure ingest recast).
-    capture = jax.jit(lambda x: x.astype(jnp.bfloat16))(jnp.asarray(cap))
+    capture = jax.jit(
+        lambda x: jnp.tile(x, (batch // distinct, 1)).astype(jnp.bfloat16)
+    )(jnp.asarray(cap))
+    capture.block_until_ready()
 
     warm_carry = None
-    if lock and not dynamic:
+    if lock and dynamic:
+        # same steady-state seeding as the fixed-length lock entry: the
+        # carry enters locked at the first frame's known position; the
+        # probe + header CRC still gate every prediction
+        warm_carry = stream.init_carry(
+            cfg, chunk, payload_len, (batch,), dtype=jnp.bfloat16
+        )
+        warm_carry = warm_carry._replace(
+            locked=jnp.ones((batch,), jnp.bool_),
+            next_start=jnp.full((batch,), gap0, warm_carry.next_start.dtype),
+        )
+    elif lock and not dynamic:
         # Steady-state seeding: a production receiver is locked for the
         # life of the connection (the reference's TCP reader never
         # re-syncs — network.cpp:409-430), so the headline measures the
@@ -156,7 +212,8 @@ def measure_stream(
         @jax.jit
         def run(capture):
             res = stream.receive_stream_dynamic(
-                cfg, capture, chunk, payload_len, compute_dtype=jnp.bfloat16
+                cfg, capture, chunk, payload_len, compute_dtype=jnp.bfloat16,
+                carry=warm_carry, lock=lock,
             )
             return res.carry.frames_ok.sum()
 
@@ -179,7 +236,10 @@ def measure_stream(
     iters = int(os.environ.get("ANET_BENCH_STREAM_ITERS", "2" if on_cpu else "10"))
     dt, ok_count = _bench_loop(run, capture, iters)
     msamples_s = batch * total * iters / dt / 1e6
-    name = "stream-dynamic" if dynamic else ("stream" if lock else "stream-search")
+    if dynamic:
+        name = "stream-dynamic-lock" if lock else "stream-dynamic"
+    else:
+        name = "stream" if lock else "stream-search"
     metric = (
         "stream_throughput_per_chip"
         if not dynamic and lock and model_name == "mfsk16-fast"
@@ -191,6 +251,7 @@ def measure_stream(
         "unit": "Msamples/s",
         "vs_baseline": round(msamples_s / BASELINE_MSAMPLES_S, 1),
         "details": {
+            "backend": jax.default_backend(),
             "batch_streams": batch,
             "chunk_size": chunk,
             "capture_samples": total,
@@ -319,6 +380,13 @@ def main() -> None:
     record = measure_aligned(model, payload_len, batch=batch, iters=iters)
     record["metric"] = "demod_throughput_per_chip"
     record["details"]["modem"] = model
+    # Emit the headline IMMEDIATELY (and again, enriched, after every
+    # completed extra): the consumer reads the LAST JSON line, so even if
+    # a later compile blows the watchdog, everything measured so far is
+    # already a complete, parseable record on stdout. This is what keeps
+    # a cold-cache run from degrading the whole artifact (round 3's
+    # BENCH_r03 silently became a CPU run this way).
+    print(json.dumps(record), flush=True)
 
     # The measured matrix: every production path as its own entry, so the
     # driver sees regressions the headline alone would hide. Guarded per
@@ -349,28 +417,68 @@ def main() -> None:
                 "stream:ofdm-fast",
                 lambda: measure_stream("ofdm-fast", payload_len, lock=True),
             ),
+            # coded streaming fast path (round 4): the robust preset's
+            # stream through demod_at_energies_fused -> LLRs -> Viterbi
+            (
+                "stream:mfsk4-coded",
+                lambda: measure_stream("mfsk4-coded", payload_len, lock=True),
+            ),
             (
                 "stream-dynamic",
                 lambda: measure_stream(model, payload_len, dynamic=True),
             ),
+            # dynamic frame-lock (round 4): header-declared lengths predict
+            # each next start; back-to-back mixed-length layout
+            (
+                "stream-dynamic-lock",
+                lambda: measure_stream(model, payload_len, dynamic=True, lock=True),
+            ),
         ]
         extras = []
+        record["extra_metrics"] = extras
         for name, fn in matrix:
             if time.perf_counter() - t_start > EXTRA_BUDGET_S:
                 extras.append({"metric": name, "skipped": "time budget"})
                 continue
+            t_entry = time.perf_counter()
             try:
                 extras.append(fn())
             except Exception as e:  # one bad path must not hide the rest
                 extras.append(
                     {"metric": name, "error": f"{type(e).__name__}: {str(e)[:200]}"}
                 )
-        record["extra_metrics"] = extras
-    print(json.dumps(record))
+            print(
+                f"[bench] {name}: {time.perf_counter() - t_entry:.0f}s "
+                f"(elapsed {time.perf_counter() - t_start:.0f}s)",
+                file=sys.stderr,
+                flush=True,
+            )
+            # re-emit the full record after every entry (see headline emit)
+            print(json.dumps(record), flush=True)
+    print(json.dumps(record), flush=True)
+
+
+def _last_json_line(text) -> str | None:
+    """The most complete record the inner process managed to emit — it
+    prints the full (cumulative) record after the headline and after every
+    completed extra, so the last JSON line is always the best one."""
+    if isinstance(text, bytes):
+        text = text.decode("utf-8", "replace")
+    last = None
+    for line in (text or "").splitlines():
+        if line.startswith("{"):
+            last = line
+    return last
 
 
 def main_with_watchdog() -> None:
-    """Run the measurement in a subprocess; on hang/crash, fall back to CPU."""
+    """Run the measurement in a subprocess; on hang/crash, fall back to CPU.
+
+    A watchdog TIMEOUT is not a total loss: the inner process emits a
+    complete JSON record incrementally (headline first, then after every
+    extra), so the partial stdout captured at kill time still carries
+    every metric measured before the hang — rescue it rather than
+    degrading to a CPU run (the round-3 artifact's failure mode)."""
     env = dict(os.environ, ANET_BENCH_INNER="1")
     for attempt_env, label in ((env, "primary"), ({**env, "ANET_BENCH_CPU": "1"}, "cpu-fallback")):
         try:
@@ -381,19 +489,22 @@ def main_with_watchdog() -> None:
                 text=True,
                 timeout=WATCHDOG_S,
             )
-        except subprocess.TimeoutExpired:
+            out, err, rc = proc.stdout, proc.stderr, proc.returncode
+        except subprocess.TimeoutExpired as e:
             print(
-                f"bench {label} attempt exceeded {WATCHDOG_S}s watchdog",
+                f"bench {label} attempt exceeded {WATCHDOG_S}s watchdog; "
+                "rescuing partial output",
                 file=sys.stderr,
             )
-            continue
-        for line in proc.stdout.splitlines():
-            if line.startswith("{"):
-                print(line)
-                return
+            out, err, rc = e.stdout, e.stderr, None
+        line = _last_json_line(out)
+        if line:
+            print(line)
+            return
+        err_txt = err if isinstance(err, str) else (err or b"").decode("utf-8", "replace")
         print(
             f"bench {label} attempt produced no result "
-            f"(rc={proc.returncode}): {proc.stderr[-400:]}",
+            f"(rc={rc}): {err_txt[-400:]}",
             file=sys.stderr,
         )
     # Both attempts failed: emit a parseable failure record.
