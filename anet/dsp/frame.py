@@ -401,6 +401,42 @@ def frame_result_from_bits_dynamic(
     )
 
 
+def dynamic_frame_result_from_tone_decisions(
+    config: ModemConfig,
+    tone: jnp.ndarray,
+    best: jnp.ndarray,
+    total: jnp.ndarray,
+    max_payload_len: int,
+) -> DynamicFrameResult:
+    """Variable-length parse from reduced decisions — the dynamic twin of
+    frame_result_from_tone_decisions, consuming the fused kernels'
+    (tone, best, total) contract (anet.kernels.demod_at_fused) so the
+    streaming receiver's dynamic path can skip the aligned gather too.
+
+    Quality metrics use only the overhead-symbol span (the only span
+    guaranteed to carry signal at any payload length), with the same
+    numerics as demodulate_frame_dynamic's estimate_snr_db tail.
+    """
+    from anet.dsp.bits import gray_decode
+
+    if getattr(config, "fec", "none") != "none":
+        raise ValueError("dynamic payload length requires fec='none'")
+    m = config.num_tones
+    s_min = data_symbols_for_payload(config, 0)  # overhead-only span
+    b = best[..., :s_min]
+    t = total[..., :s_min]
+    confidence = jnp.mean(b / jnp.maximum(t, 1e-20), axis=-1)
+    rest = (t - b) / (m - 1)
+    sig = jnp.mean(b, axis=-1)
+    noise = jnp.maximum(jnp.mean(rest, axis=-1), jnp.float32(1e-20))
+    snr_db = 10.0 * jnp.log10(jnp.maximum(sig / noise - 1.0, jnp.float32(1e-6)))
+    symbols = gray_decode(tone, config.bits_per_symbol)
+    bits = unpack_symbols(symbols, config.bits_per_symbol)
+    return frame_result_from_bits_dynamic(
+        config, bits, max_payload_len, confidence=confidence, snr_db=snr_db
+    )
+
+
 def demodulate_frame_dynamic(
     config: ModemConfig,
     samples: jnp.ndarray,

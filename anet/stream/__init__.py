@@ -264,11 +264,36 @@ def stream_step(
         fused = (
             jax.default_backend() == "tpu"
             and not is_ofdm(config)
-            and config.fec != "conv"
             and 128 % config.samples_per_symbol == 0
             and buffer.dtype == jnp.bfloat16
         )
-        if fused:
+        if fused and config.fec == "conv":
+            # Fused CODED path: same DMA-span alignment fold, but through
+            # the energies twin (anet.kernels.demod_at_energies_fused) —
+            # soft FEC LLRs (anet.dsp.demod.bit_llrs) need every tone's
+            # energy, not just the winner. Energies -> LLRs -> the Viterbi
+            # kernel is exactly the aligned coded receiver; only the
+            # gather disappears. Robust-mode streams previously paid the
+            # slow gather+demod pair here — the one production path that
+            # missed the round-3 fusion.
+            from anet.dsp.demod import decide_symbols
+            from anet.dsp.frame import (
+                data_symbols_for_payload,
+                frame_result_from_decisions,
+            )
+            from anet.kernels import demod_at_energies_fused
+
+            energies = demod_at_energies_fused(
+                config,
+                buffer,
+                start_idx,
+                data_symbols_for_payload(config, payload_len),
+                start_bound=chunk_size,
+            )
+            frame = frame_result_from_decisions(
+                config, decide_symbols(config, energies), energies, payload_len
+            )
+        elif fused:
             # Fused align+demod (anet.kernels.demod_at_fused): the aligned
             # frame tensor never exists in HBM — the timing gather is folded
             # into the filterbank contraction, so the only frame-sized HBM
@@ -663,6 +688,7 @@ def stream_step_dynamic(
     detect_threshold: float = DEFAULT_DETECT_THRESHOLD,
     compute_dtype=jnp.float32,
     max_frames_per_chunk: int = 1,
+    lock: bool = False,
 ) -> Tuple[StreamCarry, DynamicStreamStepOutput]:
     """stream_step with the payload length read from each frame's header.
 
@@ -688,6 +714,15 @@ def stream_step_dynamic(
     A frame whose header declares a length above ``max_payload_len`` is
     skipped silently (its header gate fails ``length_ok``); later frames
     in the stream are unaffected.
+
+    ``lock=True`` (single-candidate only) is frame-lock mode for dynamic
+    frames: the CRC-protected header declares each frame's length, so the
+    next start is exactly ``start + dynamic_frame_samples(length)`` — the
+    same trust-the-framing argument as the reference's varint length
+    prefix (network.cpp:409-430, lock mode's own anchor). Locked streams
+    verify the prediction with the cheap probe (±2-sample servo); the
+    full search runs under ``lax.cond`` only when some stream needs
+    acquiring, exactly as in the fixed-length lock mode.
     """
     from anet.dsp.family import aligned_demod_dynamic_fn, frame_samples
     from anet.dsp.frame import dynamic_frame_samples
@@ -695,19 +730,80 @@ def stream_step_dynamic(
     t_max = frame_samples(config, max_payload_len)
     template = family_geometry(config, max_payload_len, compute_dtype)[1]
     _check_carry_geometry(config, carry, chunk.shape[-1], max_payload_len, False)
-    if max_frames_per_chunk == 1:
+    mid_flight = None
+    if lock:
+        if max_frames_per_chunk != 1:
+            raise ValueError(
+                "lock=True needs max_frames_per_chunk=1 (a locked stream "
+                "predicts exactly one next frame; use chunk_size <= the "
+                "minimum frame length so at most one frame completes per "
+                "chunk)"
+            )
+        # Same locked front half as the fixed-length path: the window
+        # geometry only depends on the MAX frame length; the prediction
+        # itself came from the previous frame's declared length.
+        (
+            buffer,
+            samples_seen,
+            best1_idx,
+            _start_abs,
+            best1_q,
+            candidate1,
+            mid_flight,
+        ) = _find_candidate_locked(
+            carry, chunk, t_max, template, detect_threshold, compute_dtype
+        )
+        w0 = 1
+        buffer_abs0 = samples_seen - (t_max + chunk.shape[-1])
+        best1_rel = best1_idx - w0
+        quality = None
+    elif max_frames_per_chunk == 1:
         # Single-candidate: the fused sync search (no [..., chunk_size]
         # quality array is ever materialized — see _search_best).
         buffer, samples_seen, w0, buffer_abs0, best1_q, best1_rel = _search_best(
             carry, chunk, t_max, template, 0, compute_dtype
         )
+        candidate1 = None
         quality = None
     else:
         buffer, samples_seen, w0, buffer_abs0, quality = _slide_and_quality(
             carry, chunk, t_max, template, 0, compute_dtype
         )
+        candidate1 = None
     demod = aligned_demod_dynamic_fn(config, max_payload_len, compute_dtype)
     chunk_size = chunk.shape[-1]
+
+    from anet.dsp.family import is_ofdm
+    from anet.dsp.frame import data_symbols_for_payload
+
+    fused = (
+        jax.default_backend() == "tpu"
+        and not is_ofdm(config)
+        and getattr(config, "fec", "none") == "none"
+        and 128 % config.samples_per_symbol == 0
+        and buffer.dtype == jnp.bfloat16
+    )
+    n_sym_max = (
+        data_symbols_for_payload(config, max_payload_len) if fused else 0
+    )
+
+    def demod_at(start_idx):
+        """Max-window demod at a buffer index: the fused DMA-span kernel on
+        the TPU hot path (the aligned max-length frame never exists in
+        HBM), the gather + demod golden pair elsewhere."""
+        if fused:
+            from anet.dsp.frame import dynamic_frame_result_from_tone_decisions
+            from anet.kernels import demod_at_fused
+
+            tone, best, total = demod_at_fused(
+                config, buffer, start_idx, n_sym_max, start_bound=chunk_size
+            )
+            return dynamic_frame_result_from_tone_decisions(
+                config, tone, best, total, max_payload_len
+            )
+        aligned = _batched_dynamic_slice(buffer, start_idx, t_max, compute_dtype)
+        return demod(aligned)
+
     rel_grid = jnp.arange(chunk_size, dtype=jnp.int32)
     pos_abs = buffer_abs0[..., None] + w0 + rel_grid  # abs start per position
 
@@ -727,9 +823,15 @@ def stream_step_dynamic(
             best_q = jnp.max(quality, axis=-1)
         start_idx = w0 + best_rel
         start_abs = buffer_abs0 + start_idx
-        candidate = (best_q >= detect_threshold) & (start_abs >= carry.last_frame_end)
-        aligned = _batched_dynamic_slice(buffer, start_idx, t_max, compute_dtype)
-        frame = demod(aligned)
+        if candidate1 is not None:
+            # lock mode: probe-validated prediction or searched candidate,
+            # dedupe already applied by _find_candidate_locked
+            candidate = candidate1
+        else:
+            candidate = (best_q >= detect_threshold) & (
+                start_abs >= carry.last_frame_end
+            )
+        frame = demod_at(start_idx)
         # The header gate (magic + CRC, 48 bits) also vouches for the
         # declared length, so the dedupe cursor can trust it.
         detected = candidate & frame.magic_ok & frame.header_crc_ok & frame.length_ok
@@ -762,6 +864,17 @@ def stream_step_dynamic(
             picked = rel_grid == best_rel[..., None]
             quality = jnp.where(covered | picked, -jnp.inf, quality)
 
+    if lock:
+        # a detection (re)locks the stream with the next start predicted
+        # from the DECLARED length (header CRC vouches for it); a
+        # mid-flight prediction keeps its lock; everything else re-acquires
+        # by full search next chunk — same semantics as stream_step's lock
+        start0, end0, det0 = accepted[0]
+        locked_new = det0 | mid_flight
+        next_start_new = jnp.where(det0, end0, carry.next_start)
+    else:
+        locked_new = carry.locked
+        next_start_new = carry.next_start
     new_carry = StreamCarry(
         buffer=buffer,
         samples_seen=samples_seen,
@@ -769,8 +882,8 @@ def stream_step_dynamic(
         frames_detected=carry.frames_detected + detected_n,
         frames_ok=carry.frames_ok + ok_n,
         decode_errors=carry.decode_errors + err_n,
-        locked=carry.locked,
-        next_start=carry.next_start,
+        locked=locked_new,
+        next_start=next_start_new,
     )
     if max_frames_per_chunk == 1:
         return new_carry, outs[0]
@@ -787,6 +900,7 @@ def receive_stream_dynamic(
     carry: StreamCarry | None = None,
     compute_dtype=jnp.float32,
     max_frames_per_chunk: int = 1,
+    lock: bool = False,
 ) -> StreamResult:
     """receive_stream with per-frame payload lengths from the headers.
 
@@ -795,6 +909,12 @@ def receive_stream_dynamic(
     ``max_frames_per_chunk > 1`` decodes that many non-overlapping frames
     per chunk (see stream_step_dynamic) — the steps then carry a per-chunk
     candidate axis: steps.detected is [num_chunks, K, ...].
+
+    ``lock=True`` is dynamic frame-lock (see stream_step_dynamic): the
+    header-declared length predicts the next frame start exactly, so
+    back-to-back mixed-length frames stream at probe cost. Use
+    chunk_size <= the minimum expected frame length so at most one frame
+    completes per chunk.
     """
     n = capture.shape[-1]
     if n % chunk_size:
@@ -822,6 +942,7 @@ def receive_stream_dynamic(
             detect_threshold,
             compute_dtype,
             max_frames_per_chunk,
+            lock,
         )
 
     final_carry, outs = jax.lax.scan(step, carry, jnp.arange(num_chunks))

@@ -321,6 +321,139 @@ def test_demod_at_energies_fused_matches_tone_energies():
         )
 
 
+def test_stream_dynamic_fused_demod_agrees_with_golden(monkeypatch):
+    """stream_step_dynamic's fused demod branch (demod_at_fused ->
+    dynamic_frame_result_from_tone_decisions, interpret kernels) emits the
+    same detections, payload lengths, and payloads as the CPU golden
+    gather + demodulate_frame_dynamic path — in both search and lock mode."""
+    import functools
+
+    import anet.stream as S
+    from anet.dsp import family
+    from anet.dsp.pipeline import transmit
+    from anet.kernels import demod_at_fused as real_demod
+    from anet.kernels import sync_search_fused as real_search
+
+    cfg = CFG
+    max_pay = 64
+    t_max = family.frame_samples(cfg, max_pay)
+    chunk = 2048
+    rng = np.random.default_rng(13)
+    # two streams, mixed-length back-to-back frames
+    caps, all_lens = [], [[16, 64, 32], [64, 24, 16]]
+    for lens in all_lens:
+        sig = [np.zeros(700, np.float32)]
+        for n in lens:
+            p = jnp.asarray(rng.integers(0, 256, n, np.uint8))
+            sig.append(np.asarray(transmit(cfg, p)))
+        caps.append(np.concatenate(sig))
+    length = -(-(max(len(c) for c in caps) + t_max + chunk) // chunk) * chunk
+    cap = np.zeros((2, length), np.float32)
+    for s, c in enumerate(caps):
+        cap[s, : len(c)] = c
+    cap += 0.02 * rng.standard_normal(cap.shape).astype(np.float32)
+    capture = jnp.asarray(cap)
+
+    refs = {
+        lock: S.receive_stream_dynamic(
+            cfg, capture, chunk, max_pay, compute_dtype=jnp.bfloat16, lock=lock
+        )
+        for lock in (False, True)
+    }
+
+    monkeypatch.setattr(S.jax, "default_backend", lambda: "tpu", raising=True)
+    import anet.kernels as K
+
+    monkeypatch.setattr(
+        K, "sync_search_fused", functools.partial(real_search, interpret=True)
+    )
+    monkeypatch.setattr(
+        K, "demod_at_fused", functools.partial(real_demod, interpret=True)
+    )
+    for lock, ref in refs.items():
+        got = S.receive_stream_dynamic(
+            cfg, capture, chunk, max_pay, compute_dtype=jnp.bfloat16, lock=lock
+        )
+        assert int(got.carry.frames_ok.sum()) == int(ref.carry.frames_ok.sum()) == 6
+        for field in ("detected", "frame_start"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(got.steps, field)),
+                np.asarray(getattr(ref.steps, field)),
+            )
+        for field in ("payload", "payload_len", "ok"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(got.steps.frame, field)),
+                np.asarray(getattr(ref.steps.frame, field)),
+            )
+
+
+def test_stream_fused_coded_demod_agrees_with_golden(monkeypatch):
+    """stream_step's fused CODED branch (demod_at_energies_fused ->
+    bit_llrs -> Viterbi, interpret kernels) emits the same detections,
+    payloads, and counters as the CPU golden gather+demod path — the
+    robust-mode streaming fast path added in round 4."""
+    import functools
+
+    import anet.stream as S
+    from anet.dsp import family
+    from anet.kernels import demod_at_energies_fused as real_energies
+    from anet.kernels import sync_search_fused as real_search
+    from anet.models import get_model
+
+    cfg = get_model("mfsk4-coded").config
+    payload_len = 32
+    t_frame = family.frame_samples(cfg, payload_len)
+    chunk = 1024
+    rng = np.random.default_rng(7)
+    payload = jnp.asarray(rng.integers(0, 256, (2, payload_len), dtype=np.uint8))
+    wave = family.transmit_fn(cfg)(payload)
+    total = -(-(t_frame + 700) // chunk) * chunk
+    cap = np.zeros((2, total), np.float32)
+    cap[:, 700 : 700 + t_frame] = np.asarray(wave)
+    cap += rng.normal(scale=0.02, size=cap.shape).astype(np.float32)
+    capture = jnp.asarray(cap)
+
+    ref = S.receive_stream(
+        cfg, capture, chunk, payload_len, compute_dtype=jnp.bfloat16
+    )
+
+    monkeypatch.setattr(S.jax, "default_backend", lambda: "tpu", raising=True)
+    import anet.kernels as K
+
+    monkeypatch.setattr(
+        K, "sync_search_fused", functools.partial(real_search, interpret=True)
+    )
+    monkeypatch.setattr(
+        K,
+        "demod_at_energies_fused",
+        functools.partial(real_energies, interpret=True),
+    )
+    # fec._viterbi auto-dispatches its kernel on the (patched) backend too;
+    # it passes interpret=False explicitly, so force it (a partial's
+    # keyword would be overridden by the call site's)
+    real_vit = K.viterbi_trellis
+    monkeypatch.setattr(
+        K,
+        "viterbi_trellis",
+        lambda *a, **kw: real_vit(*a, **{**kw, "interpret": True}),
+    )
+    got = S.receive_stream(
+        cfg, capture, chunk, payload_len, compute_dtype=jnp.bfloat16
+    )
+    assert int(got.carry.frames_ok.sum()) == int(ref.carry.frames_ok.sum()) == 2
+    for field in ("detected", "frame_start"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(got.steps, field)),
+            np.asarray(getattr(ref.steps, field)),
+        )
+    np.testing.assert_array_equal(
+        np.asarray(got.steps.frame.payload), np.asarray(ref.steps.frame.payload)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(got.steps.frame.ok), np.asarray(ref.steps.frame.ok)
+    )
+
+
 def test_stream_fused_demod_agrees_with_golden(monkeypatch):
     """stream_step's fused align+demod branch (interpret kernels) emits the
     same detections, payloads, and counters as the CPU golden path."""

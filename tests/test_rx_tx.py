@@ -540,6 +540,41 @@ def test_duplicate_endpoint_rejected():
 
 
 @needs_opus
+def test_reconnect_threads_pruned():
+    """Finished reconnect threads are pruned when the next one is
+    scheduled, so a flaky network cannot grow the thread list (and
+    close()'s join set) without bound (ADVICE round 2)."""
+    from anet.net.server import AudioStreamServer
+    from anet.proto import DiscoveryResponse
+    from anet.tx import MulticastAudioOutput, pcm_bytes
+
+    ident = DiscoveryResponse(1, 1, "prune", False, "libopus")
+    server = AudioStreamServer(ident, frame_sink=lambda f: None, port=0).start()
+    out = MulticastAudioOutput(
+        AudioFormat(48_000, 1), paced=False, reconnect_cooldown_s=30.0
+    )
+    out.add_receiver("127.0.0.1", server.bound_port)
+    # plant finished threads as if earlier outages had come and gone
+    done = [threading.Thread(target=lambda: None) for _ in range(4)]
+    for t in done:
+        t.start()
+        t.join()
+    out._reconnect_threads.extend(done)
+    frame_ms = out.encoder.frame_duration_ms
+    pcm = pcm_bytes(np.zeros(int(48 * frame_ms), np.int16).reshape(-1, 1))
+    server.stop()
+    deadline = time.monotonic() + 5
+    while out.receivers and time.monotonic() < deadline:
+        out.write(pcm)  # eventually fails -> _drop_dead -> prune + spawn
+        time.sleep(0.01)
+    assert not out.receivers
+    alive_only = [t for t in out._reconnect_threads if t in done]
+    assert not alive_only, "finished reconnect threads were not pruned"
+    assert len(out._reconnect_threads) <= 1  # just the live reconnect
+    out.close()
+
+
+@needs_opus
 def test_total_loss_surfaced_while_reconnecting():
     """When the LAST receiver dies under auto_reconnect, audio is dropped
     (not queued) while the background reconnect runs; the caller sees it

@@ -267,6 +267,134 @@ def test_probe_kernel_matches_golden_interpret():
     )
 
 
+def _build_dynamic_capture(rng, gaps_per_stream, lens_per_stream, chunk,
+                           max_payload, noise=0.02):
+    """Mixed-length capture: per-stream frames of varying payload length
+    with per-frame leading gaps (0 = back-to-back)."""
+    from anet.dsp.pipeline import transmit
+
+    t_max = family.frame_samples(CFG, max_payload)
+    caps, pays = [], []
+    for gaps, lens in zip(gaps_per_stream, lens_per_stream):
+        sig, ps = [], []
+        for gap, n in zip(gaps, lens):
+            p = rng.integers(0, 256, n, np.uint8)
+            ps.append(p)
+            sig.append(np.zeros(gap, np.float32))
+            sig.append(np.asarray(transmit(CFG, jnp.asarray(p))))
+        caps.append(np.concatenate(sig))
+        pays.append(ps)
+    length = max(len(c) for c in caps) + t_max + chunk
+    length = -(-length // chunk) * chunk
+    out = np.zeros((len(caps), length), np.float32)
+    for s, c in enumerate(caps):
+        out[s, : len(c)] = c
+    out += noise * rng.standard_normal(out.shape).astype(np.float32)
+    return jnp.asarray(out), pays
+
+
+def _assert_equal_dynamic(r_search, r_lock, want_ok):
+    det0 = np.asarray(r_search.steps.detected)
+    det1 = np.asarray(r_lock.steps.detected)
+    assert (det0 == det1).all()
+    for f in ("payload", "payload_len"):
+        a = np.asarray(getattr(r_search.steps.frame, f))[det0]
+        b = np.asarray(getattr(r_lock.steps.frame, f))[det1]
+        assert np.array_equal(a, b)
+    assert int(r_search.carry.frames_ok.sum()) == want_ok
+    assert int(r_lock.carry.frames_ok.sum()) == want_ok
+    assert int(r_lock.carry.decode_errors.sum()) == int(
+        r_search.carry.decode_errors.sum()
+    )
+
+
+@pytest.mark.parametrize("layout", ["contiguous", "random_gaps"])
+def test_dynamic_lock_equals_search(layout):
+    """Dynamic frame-lock: the header-declared length predicts the next
+    start exactly (the varint length-prefix trust of network.cpp:409-430),
+    so mixed-length back-to-back frames decode identically to search mode."""
+    from anet.stream import receive_stream_dynamic
+
+    rng = np.random.default_rng(hash(layout) % 2**31)
+    chunk = 2048
+    max_pay = 64  # t(16 B) = 4608 > chunk: one completion per chunk
+    b, n_frames = 2, 4
+    lens = [
+        [int(v) for v in rng.choice([16, 32, 64], n_frames)] for _ in range(b)
+    ]
+    if layout == "contiguous":
+        gaps = [[650] + [0] * (n_frames - 1) for _ in range(b)]
+    else:
+        gaps = [
+            [int(g) for g in rng.integers(0, 2 * chunk, n_frames)]
+            for _ in range(b)
+        ]
+    cap, _ = _build_dynamic_capture(rng, gaps, lens, chunk, max_pay)
+    r0 = receive_stream_dynamic(CFG, cap, chunk, max_pay, lock=False)
+    r1 = receive_stream_dynamic(CFG, cap, chunk, max_pay, lock=True)
+    _assert_equal_dynamic(r0, r1, b * n_frames)
+
+
+def test_dynamic_lock_fuzz_random_layouts():
+    from anet.stream import receive_stream_dynamic
+
+    rng = np.random.default_rng(0xD15)
+    chunk = 2048
+    max_pay = 64
+    for _trial in range(4):
+        b = int(rng.integers(1, 3))
+        n_frames = int(rng.integers(1, 5))
+        lens = [
+            [int(v) for v in rng.choice([16, 24, 48, 64], n_frames)]
+            for _ in range(b)
+        ]
+        gaps = [
+            [int(g)] + [int(x) for x in rng.integers(0, 2, n_frames - 1) * rng.integers(0, 2 * chunk, n_frames - 1)]
+            for g in rng.integers(200, 2 * chunk, b)
+        ]
+        cap, _ = _build_dynamic_capture(
+            rng, gaps, lens, chunk, max_pay, noise=float(rng.uniform(0, 0.08))
+        )
+        r0 = receive_stream_dynamic(CFG, cap, chunk, max_pay, lock=False)
+        r1 = receive_stream_dynamic(CFG, cap, chunk, max_pay, lock=True)
+        _assert_equal_dynamic(r0, r1, b * n_frames)
+
+
+def test_dynamic_lock_engages_and_skips_search():
+    """Back-to-back mixed-length frames: after acquisition the prediction
+    carries the stream — locked non-detection chunks report the 0.0
+    search-skipped sentinel."""
+    from anet.stream import receive_stream_dynamic
+
+    rng = np.random.default_rng(77)
+    chunk = 2048
+    max_pay = 64
+    lens = [[64, 16, 32, 64, 16, 48]]
+    gaps = [[700] + [0] * 5]
+    cap, _ = _build_dynamic_capture(rng, gaps, lens, chunk, max_pay, noise=0.0)
+    r = receive_stream_dynamic(CFG, cap, chunk, max_pay, lock=True)
+    det = np.asarray(r.steps.detected)[:, 0]
+    q = np.asarray(r.steps.quality)[:, 0]
+    assert int(r.carry.frames_ok[0]) == 6
+    first = int(np.argmax(det))
+    last = len(det) - 1 - int(np.argmax(det[::-1]))
+    mid = ~det[first:last]
+    assert (q[first:last][mid] == 0.0).all()
+    assert (q[det] > 0.9).all()
+    got_lens = np.asarray(r.steps.frame.payload_len)[:, 0][det].tolist()
+    assert got_lens == lens[0]
+
+
+def test_dynamic_lock_rejects_multi_candidate():
+    from anet.stream import receive_stream_dynamic
+
+    cap = jnp.zeros((1, 4096))
+    with pytest.raises(ValueError, match="max_frames_per_chunk"):
+        receive_stream_dynamic(
+            CFG, cap, 1024, 64, lock=True, max_frames_per_chunk=2
+        )
+
+
 def test_lock_ofdm_equals_search():
     """Frame-lock is family-generic: the probe/search/demod plumbing works
     for OFDM frames too (the bench's stream:ofdm-fast entry runs lock)."""

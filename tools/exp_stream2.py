@@ -133,8 +133,7 @@ def main():
         )
 
     def scan_of(step_fn, ch, cap_arr):
-        nch = cap_arr.shape[-1] // ch
-        capr = cap_arr.reshape(batch, nch, ch)
+        nch = cap_arr.shape[-1] // ch  # caller passes the [batch, nch, ch] view
 
         @jax.jit
         def run(capr):
@@ -170,8 +169,6 @@ def main():
         )
 
     def step_demod(c, ch_arr):
-        from anet.dsp.frame import frame_result_from_tone_decisions
-
         buffer, seen, w0, abs0 = stream._slide_buffer(c, ch_arr, t_frame, 0)
         length = t_frame + ch_arr.shape[-1]
         pred_idx = c.next_start - abs0
@@ -180,7 +177,11 @@ def main():
             buffer, probe_at, t_c, t_energy, n_lags=stream.PROBE_LAGS,
             compute_dtype=jnp.bfloat16, start_bound=length - t_frame,
         )
-        start_idx = st0 + jnp.argmax(q5, -1).astype(jnp.int32)
+        # clip: pred_idx clipping at the window edge can push st0+argmax up
+        # to the probe lag span past the declared bound
+        start_idx = jnp.clip(
+            st0 + jnp.argmax(q5, -1).astype(jnp.int32), 0, ch_arr.shape[-1]
+        )
         tone, best, total = demod_at_fused(
             cfg, buffer, start_idx, n_symbols, start_bound=ch_arr.shape[-1]
         )
