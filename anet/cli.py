@@ -412,9 +412,10 @@ def _cmd_modem_stream(args) -> int:
         if args.track:
             print("--track needs an explicit --len", file=sys.stderr)
             return 2
-        if args.lock:
-            print("note: --lock applies to fixed --len streams; headers-"
-                  "from-stream mode always searches", file=sys.stderr)
+        if args.lock and args.frames_per_chunk not in (None, 1):
+            print("--lock needs --frames-per-chunk 1 (a locked stream "
+                  "predicts exactly one next frame)", file=sys.stderr)
+            return 2
         if not args.save_state:
             # pad a full max-length window past the capture so a trailing
             # frame still completes, then round up to whole chunks (when
@@ -425,7 +426,22 @@ def _cmd_modem_stream(args) -> int:
                 [capture, np.zeros((-len(capture)) % chunk, np.float32)]
             )
         k_frames = args.frames_per_chunk
-        if k_frames is None:
+        if args.lock:
+            # dynamic frame-lock: the header-declared length predicts each
+            # next start; one candidate per chunk by contract, so keep
+            # chunk <= the shortest expected frame (stream_step_dynamic)
+            k_frames = 1
+            from anet.dsp.frame import dynamic_frame_samples
+
+            t_min = int(dynamic_frame_samples(cfg, 1))
+            if chunk > t_min:
+                print(
+                    f"note: --lock with chunk {chunk} > min frame {t_min}: "
+                    "frames shorter than a chunk can be skipped; lower "
+                    "--chunk for dense short-frame streams",
+                    file=sys.stderr,
+                )
+        elif k_frames is None:
             # Safe default from geometry: non-overlapping frames start at
             # least one min-length frame apart, so at most 1 + chunk/t_min
             # detection windows can complete within one chunk.
@@ -442,7 +458,7 @@ def _cmd_modem_stream(args) -> int:
                 k_frames = 8
         res = receive_stream_dynamic(
             cfg, jnp.asarray(capture), chunk, args.max_len, carry=carry,
-            max_frames_per_chunk=k_frames,
+            max_frames_per_chunk=k_frames, lock=args.lock,
         )
         # With --frames-per-chunk > 1 every step field gains a candidate
         # axis and emissions are quality-ordered within a chunk; flatten
@@ -689,7 +705,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="frame-lock mode: verify the predicted next frame "
                         "with a cheap probe, full search only on "
                         "acquisition (fastest for back-to-back frames; "
-                        "fixed --len mode)")
+                        "with headers-from-stream mode the declared length "
+                        "predicts each next start)")
     p.add_argument("--resume", metavar="STATE.npz",
                    help="continue from a saved stream checkpoint")
     p.add_argument("--save-state", metavar="STATE.npz",

@@ -270,6 +270,43 @@ def test_cli_stream_dynamic(tmp_path, capsys):
     assert "len=35" in out and "len=180" in out
 
 
+def test_cli_stream_dynamic_lock(tmp_path, capsys):
+    """--lock with headers-from-stream mode: back-to-back mixed-length
+    frames decode through the dynamic frame-lock path."""
+    import os
+
+    from anet.cli import main
+
+    blobs = [os.urandom(20), os.urandom(60), os.urandom(35)]
+    waves = [
+        np.asarray(transmit(CFG, jnp.asarray(np.frombuffer(b, np.uint8))))
+        for b in blobs
+    ]
+    cap = np.concatenate([np.zeros(600, np.float32)] + waves)
+    f = tmp_path / "stream.f32"
+    cap.astype(np.float32).tofile(f)
+    back = tmp_path / "all.bin"
+    assert main(
+        ["modem-stream-rx", str(f), "--out", str(back), "--lock",
+         "--chunk", "1024", "--max-len", "64"]
+    ) == 0
+    assert back.read_bytes() == b"".join(blobs)
+    out = capsys.readouterr().out
+    assert "len=20" in out and "len=60" in out and "len=35" in out
+
+
+def test_cli_stream_dynamic_lock_rejects_multi_candidate(tmp_path, capsys):
+    from anet.cli import main
+
+    f = tmp_path / "x.f32"
+    np.zeros(4096, np.float32).tofile(f)
+    rc = main(
+        ["modem-stream-rx", str(f), "--lock", "--frames-per-chunk", "2"]
+    )
+    assert rc == 2
+    assert "frames-per-chunk 1" in capsys.readouterr().err
+
+
 def test_cli_stream_checkpoint_resume(tmp_path, capsys):
     """Split a capture across two CLI invocations with --save-state /
     --resume; a frame straddling the split decodes in the second run."""
