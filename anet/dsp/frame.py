@@ -251,6 +251,21 @@ def demodulate_frame_tm(
         if config.fec == "conv":
             llrs = bit_llrs(config, jnp.moveaxis(e, -1, 0))  # [B, S*bps]
     else:
+        if config.bits_per_symbol in (1, 2, 4) and config.num_tones <= 16:
+            # Full fusion: the frame-parse epilogue (bit unpack, byte
+            # pack, both CRC contractions) runs in the kernel tail; the
+            # XLA tail below it touches only KB-scale tensors
+            # (anet.kernels.decide_frame_tm — round 4, the ~2 ms/iter
+            # epilogue residual of docs/PERF.md's roofline section).
+            from anet.kernels import decide_frame_tm
+
+            words, crc_counts, qual, n_sym = decide_frame_tm(
+                config, data, payload_len,
+                compute_dtype=compute_dtype, interpret=interpret,
+            )
+            return frame_result_from_packed(
+                config, words, crc_counts, qual, n_sym, payload_len
+            )
         from anet.kernels import decide_tones_tm
 
         tone, best, total = decide_tones_tm(
@@ -298,6 +313,76 @@ def frame_result_from_tone_decisions(
     bits = unpack_symbols(symbols, config.bits_per_symbol)
     return frame_result_from_bits(
         config, bits, payload_len, confidence=confidence, snr_db=snr_db
+    )
+
+
+def frame_result_from_packed(
+    config: ModemConfig,
+    words: jnp.ndarray,
+    crc_counts: jnp.ndarray,
+    qual: jnp.ndarray,
+    n_symbols: int,
+    payload_len: int,
+) -> FrameResult:
+    """Parse + verify from the FULL-FUSION kernel's outputs
+    (anet.kernels.decide_frame_tm): packed decision words [n_tiles, B]
+    (TM_SYMBOL_TILE Gray-decoded symbols per int32, MSB-first), f32 CRC
+    bit-count accumulators [64, B] (header in rows 0..31, payload in
+    32..63; parity mod 2 here — counts < 2^24 so the f32 sums are exact),
+    and quality sums [8, B] (conf/best/total in rows 0..2).
+
+    Everything here runs on KB-scale tensors: the [S, B] decisions and
+    the [B, 8N] bit tensor of the unfused parse never exist.
+    """
+    m = config.num_tones
+    bps = config.bits_per_symbol
+    from anet.kernels import TM_SYMBOL_TILE
+
+    sb = TM_SYMBOL_TILE
+    nb = sb * bps  # bits per word; whole bytes (bps in {1, 2, 4})
+    n_bytes = data_section_bytes(payload_len)
+    w = words.T  # [B, n_tiles] int32
+    bpw = nb // 8  # bytes per word
+    shifts = jnp.arange(bpw - 1, -1, -1, dtype=jnp.int32) * 8
+    by = ((w[..., None] >> shifts) & 0xFF).astype(jnp.uint8)
+    section = by.reshape(*w.shape[:-1], w.shape[-1] * bpw)[..., :n_bytes]
+
+    magic = _be_bytes_to_u32(section[..., :4])
+    length = _be16(section[..., 4:6])
+    magic_ok = magic == jnp.uint32(constants.MAGIC_WORD)
+    length_ok = length == jnp.uint32(payload_len)
+
+    weights = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32)).astype(jnp.uint32)
+    parity = crc_counts.T.astype(jnp.int32) & 1  # [B, 64]
+    from anet.kernels import _frame_crc_tables
+
+    _, c_hdr, c_pay = _frame_crc_tables(payload_len, words.shape[0], nb)
+    hdr_raw = jnp.sum(
+        parity[..., :32].astype(jnp.uint32) * weights, axis=-1, dtype=jnp.uint32
+    ) ^ jnp.uint32(c_hdr)
+    pay_raw = jnp.sum(
+        parity[..., 32:].astype(jnp.uint32) * weights, axis=-1, dtype=jnp.uint32
+    ) ^ jnp.uint32(c_pay)
+    header_crc_ok = (hdr_raw & jnp.uint32(0xFFFF)) == _be16(section[..., 6:8])
+    trailer = section[..., HEADER_BYTES + payload_len :]
+    payload_crc_ok = pay_raw == _be_bytes_to_u32(trailer)
+
+    qt = qual.T  # [B, 8]
+    confidence = qt[..., 0] / n_symbols
+    sig = qt[..., 1] / n_symbols
+    noise = jnp.maximum((qt[..., 2] - qt[..., 1]) / n_symbols / (m - 1), 1e-20)
+    snr_db = 10.0 * jnp.log10(jnp.maximum(sig / noise - 1.0, jnp.float32(1e-6)))
+
+    ok = magic_ok & length_ok & header_crc_ok & payload_crc_ok
+    return FrameResult(
+        payload=section[..., HEADER_BYTES : HEADER_BYTES + payload_len],
+        magic_ok=magic_ok,
+        length_ok=length_ok,
+        header_crc_ok=header_crc_ok,
+        payload_crc_ok=payload_crc_ok,
+        ok=ok,
+        confidence=confidence,
+        snr_db=snr_db,
     )
 
 

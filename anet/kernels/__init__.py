@@ -38,6 +38,7 @@ __all__ = [
     "tone_energies_fused",
     "decide_tones_fused",
     "decide_tones_tm",
+    "decide_frame_tm",
     "demod_at_fused",
     "demod_at_energies_fused",
     "demod_at_buffer_pad",
@@ -318,6 +319,212 @@ def decide_tones_tm(
         interpret=interpret,
     )(basis, w)
     return tone[:s, :b], best[:s, :b], total[:s, :b]
+
+
+def _decide_frame_tm_kernel(
+    basis_ref,
+    p_ref,
+    w_ref,
+    words_ref,
+    crc_ref,
+    qual_ref,
+    bits_scr,
+    *,
+    num_tones: int,
+    sps: int,
+    sb: int,
+    bps: int,
+    n_tiles: int,
+):
+    """decide_tones_tm's body plus the FRAME-PARSE EPILOGUE fused in.
+
+    Per [sb symbols x Bt streams] tile: the filterbank matmul + decision
+    exactly as _decide_tm_kernel, then in the tail
+    - Gray-decode and bit-pack the sb decisions into ONE int32 word per
+      stream (words out: [n_tiles, B] — 1/24th of the decisions form's
+      three [S, B] outputs),
+    - accumulate both CRC checksums as f32 bit-count partial sums
+      (CRC-32 is linear over GF(2): crc = (bits @ P) mod 2 ^ const —
+      fec._crc32_matmul; the P slab rows for this tile's bits arrive via
+      the i-indexed BlockSpec, zero outside each checksum's byte range),
+    - accumulate the quality sums (conf = best/total per symbol, best,
+      total) the downstream metrics divide by S.
+
+    The symbol-tile grid axis is INNERMOST so the crc/qual output blocks
+    stay resident in VMEM across the whole accumulation for one lane
+    tile (standard Pallas reduction pattern: init at i == 0, emit last).
+    """
+    i = pl.program_id(1)
+
+    @pl.when(i == 0)
+    def _init():
+        crc_ref[...] = jnp.zeros_like(crc_ref)
+        qual_ref[...] = jnp.zeros_like(qual_ref)
+
+    b = basis_ref[...]  # [2M, sps]
+    conf_acc = jnp.zeros((words_ref.shape[-1],), jnp.float32)
+    best_acc = jnp.zeros_like(conf_acc)
+    total_acc = jnp.zeros_like(conf_acc)
+    word = jnp.zeros(words_ref.shape[-1], jnp.int32)
+    for s in range(sb):
+        w = w_ref[s * sps : (s + 1) * sps, :]  # [sps, Bt]
+        iq = jax.lax.dot_general(
+            b, w, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )  # [2M, Bt]
+        ii, q = iq[:num_tones], iq[num_tones:]
+        e = ii * ii + q * q  # [M, Bt]
+        tone = jnp.argmax(e, axis=0).astype(jnp.int32)  # [Bt]
+        best = jnp.max(e, axis=0)
+        total = jnp.sum(e, axis=0)
+        # Gray -> binary (bits.gray_decode, unrolled: bps <= 4 here)
+        data = tone
+        shift = 1
+        while shift < bps:
+            data = data ^ (data >> shift)
+            shift <<= 1
+        word = word | (data << ((sb - 1 - s) * bps))
+        for k in range(bps):
+            bits_scr[s * bps + k, :] = ((data >> (bps - 1 - k)) & 1).astype(
+                jnp.float32
+            )
+        conf_acc = conf_acc + best / jnp.maximum(total, 1e-20)
+        best_acc = best_acc + best
+        total_acc = total_acc + total
+    words_ref[0, :] = word
+    # two CRCs at once: P slab columns 0..31 = header table rows (zero
+    # outside bits [0, 48)), 32..63 = payload table rows (zero outside the
+    # payload byte span)
+    crc_ref[...] = crc_ref[...] + jax.lax.dot_general(
+        p_ref[...], bits_scr[...], (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [64, Bt]
+    qual_ref[0, :] = qual_ref[0, :] + conf_acc
+    qual_ref[1, :] = qual_ref[1, :] + best_acc
+    qual_ref[2, :] = qual_ref[2, :] + total_acc
+
+
+@functools.lru_cache(maxsize=32)
+def _frame_crc_tables(payload_len: int, n_tiles: int, nb: int):
+    """Host-side P slab array + xor consts for the fused frame parse.
+
+    Returns (P [n_tiles * nb, 64] f32, hdr_const, pay_const): columns
+    0..31 hold the header checksum's bit-contribution rows (crc32 over
+    section bytes 0..5 — frame._parse_header), columns 32..63 the payload
+    checksum's (crc32 over bytes 8..8+payload_len); rows outside each
+    range are zero, so padded tiles contribute nothing.
+    """
+    import numpy as np
+
+    from anet.dsp.fec import _crc32_bit_table
+    from anet.dsp.frame import HEADER_BYTES
+
+    p = np.zeros((n_tiles * nb, 64), np.float32)
+    p_hdr, c_hdr = _crc32_bit_table(6)
+    p[: 6 * 8, :32] = p_hdr
+    p_pay, c_pay = _crc32_bit_table(payload_len)
+    lo = HEADER_BYTES * 8
+    p[lo : lo + payload_len * 8, 32:] = p_pay
+    return p, int(c_hdr), int(c_pay)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnums=(0, 2),
+    static_argnames=("compute_dtype", "interpret"),
+)
+def decide_frame_tm(
+    config: ModemConfig,
+    data_tm: jnp.ndarray,
+    payload_len: int,
+    *,
+    compute_dtype=jnp.bfloat16,
+    interpret: bool = False,
+):
+    """Time-major fused symbol decision WITH the frame parse folded into
+    the kernel tail — the headline receiver's full-fusion form.
+
+    The decisions form (decide_tones_tm) leaves a measured ~2 ms/iter XLA
+    epilogue at B=16384: three [S, B] outputs re-read and transposed, the
+    bit unpack / byte pack matmuls, and the CRC contraction
+    (docs/PERF.md round-3 roofline). Here the kernel emits
+    - packed decision words int32 [n_tiles, B] (sb symbols/word — 1/24th
+      the output bytes),
+    - both checksums as f32 bit-count accumulators [64, B] (parity mod 2
+      taken outside — counts < 2^24 so f32 sums are exact),
+    - quality sums f32 [8, B] (conf/best/total in rows 0..2),
+    so the XLA tail is byte extraction + compares on KB-scale tensors
+    (frame.frame_result_from_packed).
+
+    Requires bits_per_symbol in {1, 2, 4} (whole bytes per 8-symbol
+    tile); num_tones <= 16 keeps the I/Q block in one 32-sublane tile.
+
+    Returns (words int32 [n_tiles, B], crc_counts f32 [64, B],
+    qual f32 [8, B], n_symbols). The xor consts live in
+    _frame_crc_tables (the parser re-derives them — they cannot ride a
+    jitted return without being traced into int32, which overflows).
+    """
+    from anet.dsp.frame import data_symbols_for_payload
+
+    sps = config.samples_per_symbol
+    m = config.num_tones
+    bps = config.bits_per_symbol
+    if bps not in (1, 2, 4):
+        raise ValueError("decide_frame_tm needs bits_per_symbol in {1, 2, 4}")
+    sb = TM_SYMBOL_TILE
+    nb = sb * bps
+    t, b = data_tm.shape
+    s = data_symbols_for_payload(config, payload_len)
+    if t < s * sps:
+        raise ValueError(f"data_tm too short: {t} < {s} symbols x {sps}")
+    s_pad = -s % sb
+    bt = TM_LANE_TILE if b >= TM_LANE_TILE else -(-b // 128) * 128
+    b_pad = -b % bt
+    w = data_tm[: s * sps].astype(compute_dtype)
+    if s_pad or b_pad:
+        w = jnp.pad(w, ((0, s_pad * sps), (0, b_pad)))
+    sp, bp = s + s_pad, b + b_pad
+    n_tiles = sp // sb
+    basis = demod_basis(config, dtype=compute_dtype).T  # [2M, sps]
+    p_np, _c_hdr, _c_pay = _frame_crc_tables(payload_len, n_tiles, nb)
+    p = jnp.asarray(p_np)
+
+    grid = (bp // bt, n_tiles)
+    words, crc, qual = pl.pallas_call(
+        functools.partial(
+            _decide_frame_tm_kernel,
+            num_tones=m, sps=sps, sb=sb, bps=bps, n_tiles=n_tiles,
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((n_tiles, bp), jnp.int32),
+            jax.ShapeDtypeStruct((64, bp), jnp.float32),
+            jax.ShapeDtypeStruct((8, bp), jnp.float32),
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((2 * m, sps), lambda j, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nb, 64), lambda j, i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((sb * sps, bt), lambda j, i: (i, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, bt), lambda j, i: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((64, bt), lambda j, i: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, bt), lambda j, i: (0, j),
+                         memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[pltpu.VMEM((nb, bt), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * sp * sps * 2 * m * bp,
+            bytes_accessed=sp * sps * bp * w.dtype.itemsize + n_tiles * bp * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(basis, p, w)
+    return words[:, :b], crc[:, :b], qual[:, :b], s
 
 
 # --- Viterbi trellis kernels -------------------------------------------------

@@ -321,6 +321,51 @@ def test_demod_at_energies_fused_matches_tone_energies():
         )
 
 
+def test_decide_frame_tm_full_fusion_matches_golden():
+    """The full-fusion kernel (decide_frame_tm: packed words + in-kernel
+    CRC accumulators + quality sums, interpret) reproduces the jnp
+    time-major parse across tone counts (bps 1/2/4), payload lengths, and
+    corrupted frames — payload and every verdict bit-exact, quality
+    metrics to f32 sum-order tolerance."""
+    from anet.dsp import family
+    from anet.dsp.frame import demodulate_frame_tm, frame_result_from_packed
+    from anet.kernels import decide_frame_tm
+    from anet.models import get_model
+
+    rng = np.random.default_rng(21)
+    for model, pay in [
+        ("fsk2-robust", 17),
+        ("mfsk4-voice", 32),
+        ("mfsk16-fast", 96),
+    ]:
+        cfg = get_model(model).config
+        B = 5
+        payloads = jnp.asarray(rng.integers(0, 256, (B, pay), dtype=np.uint8))
+        waves = np.array(family.transmit_fn(cfg)(payloads), np.float32)
+        waves += 0.05 * rng.standard_normal(waves.shape).astype(np.float32)
+        # corrupt one stream's payload region hard (bad CRC, good header)
+        waves[B - 1, waves.shape[-1] // 2 :] = 0.0
+        wtm = jnp.asarray(waves.T)
+        ref = demodulate_frame_tm(cfg, wtm, pay, use_pallas=False)
+        data = wtm[cfg.preamble_symbols * cfg.samples_per_symbol :, :]
+        words, crc_counts, qual, n_sym = decide_frame_tm(
+            cfg, data, pay, interpret=True
+        )
+        got = frame_result_from_packed(cfg, words, crc_counts, qual, n_sym, pay)
+        for f in ("payload", "magic_ok", "length_ok", "header_crc_ok",
+                  "payload_crc_ok", "ok"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(got, f)), np.asarray(getattr(ref, f)), err_msg=f
+            )
+        assert bool(got.ok[0]) and not bool(got.ok[B - 1])
+        np.testing.assert_allclose(
+            np.asarray(got.confidence), np.asarray(ref.confidence), rtol=2e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(got.snr_db), np.asarray(ref.snr_db), rtol=1e-3, atol=1e-3
+        )
+
+
 def test_stream_dynamic_fused_demod_agrees_with_golden(monkeypatch):
     """stream_step_dynamic's fused demod branch (demod_at_fused ->
     dynamic_frame_result_from_tone_decisions, interpret kernels) emits the
