@@ -47,6 +47,7 @@ __all__ = [
     "correlate_fused",
     "gather_rows_fused",
     "preamble_probe_fused",
+    "probe_at_fused",
     "sync_search_fused",
     "SYMBOL_TILE",
     "TM_SYMBOL_TILE",
@@ -1288,6 +1289,148 @@ def _demod_at_front(
     for r in range(8):
         srows = jnp.where(deltav == r, shifted[:, r : r + pv, :], srows)
     return srows
+
+
+def _probe_at_kernel(
+    st_ref, stv_ref, x_hbm, tband_ref, corr_ref, en_ref, slab_scr, sem, *,
+    bs: int, sv: int, pw: int, pw_e: int, ncells: int,
+):
+    """Frame-lock probe cell: per-stream span DMA (the _demod_at_front
+    machinery — proven on this runtime's Mosaic, unlike the batch-dot
+    preamble_probe_fused form it replaces) + the n_lags correlation as
+    pw row-dots against a static banded template, + the superset window
+    energy. Raw |corr| and energy come out; the caller normalizes
+    (tiny [B, lanes] elementwise in XLA)."""
+    i = pl.program_id(0)
+    srows = _demod_at_front(
+        st_ref, stv_ref, x_hbm, slab_scr, sem, tband_ref.dtype,
+        i=i, bs=bs, sv=sv, pv=pw, pre=0, ncells=ncells,
+    )  # [bs, pw, 128] aligned to st0
+    acc = jnp.zeros((bs, 128), jnp.float32)
+    for r in range(pw):
+        acc = acc + jax.lax.dot_general(
+            srows[:, r, :],
+            tband_ref[r * 128 : (r + 1) * 128, :],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    corr_ref[...] = acc
+    sf = srows[:, :pw_e, :].astype(jnp.float32)
+    sq = sf * sf
+    en_ref[...] = jnp.sum(jnp.sum(sq, axis=2), axis=1).reshape(bs, 1)
+
+
+PROBE_STREAM_TILE = 16
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_lags", "start_bound", "batch_tile", "interpret"),
+)
+def probe_at_fused(
+    buffer: jnp.ndarray,
+    st0: jnp.ndarray,
+    template: jnp.ndarray,
+    template_energy,
+    n_lags: int = 5,
+    *,
+    start_bound: int | None = None,
+    batch_tile: int | None = None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Frame-lock verify/refine probe as a span-DMA kernel: normalized
+    preamble quality at ``n_lags`` lags from per-stream ``st0``
+    (sync.preamble_quality_probe's contract; st0 pre-clipped by the
+    caller). Each stream DMAs only its own ~(k/128 + 2) rows — the jnp
+    form's two aligned_gather one-hot passes measured 14.7 ms/step at the
+    streaming bench geometry (B=8192, chunk 32768), reading the bounded
+    buffer head twice for a ~1 KB answer.
+
+    Window-energy semantics: the superset span here is ST0-ALIGNED rows
+    [st0, st0 + ceil((k+n_lags-1)/128)*128 + 128) — a strict superset of
+    every probed window, so quality only under-reports (same bound class
+    as the jnp form's row-aligned span; values differ by <~6% and the
+    0.45-vs-~1.0 threshold margin swallows both). The detection gate and
+    the +/-2 drift servo behave identically (CPU equality fuzz:
+    tests/test_stream_lock.py).
+
+    Callers guarantee st0 + k + n_lags - 1 + 128 <= buffer length; pass
+    ``start_bound`` (static max st0) so the span pad stays inside the
+    stream carry's existing demod tail pad (no in-call copy).
+
+    Returns q float32 [..., n_lags].
+    """
+    k = template.shape[-1]
+    batch_shape = buffer.shape[:-1]
+    x = buffer.reshape(-1, buffer.shape[-1])
+    st = st0.reshape(-1).astype(jnp.int32)
+    b, length = x.shape
+    if length % 128:
+        x = jnp.pad(x, ((0, 0), (0, (-length) % 128)))
+    rows_total = x.shape[-1] // 128
+    pw_e = -(-(k + n_lags - 1) // 128) + 1  # energy/correlation row span
+    pw = -(-pw_e // 8) * 8  # sublane-tiled srows row count
+    sv = (-(-(pw + 2) // 8)) * 8 + 8
+    if start_bound is None:
+        start_bound = length - (k + n_lags - 1) - 128
+    hi_max = max(int(start_bound), 0) // 128
+    pad_rows = max(0, hi_max + sv - rows_total)
+    if pad_rows:
+        # correctness fallback (full copy); hot callers pre-pad instead
+        x = jnp.pad(x, ((0, 0), (0, pad_rows * 128)))
+        rows_total += pad_rows
+    bs = batch_tile or PROBE_STREAM_TILE
+    bs = min(bs, b) if b >= bs else b
+    pad_b = -b % bs
+    if pad_b:
+        x = jnp.pad(x, ((0, pad_b), (0, 0)))
+        st = jnp.pad(st, (0, pad_b))
+    xr = x.reshape(x.shape[0], rows_total, 128)
+
+    # banded template: tband[j, o] = template[j - o] for o < n_lags
+    t_c = template
+    jj = jnp.arange(pw * 128)[:, None]
+    oo = jnp.arange(128)[None, :]
+    tj = jj - oo
+    tband = jnp.where(
+        (tj >= 0) & (tj < k) & (oo < n_lags),
+        t_c[jnp.clip(tj, 0, k - 1)],
+        jnp.zeros((), t_c.dtype),
+    ).astype(x.dtype)
+
+    ncells = xr.shape[0] // bs
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(ncells,),
+        in_specs=[
+            pl.BlockSpec((bs, 1), lambda i, st: (i, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((pw * 128, 128), lambda i, st: (0, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((bs, 128), lambda i, st: (i, 0)),
+            pl.BlockSpec((bs, 1), lambda i, st: (i, 0)),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, bs, sv, 128), xr.dtype),
+            pltpu.SemaphoreType.DMA((2, bs)),
+        ],
+    )
+    corr, en = pl.pallas_call(
+        functools.partial(
+            _probe_at_kernel, bs=bs, sv=sv, pw=pw, pw_e=pw_e, ncells=ncells
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((xr.shape[0], 128), jnp.float32),
+            jax.ShapeDtypeStruct((xr.shape[0], 1), jnp.float32),
+        ),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(st, st.reshape(-1, 1), xr, tband)
+    te = jnp.asarray(template_energy, jnp.float32)
+    floored = jnp.maximum(en[:b], 1e-4 * te)
+    q = jnp.abs(corr[:b, :n_lags]) * jax.lax.rsqrt(te * floored)
+    return q.reshape(batch_shape + (n_lags,))
 
 
 def _demod_at_kernel(

@@ -615,13 +615,33 @@ def _find_candidate_locked(
     mid_flight = carry.locked & (pred_idx >= w0 + chunk_size)
 
     probe_at = jnp.clip(pred_idx, 0, length - t_frame)
-    # start_bound = chunk_size (the clip above): the probe then reads
-    # only the ~bound//128 + preamble rows it can touch instead of the
-    # whole padded buffer twice (16 -> ~2 ms/step at bench geometry)
-    q5, st0 = preamble_quality_probe(
-        buffer, probe_at, t_c, t_energy, n_lags=PROBE_LAGS,
-        compute_dtype=compute_dtype, start_bound=length - t_frame,
-    )
+    k_t = template.shape[-1]
+    if jax.default_backend() == "tpu" and buffer.dtype == jnp.bfloat16:
+        # Span-DMA probe kernel (anet.kernels.probe_at_fused): each
+        # stream reads only its own ~k/128 rows. The jnp probe's two
+        # bounded one-hot gather passes measured 14.7 ms/step at the
+        # bench geometry — HALF the whole locked step (round-4
+        # bisection, tools/exp_stream2.py); the kernel replaces them
+        # with per-stream DMAs on the proven _demod_at_front machinery.
+        from anet.kernels import probe_at_fused
+
+        st0 = jnp.clip(
+            probe_at - PROBE_LAGS // 2,
+            0,
+            buffer.shape[-1] - k_t - PROBE_LAGS + 1,
+        )
+        q5 = probe_at_fused(
+            buffer, st0, t_c, t_energy, n_lags=PROBE_LAGS,
+            start_bound=length - t_frame,
+        )
+    else:
+        # start_bound = chunk_size (the clip above): the probe then reads
+        # only the ~bound//128 + preamble rows it can touch instead of the
+        # whole padded buffer twice (16 -> ~2 ms/step at bench geometry)
+        q5, st0 = preamble_quality_probe(
+            buffer, probe_at, t_c, t_energy, n_lags=PROBE_LAGS,
+            compute_dtype=compute_dtype, start_bound=length - t_frame,
+        )
     probe_q = jnp.max(q5, axis=-1)
     probe_off = jnp.argmax(q5, axis=-1).astype(jnp.int32)
     pred_valid = in_win & (probe_q >= detect_threshold)

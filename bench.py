@@ -99,8 +99,14 @@ def measure_stream(
     cfg = get_model(model_name).config
     on_cpu = jax.default_backend() == "cpu"
     batch = int(os.environ.get("ANET_BENCH_STREAM_BATCH", "64" if on_cpu else "8192"))
-    chunk = int(os.environ.get("ANET_BENCH_STREAM_CHUNK", "32768"))
     t_frame = family.frame_samples(cfg, payload_len)
+    # Default chunk: the largest the no-skip contract allows (chunk <=
+    # one frame), lane-aligned so the fused search applies. The locked
+    # step's costs are ~fixed per step (one probe, one demod, one parse
+    # — round-4 bisection), so throughput scales ~linearly with chunk.
+    chunk = int(os.environ.get("ANET_BENCH_STREAM_CHUNK", "0")) or (
+        t_frame // 128 * 128
+    )
     chunk = min(chunk, t_frame)  # chunk <= frame: no frame can be skipped
     lens = [payload_len // 4, payload_len, payload_len // 2]
     if dynamic and lock:

@@ -245,6 +245,81 @@ def test_probe_quality_golden_properties():
     assert float(np.asarray(qn).max()) < 0.2
 
 
+def test_probe_at_fused_golden_properties():
+    """The span-DMA probe kernel (interpret): peaks at the true lag with
+    ~1 quality on a clean preamble, stays far below threshold on noise,
+    and its correlation half matches the jnp probe exactly (the window
+    energy differs only by the documented st0- vs row-aligned superset)."""
+    from anet.kernels import probe_at_fused
+
+    rng = np.random.default_rng(17)
+    tmpl = preamble_waveform(CFG)
+    k = tmpl.shape[-1]
+    te = float(jnp.sum(tmpl * tmpl))
+    length = 4 * k + 512
+    sig = np.zeros((3, length), np.float32)
+    pos = [100, 101, 2048 + 37]
+    t_np = np.asarray(tmpl, np.float32)
+    for i, p in enumerate(pos):
+        sig[i, p : p + k] = t_np
+    sig += 0.02 * rng.standard_normal(sig.shape).astype(np.float32)
+    st0 = jnp.asarray([p - 2 for p in pos], jnp.int32)
+    q = np.asarray(
+        probe_at_fused(jnp.asarray(sig), st0, tmpl, te, interpret=True)
+    )
+    assert q.shape == (3, 5)
+    assert (np.argmax(q, -1) == 2).all()
+    assert (q.max(-1) > 0.95).all()
+    qn = np.asarray(
+        probe_at_fused(
+            jnp.asarray(rng.standard_normal((2, length)).astype(np.float32)),
+            jnp.asarray([500, 900], jnp.int32),
+            tmpl,
+            te,
+            interpret=True,
+        )
+    )
+    assert float(qn.max()) < 0.2
+
+
+def test_lock_stream_probe_kernel_agrees_with_golden(monkeypatch):
+    """Lock-mode streaming through the span-DMA probe kernel (interpret)
+    decodes the same frames as the CPU jnp-probe path across layouts."""
+    import functools
+
+    import anet.kernels as K
+    import anet.stream as S
+    from anet.kernels import demod_at_fused as real_demod
+    from anet.kernels import probe_at_fused as real_probe
+    from anet.kernels import sync_search_fused as real_search
+
+    rng = np.random.default_rng(0xBEE)
+    b, n_frames = 2, 4
+    payloads = rng.integers(0, 256, (b, n_frames, PAY), dtype=np.uint8)
+    gaps = [[450] + [0] * (n_frames - 1), [900, 2, 6000, 1]]
+    cap = _build_capture(rng, gaps, payloads).astype(jnp.bfloat16)
+    ref = receive_stream(CFG, cap, CHUNK, PAY, lock=True, compute_dtype=jnp.bfloat16)
+
+    monkeypatch.setattr(S.jax, "default_backend", lambda: "tpu", raising=True)
+    monkeypatch.setattr(
+        K, "sync_search_fused", functools.partial(real_search, interpret=True)
+    )
+    monkeypatch.setattr(
+        K, "demod_at_fused", functools.partial(real_demod, interpret=True)
+    )
+    monkeypatch.setattr(
+        K, "probe_at_fused", functools.partial(real_probe, interpret=True)
+    )
+    got = receive_stream(
+        CFG, cap, CHUNK, PAY, lock=True, compute_dtype=jnp.bfloat16,
+        resident=False,
+    )
+    _assert_equal_results(ref, got, b * n_frames)
+    np.testing.assert_array_equal(
+        np.asarray(ref.steps.frame_start), np.asarray(got.steps.frame_start)
+    )
+
+
 def test_probe_kernel_matches_golden_interpret():
     from anet.kernels import preamble_probe_fused
 
