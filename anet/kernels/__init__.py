@@ -49,6 +49,7 @@ __all__ = [
     "preamble_probe_fused",
     "probe_at_fused",
     "sync_search_fused",
+    "sync_search_blockmax",
     "SYMBOL_TILE",
     "TM_SYMBOL_TILE",
     "TM_LANE_TILE",
@@ -359,6 +360,7 @@ def _decide_frame_tm_kernel(
 
     @pl.when(i == 0)
     def _init():
+        words_ref[...] = jnp.zeros_like(words_ref)
         crc_ref[...] = jnp.zeros_like(crc_ref)
         qual_ref[...] = jnp.zeros_like(qual_ref)
 
@@ -391,7 +393,11 @@ def _decide_frame_tm_kernel(
         conf_acc = conf_acc + best / jnp.maximum(total, 1e-20)
         best_acc = best_acc + best
         total_acc = total_acc + total
-    words_ref[0, :] = word
+    # the words output is one full-height [n_tiles, Bt] column block
+    # (kept resident in VMEM across the symbol-tile axis — Mosaic rejects
+    # sublane-1 blocks); row i is selected by a masked write
+    rsel = jax.lax.broadcasted_iota(jnp.int32, words_ref.shape, 0) == i
+    words_ref[...] = jnp.where(rsel, word[None, :], words_ref[...])
     # two CRCs at once: P slab columns 0..31 = header table rows (zero
     # outside bits [0, 48)), 32..63 = payload table rows (zero outside the
     # payload byte span)
@@ -510,7 +516,7 @@ def decide_frame_tm(
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, bt), lambda j, i: (i, j),
+            pl.BlockSpec((n_tiles, bt), lambda j, i: (0, j),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((64, bt), lambda j, i: (0, j),
                          memory_space=pltpu.VMEM),
@@ -1098,6 +1104,191 @@ def sync_search_fused(
     q = q[:n_streams, 0].reshape(batch_shape)
     idx = idx[:n_streams, 0].reshape(batch_shape)
     return q, idx
+
+
+def _search_blockmax_kernel(
+    te_ref,
+    a_ref,
+    b_ref,
+    tmat_ref,
+    onesb_ref,
+    slid_ref,
+    bm_ref,
+    *,
+    g: int,
+    n_shift: int,
+    kb: int,
+    out_len: int,
+    n_super: int,
+):
+    """One supercell of the BLOCK-MAXIMA preamble search: the band
+    matmuls and quality normalization of _search_kernel, but the
+    epilogue emits one value per 128-lag block instead of folding a
+    running max/argmax in VMEM — the fused fold serialized cross-lane
+    reductions (and a [bts, g*blk] quality materialization + broadcast
+    matmul) against every band matmul, the measured 3x gap vs the bare
+    correlator sweep (docs/PERF.md roofline). XLA folds the [B, nb]
+    block maxima and a 128-lag probe refines the exact lag (the
+    blockwise normalization scale is constant within a block, so the
+    in-block argmax of |corr| IS the in-block argmax of quality)."""
+    blk = COR_LAG_TILE
+    ga = g * blk
+    t = pl.program_id(1)
+
+    sa = a_ref[...].astype(jnp.float32)
+    bsums_a = jax.lax.dot_general(
+        sa * sa, onesb_ref[:ga, : ga // _LANE_BC],
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    if n_shift > 1:
+        sb = b_ref[:, : (n_shift - 1) * blk].astype(jnp.float32)
+        bsums_b = jax.lax.dot_general(
+            sb * sb, onesb_ref[ga:, ga // _LANE_BC :],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        bsums = jnp.concatenate([bsums_a, bsums_b], axis=1)
+    else:
+        bsums = bsums_a
+    win = jax.lax.dot_general(
+        bsums, slid_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [bts, g*4]
+    te = te_ref[0]
+    floored = jnp.maximum(win, 1e-4 * te)
+    scale = jax.lax.rsqrt(te * floored)  # [bts, g*4] — one per 128-lag block
+
+    nbpb = blk // _LANE_BC  # 128-blocks per lag tile (4)
+    bts = a_ref.shape[0]
+    mx = jnp.zeros((bts, g * nbpb), jnp.float32)
+    lane = None
+    for j in range(g):
+        lo = j * blk
+        hi = lo + n_shift * blk
+        cut = min(hi, ga)
+        acc = jax.lax.dot_general(
+            a_ref[:, lo:cut],
+            tmat_ref[: cut - lo, :],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        if hi > ga:
+            acc = acc + jax.lax.dot_general(
+                b_ref[:, : hi - ga],
+                tmat_ref[cut - lo :, :],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        aabs = jnp.abs(acc)  # [bts, blk]
+        for c in range(nbpb):
+            col = j * nbpb + c
+            cm = jnp.max(aabs[:, c * _LANE_BC : (c + 1) * _LANE_BC], axis=1)
+            csel = (
+                jax.lax.broadcasted_iota(jnp.int32, (bts, g * nbpb), 1) == col
+            )
+            mx = jnp.where(csel, cm[:, None], mx)
+    q = mx * scale  # blockwise-normalized block maxima
+    # mask blocks past out_len (zero-padded tail of the last supercell)
+    colix = jax.lax.broadcasted_iota(jnp.int32, (bts, g * nbpb), 1)
+    q = jnp.where((t * ga // _LANE_BC + colix) < out_len // _LANE_BC, q, -2.0)
+    # lane-pad to a legal 128-lane output block via two stores
+    bm_ref[:, : g * nbpb] = q
+    bm_ref[:, g * nbpb :] = jnp.full(
+        (bts, 128 - g * nbpb), -2.0, jnp.float32
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("out_len", "batch_tile", "cell_tiles", "interpret"),
+)
+def sync_search_blockmax(
+    seg: jnp.ndarray,
+    template: jnp.ndarray,
+    out_len: int,
+    template_energy,
+    *,
+    batch_tile: int | None = None,
+    cell_tiles: int | None = None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Per-128-lag block maxima of the blockwise match quality:
+    float32 [..., out_len // 128]. Equivalent to::
+
+        corr = correlate_template(seg, template)[..., :out_len]
+        q = blockwise_match_quality(seg, corr, k, te)
+        return q.reshape(..., out_len // 128, 128).max(-1)
+
+    See _search_blockmax_kernel for why this replaces the fused
+    max/argmax fold of sync_search_fused on the hot path.
+    """
+    k = template.shape[-1]
+    blk = COR_LAG_TILE
+    if out_len % _LANE_BC:
+        raise ValueError(f"out_len {out_len} must be a multiple of {_LANE_BC}")
+    batch_shape = seg.shape[:-1]
+    x = seg.reshape(-1, seg.shape[-1])
+    n_streams = x.shape[0]
+    n_blocks = -(-out_len // blk)
+    n_shift = -(-(k + blk - 1) // blk)
+    g = cell_tiles or SRCH_CELL_TILES
+    g = max(min(g, n_blocks), n_shift - 1, 1)
+    if g * (blk // _LANE_BC) > 128:
+        raise ValueError("cell_tiles too large for one 128-lane output block")
+    bts = batch_tile or SRCH_BATCH_TILE
+    n_super = -(-n_blocks // g)
+    span_cols = (g + n_shift - 1) * blk
+    kb = -(-k // _LANE_BC) + 1
+    if kb + g * blk // _LANE_BC - 1 > span_cols // _LANE_BC:
+        raise ValueError(
+            f"template ({k}) too long for cell span {span_cols}; raise cell_tiles"
+        )
+    cols = (n_super + 1) * g * blk
+    pad_t = cols - x.shape[-1]
+    if pad_t > 0:
+        x = jnp.pad(x, ((0, 0), (0, pad_t)))
+    else:
+        x = x[:, :cols]
+    pad_b = -n_streams % bts
+    if pad_b:
+        x = jnp.pad(x, ((0, pad_b), (0, 0)))
+
+    from anet.dsp.sync import banded_template
+
+    tmat = banded_template(template, n_shift * blk, blk)
+    nb_span = span_cols // _LANE_BC
+    onesb = (
+        jnp.arange(span_cols)[:, None] // _LANE_BC == jnp.arange(nb_span)[None, :]
+    ).astype(x.dtype if x.dtype == jnp.float32 else jnp.float32)
+    jb = jnp.arange(nb_span)[:, None]
+    jo = jnp.arange(g * (blk // _LANE_BC))[None, :]
+    slid = ((jb >= jo) & (jb < jo + kb)).astype(jnp.float32)
+    te = jnp.asarray(template_energy, jnp.float32).reshape(1)
+
+    grid = (x.shape[0] // bts, n_super)
+    bm = pl.pallas_call(
+        functools.partial(
+            _search_blockmax_kernel,
+            g=g, n_shift=n_shift, kb=kb, out_len=out_len, n_super=n_super,
+        ),
+        out_shape=jax.ShapeDtypeStruct((x.shape[0], n_super * 128), jnp.float32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((bts, g * blk), lambda i, t: (i, t)),
+            pl.BlockSpec((bts, g * blk), lambda i, t: (i, t + 1)),
+            pl.BlockSpec((n_shift * blk, blk), lambda i, t: (0, 0)),
+            pl.BlockSpec((span_cols, nb_span), lambda i, t: (0, 0)),
+            pl.BlockSpec((nb_span, g * (blk // _LANE_BC)), lambda i, t: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((bts, 128), lambda i, t: (i, t)),
+        interpret=interpret,
+    )(te, x, x, tmat, onesb, slid)
+    nbpb = blk // _LANE_BC
+    bm3 = bm[:n_streams].reshape(n_streams, n_super, 128)[:, :, : g * nbpb]
+    bm2 = bm3.reshape(n_streams, n_super * g * nbpb)[:, : out_len // _LANE_BC]
+    return bm2.reshape(batch_shape + (out_len // _LANE_BC,))
 
 
 # --- dynamic-offset row gather (timing alignment) ----------------------------

@@ -472,18 +472,41 @@ def _search_best(
     seg_c = seg.astype(compute_dtype)
     t_energy = jnp.sum(template * template)
     if jax.default_backend() == "tpu" and chunk_size % 128 == 0:
-        from anet.kernels import sync_search_fused
-
-        best_q, best_rel = sync_search_fused(
-            seg_c, template.astype(compute_dtype), chunk_size, t_energy
+        best_q, best_rel = _tpu_two_phase_search(
+            buffer, seg_c, w0, chunk_size,
+            template.astype(compute_dtype), t_energy,
         )
-        best_rel = best_rel.astype(jnp.int32)
     else:
         corr = correlate_template(seg_c, template.astype(compute_dtype), method="matmul")
         quality = blockwise_match_quality(seg_c, corr, k, t_energy)
         best_rel = jnp.argmax(quality, axis=-1).astype(jnp.int32)
         best_q = jnp.max(quality, axis=-1)
     return buffer, samples_seen, w0, buffer_abs0, best_q, best_rel
+
+
+def _tpu_two_phase_search(buffer, seg_c, w0, chunk_size, t_c, t_energy):
+    """Two-phase TPU search (round 4): the block-maxima kernel emits one
+    quality value per 128-lag block (no in-kernel argmax/fold — the fused
+    epilogue serialized against the band matmuls, the measured 3x gap vs
+    the bare correlator sweep, docs/PERF.md), XLA folds the tiny [B, nb]
+    result, and the span-DMA probe recovers the exact lag within the
+    winning block. The blockwise normalization scale is constant within a
+    block, so the in-block argmax of |corr| IS the argmax of quality;
+    best_q keeps the blockwise-normalized value, same as the fused
+    form's. Returns (best_q f32 [...], best_rel i32 [...])."""
+    from anet.kernels import probe_at_fused, sync_search_blockmax
+
+    bm = sync_search_blockmax(seg_c, t_c, chunk_size, t_energy)
+    bidx = jnp.argmax(bm, axis=-1).astype(jnp.int32)
+    best_q = jnp.max(bm, axis=-1)
+    st0 = w0 + bidx * 128
+    buf_c = buffer if buffer.dtype == seg_c.dtype else buffer.astype(seg_c.dtype)
+    q128 = probe_at_fused(
+        buf_c, st0, t_c, t_energy, n_lags=128,
+        start_bound=w0 + chunk_size - 128,
+    )
+    best_rel = bidx * 128 + jnp.argmax(q128, axis=-1).astype(jnp.int32)
+    return best_q, best_rel
 
 
 def _slide_and_quality(
@@ -652,10 +675,9 @@ def _find_candidate_locked(
         seg = jax.lax.dynamic_slice_in_dim(buf, w0, chunk_size + k - 1, axis=-1)
         seg_c = seg.astype(compute_dtype)
         if jax.default_backend() == "tpu" and chunk_size % 128 == 0:
-            from anet.kernels import sync_search_fused
-
-            bq, br = sync_search_fused(seg_c, t_c, chunk_size, t_energy)
-            return bq, br.astype(jnp.int32)
+            return _tpu_two_phase_search(
+                buf, seg_c, w0, chunk_size, t_c, t_energy
+            )
         corr = correlate_template(seg_c, t_c, method="matmul")
         quality = blockwise_match_quality(seg_c, corr, k, t_energy)
         return jnp.max(quality, axis=-1), jnp.argmax(quality, axis=-1).astype(

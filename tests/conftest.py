@@ -46,3 +46,43 @@ def pytest_sessionstart(session):
     assert jax.device_count() == 8, (
         f"expected 8 virtual CPU devices, got {jax.device_count()}"
     )
+
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def interpret_tpu_kernels(monkeypatch):
+    """Returns a callable that flips the process into 'pretend TPU' mode:
+    jax.default_backend reports 'tpu' and every stream-relevant Pallas
+    kernel routes through interpret mode, so CPU tests drive the TPU
+    dispatch branches. Call it AFTER computing the CPU golden reference."""
+
+    def _patch():
+        import functools
+
+        import anet.kernels as K
+
+        monkeypatch.setattr(jax, "default_backend", lambda: "tpu", raising=True)
+        for name in (
+            "sync_search_fused",
+            "sync_search_blockmax",
+            "probe_at_fused",
+            "demod_at_fused",
+            "demod_at_energies_fused",
+            "decide_tones_tm",
+            "decide_frame_tm",
+        ):
+            monkeypatch.setattr(
+                K, name, functools.partial(getattr(K, name), interpret=True)
+            )
+        # fec._viterbi passes interpret=False explicitly; force it
+        real_vit = K.viterbi_trellis
+        monkeypatch.setattr(
+            K,
+            "viterbi_trellis",
+            lambda *a, **kw: real_vit(*a, **{**kw, "interpret": True}),
+        )
+        return K
+
+    return _patch

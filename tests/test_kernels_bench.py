@@ -224,14 +224,12 @@ def test_sync_search_fused_matches_blockwise():
         )
 
 
-def test_stream_fused_search_agrees_with_quality_path(monkeypatch):
-    """The _search_best fast path (fused kernel, interpret) nominates the
-    same candidates as the materializing quality path on a real frame."""
-    import functools
-
+def test_stream_fused_search_agrees_with_quality_path(interpret_tpu_kernels):
+    """The _search_best fast path (block-maxima kernel + probe refine,
+    interpret) nominates the same candidates as the materializing quality
+    path on a real frame."""
     import anet.stream as S
     from anet.dsp import family
-    from anet.kernels import sync_search_fused as real_search
 
     cfg = CFG
     payload_len = 32
@@ -248,15 +246,7 @@ def test_stream_fused_search_agrees_with_quality_path(monkeypatch):
 
     ref = S.receive_stream(cfg, capture, chunk, payload_len)
 
-    # Force the TPU branch of _search_best through the interpret kernel.
-    monkeypatch.setattr(
-        S.jax, "default_backend", lambda: "tpu", raising=True
-    )
-    import anet.kernels as K
-
-    monkeypatch.setattr(
-        K, "sync_search_fused", functools.partial(real_search, interpret=True)
-    )
+    interpret_tpu_kernels()  # TPU dispatch branches via interpret kernels
     got = S.receive_stream(cfg, capture, chunk, payload_len)
     assert int(got.carry.frames_ok.sum()) == int(ref.carry.frames_ok.sum()) == 2
     np.testing.assert_array_equal(
@@ -366,18 +356,14 @@ def test_decide_frame_tm_full_fusion_matches_golden():
         )
 
 
-def test_stream_dynamic_fused_demod_agrees_with_golden(monkeypatch):
+def test_stream_dynamic_fused_demod_agrees_with_golden(interpret_tpu_kernels):
     """stream_step_dynamic's fused demod branch (demod_at_fused ->
     dynamic_frame_result_from_tone_decisions, interpret kernels) emits the
     same detections, payload lengths, and payloads as the CPU golden
     gather + demodulate_frame_dynamic path — in both search and lock mode."""
-    import functools
-
     import anet.stream as S
     from anet.dsp import family
     from anet.dsp.pipeline import transmit
-    from anet.kernels import demod_at_fused as real_demod
-    from anet.kernels import sync_search_fused as real_search
 
     cfg = CFG
     max_pay = 64
@@ -406,15 +392,7 @@ def test_stream_dynamic_fused_demod_agrees_with_golden(monkeypatch):
         for lock in (False, True)
     }
 
-    monkeypatch.setattr(S.jax, "default_backend", lambda: "tpu", raising=True)
-    import anet.kernels as K
-
-    monkeypatch.setattr(
-        K, "sync_search_fused", functools.partial(real_search, interpret=True)
-    )
-    monkeypatch.setattr(
-        K, "demod_at_fused", functools.partial(real_demod, interpret=True)
-    )
+    interpret_tpu_kernels()
     for lock, ref in refs.items():
         got = S.receive_stream_dynamic(
             cfg, capture, chunk, max_pay, compute_dtype=jnp.bfloat16, lock=lock
@@ -432,17 +410,13 @@ def test_stream_dynamic_fused_demod_agrees_with_golden(monkeypatch):
             )
 
 
-def test_stream_fused_coded_demod_agrees_with_golden(monkeypatch):
+def test_stream_fused_coded_demod_agrees_with_golden(interpret_tpu_kernels):
     """stream_step's fused CODED branch (demod_at_energies_fused ->
     bit_llrs -> Viterbi, interpret kernels) emits the same detections,
     payloads, and counters as the CPU golden gather+demod path — the
     robust-mode streaming fast path added in round 4."""
-    import functools
-
     import anet.stream as S
     from anet.dsp import family
-    from anet.kernels import demod_at_energies_fused as real_energies
-    from anet.kernels import sync_search_fused as real_search
     from anet.models import get_model
 
     cfg = get_model("mfsk4-coded").config
@@ -462,26 +436,7 @@ def test_stream_fused_coded_demod_agrees_with_golden(monkeypatch):
         cfg, capture, chunk, payload_len, compute_dtype=jnp.bfloat16
     )
 
-    monkeypatch.setattr(S.jax, "default_backend", lambda: "tpu", raising=True)
-    import anet.kernels as K
-
-    monkeypatch.setattr(
-        K, "sync_search_fused", functools.partial(real_search, interpret=True)
-    )
-    monkeypatch.setattr(
-        K,
-        "demod_at_energies_fused",
-        functools.partial(real_energies, interpret=True),
-    )
-    # fec._viterbi auto-dispatches its kernel on the (patched) backend too;
-    # it passes interpret=False explicitly, so force it (a partial's
-    # keyword would be overridden by the call site's)
-    real_vit = K.viterbi_trellis
-    monkeypatch.setattr(
-        K,
-        "viterbi_trellis",
-        lambda *a, **kw: real_vit(*a, **{**kw, "interpret": True}),
-    )
+    interpret_tpu_kernels()
     got = S.receive_stream(
         cfg, capture, chunk, payload_len, compute_dtype=jnp.bfloat16
     )
@@ -499,15 +454,11 @@ def test_stream_fused_coded_demod_agrees_with_golden(monkeypatch):
     )
 
 
-def test_stream_fused_demod_agrees_with_golden(monkeypatch):
+def test_stream_fused_demod_agrees_with_golden(interpret_tpu_kernels):
     """stream_step's fused align+demod branch (interpret kernels) emits the
     same detections, payloads, and counters as the CPU golden path."""
-    import functools
-
     import anet.stream as S
     from anet.dsp import family
-    from anet.kernels import demod_at_fused as real_demod
-    from anet.kernels import sync_search_fused as real_search
 
     cfg = CFG
     payload_len = 32
@@ -526,15 +477,7 @@ def test_stream_fused_demod_agrees_with_golden(monkeypatch):
         cfg, capture, chunk, payload_len, compute_dtype=jnp.bfloat16
     )
 
-    monkeypatch.setattr(S.jax, "default_backend", lambda: "tpu", raising=True)
-    import anet.kernels as K
-
-    monkeypatch.setattr(
-        K, "sync_search_fused", functools.partial(real_search, interpret=True)
-    )
-    monkeypatch.setattr(
-        K, "demod_at_fused", functools.partial(real_demod, interpret=True)
-    )
+    interpret_tpu_kernels()
     got = S.receive_stream(
         cfg, capture, chunk, payload_len, compute_dtype=jnp.bfloat16
     )

@@ -282,16 +282,9 @@ def test_probe_at_fused_golden_properties():
     assert float(qn.max()) < 0.2
 
 
-def test_lock_stream_probe_kernel_agrees_with_golden(monkeypatch):
+def test_lock_stream_probe_kernel_agrees_with_golden(interpret_tpu_kernels):
     """Lock-mode streaming through the span-DMA probe kernel (interpret)
     decodes the same frames as the CPU jnp-probe path across layouts."""
-    import functools
-
-    import anet.kernels as K
-    import anet.stream as S
-    from anet.kernels import demod_at_fused as real_demod
-    from anet.kernels import probe_at_fused as real_probe
-    from anet.kernels import sync_search_fused as real_search
 
     rng = np.random.default_rng(0xBEE)
     b, n_frames = 2, 4
@@ -300,16 +293,7 @@ def test_lock_stream_probe_kernel_agrees_with_golden(monkeypatch):
     cap = _build_capture(rng, gaps, payloads).astype(jnp.bfloat16)
     ref = receive_stream(CFG, cap, CHUNK, PAY, lock=True, compute_dtype=jnp.bfloat16)
 
-    monkeypatch.setattr(S.jax, "default_backend", lambda: "tpu", raising=True)
-    monkeypatch.setattr(
-        K, "sync_search_fused", functools.partial(real_search, interpret=True)
-    )
-    monkeypatch.setattr(
-        K, "demod_at_fused", functools.partial(real_demod, interpret=True)
-    )
-    monkeypatch.setattr(
-        K, "probe_at_fused", functools.partial(real_probe, interpret=True)
-    )
+    interpret_tpu_kernels()
     got = receive_stream(
         CFG, cap, CHUNK, PAY, lock=True, compute_dtype=jnp.bfloat16,
         resident=False,

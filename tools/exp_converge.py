@@ -1,0 +1,126 @@
+"""Round-4: cold-start convergence of the locked stream.
+
+The bench's stream_throughput_per_chip seeds the carry LOCKED at the
+first frame (details.warm_lock) and the round-3 verdict flagged that
+steady state was asserted, not demonstrated. This measures it: a COLD
+carry over progressively longer back-to-back captures — the acquisition
+chunk's full search amortizes over the capture, so the cold rate must
+converge to the warm rate as capture length grows.
+
+    nohup python tools/exp_converge.py > /tmp/exp_converge.log 2>&1 &
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+import numpy as np  # noqa: E402
+
+
+def main():
+    import jax
+
+    from anet.utils.compilecache import enable as _cc
+
+    _cc()
+    import jax.numpy as jnp
+
+    from anet import stream
+    from anet.dsp import family
+    from anet.models import get_model
+
+    print("backend:", jax.default_backend(), flush=True)
+    cfg = get_model("mfsk16-fast").config
+    payload_len = 256
+    batch = int(os.environ.get("EXP_BATCH", "8192"))
+    t_frame = family.frame_samples(cfg, payload_len)
+    chunk = t_frame // 128 * 128  # the bench default geometry
+    rng = np.random.default_rng(0)
+
+    distinct = 64
+    payloads = jnp.asarray(
+        rng.integers(0, 256, (distinct, payload_len), dtype=np.uint8)
+    )
+    wave = np.asarray(jax.jit(family.transmit_fn(cfg))(payloads), np.float32)
+
+    gap0 = 1000
+    results = []
+    for nframes in (6, 12, 25, 50):
+        total = -(-(gap0 + nframes * t_frame) // chunk) * chunk
+        cap = np.zeros((distinct, total), np.float32)
+        for i in range(nframes):
+            cap[:, gap0 + i * t_frame : gap0 + (i + 1) * t_frame] = wave
+        capture = jax.jit(
+            lambda x, reps=batch // distinct: jnp.tile(x, (reps, 1)).astype(
+                jnp.bfloat16
+            )
+        )(jnp.asarray(cap))
+        capture.block_until_ready()
+
+        @jax.jit
+        def run(capture):
+            res = stream.receive_stream(
+                cfg, capture, chunk, payload_len,
+                compute_dtype=jnp.bfloat16, lock=True, resident=False,
+            )
+            return res.carry.frames_ok.sum()
+
+        ok = int(run(capture))  # warmup/compile
+        iters = 6
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = run(capture)
+        _ = int(out)
+        dt = (time.perf_counter() - t0) / iters
+        rate = batch * total / dt / 1e6
+        results.append((nframes, rate))
+        print(
+            f"cold lock, {nframes:3d} frames/stream ({total} samples): "
+            f"{rate:8.0f} Msamp/s  frames_ok={ok / (batch * nframes):.3f}",
+            flush=True,
+        )
+        del capture
+
+    # the warm-seeded reference at the shortest geometry, for the table
+    nframes = 6
+    total = -(-(gap0 + nframes * t_frame) // chunk) * chunk
+    cap = np.zeros((distinct, total), np.float32)
+    for i in range(nframes):
+        cap[:, gap0 + i * t_frame : gap0 + (i + 1) * t_frame] = wave
+    capture = jax.jit(
+        lambda x: jnp.tile(x, (batch // distinct, 1)).astype(jnp.bfloat16)
+    )(jnp.asarray(cap))
+    warm = stream.init_carry(cfg, chunk, payload_len, (batch,), dtype=jnp.bfloat16)
+    warm = warm._replace(
+        locked=jnp.ones((batch,), jnp.bool_),
+        next_start=jnp.full((batch,), gap0, warm.next_start.dtype),
+    )
+
+    @jax.jit
+    def run_w(capture):
+        res = stream.receive_stream(
+            cfg, capture, chunk, payload_len, compute_dtype=jnp.bfloat16,
+            lock=True, carry=warm, resident=False,
+        )
+        return res.carry.frames_ok.sum()
+
+    ok = int(run_w(capture))
+    t0 = time.perf_counter()
+    for _ in range(6):
+        out = run_w(capture)
+    _ = int(out)
+    dt = (time.perf_counter() - t0) / 6
+    print(
+        f"warm lock,   6 frames/stream: {batch * total / dt / 1e6:8.0f} "
+        f"Msamp/s  frames_ok={ok / (batch * 6):.3f}",
+        flush=True,
+    )
+    print("DONE", flush=True)
+
+
+if __name__ == "__main__":
+    main()
