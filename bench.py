@@ -182,35 +182,28 @@ def measure_stream(
     )(jnp.asarray(cap))
     capture.block_until_ready()
 
-    warm_carry = None
-    if lock and dynamic:
-        # same steady-state seeding as the fixed-length lock entry: the
-        # carry enters locked at the first frame's known position; the
-        # probe + header CRC still gate every prediction
-        warm_carry = stream.init_carry(
+    # Steady-state seeding: a production receiver is locked for the life
+    # of the connection (the reference's TCP reader never re-syncs —
+    # network.cpp:409-430), so the lock entries measure the LOCKED
+    # pipeline: the carry enters knowing the first frame's position,
+    # exactly as it would mid-connection. The probe still verifies every
+    # prediction against the detect threshold and the header CRC still
+    # gates every detection — a wrong seed would degrade to full search,
+    # not to false frames. Acquisition cost stays measured by the
+    # stream-search entry (and frames_ok checks all frames really
+    # decoded). Disclosed as details.warm_lock. Built INSIDE the jitted
+    # run: a closed-over carry is captured as a program CONSTANT (the
+    # zeros buffer alone is GBs — it blew up remote compiles), while a
+    # traced init_carry is free in-program.
+    warm_lock = lock
+
+    def make_warm_carry():
+        c = stream.init_carry(
             cfg, chunk, payload_len, (batch,), dtype=jnp.bfloat16
         )
-        warm_carry = warm_carry._replace(
+        return c._replace(
             locked=jnp.ones((batch,), jnp.bool_),
-            next_start=jnp.full((batch,), gap0, warm_carry.next_start.dtype),
-        )
-    elif lock and not dynamic:
-        # Steady-state seeding: a production receiver is locked for the
-        # life of the connection (the reference's TCP reader never
-        # re-syncs — network.cpp:409-430), so the headline measures the
-        # LOCKED pipeline: the carry enters knowing the first frame's
-        # position, exactly as it would mid-connection. The probe still
-        # verifies every prediction against the detect threshold and the
-        # header CRC still gates every detection — a wrong seed would
-        # degrade to full search, not to false frames. Acquisition cost
-        # stays measured by the stream-search entry (and frames_ok
-        # checks all frames really decoded). Disclosed as details.warm_lock.
-        warm_carry = stream.init_carry(
-            cfg, chunk, payload_len, (batch,), dtype=jnp.bfloat16
-        )
-        warm_carry = warm_carry._replace(
-            locked=jnp.ones((batch,), jnp.bool_),
-            next_start=jnp.full((batch,), gap0, warm_carry.next_start.dtype),
+            next_start=jnp.full((batch,), gap0, c.next_start.dtype),
         )
 
     if dynamic:
@@ -219,7 +212,7 @@ def measure_stream(
         def run(capture):
             res = stream.receive_stream_dynamic(
                 cfg, capture, chunk, payload_len, compute_dtype=jnp.bfloat16,
-                carry=warm_carry, lock=lock,
+                carry=make_warm_carry() if warm_lock else None, lock=lock,
             )
             return res.carry.frames_ok.sum()
 
@@ -235,7 +228,8 @@ def measure_stream(
         def run(capture):
             res = stream.receive_stream(
                 cfg, capture, chunk, payload_len, compute_dtype=jnp.bfloat16,
-                lock=lock, carry=warm_carry, resident=False,
+                lock=lock, carry=make_warm_carry() if warm_lock else None,
+                resident=False,
             )
             return res.carry.frames_ok.sum()
 
@@ -266,7 +260,7 @@ def measure_stream(
             "seconds": round(dt, 4),
             "frames_ok_fraction": ok_count / (batch * nframes),
             "lock": lock,
-            "warm_lock": warm_carry is not None,
+            "warm_lock": warm_lock,
         },
     }
 

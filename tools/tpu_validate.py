@@ -274,7 +274,79 @@ def main() -> int:
                 err_msg=f"bpc={bpc} confidence",
             )
 
+    def check_decide_frame_tm():
+        from anet.dsp.frame import (
+            demodulate_frame_tm,
+            frame_result_from_packed,
+        )
+        from anet.kernels import decide_frame_tm
+
+        pay = 96
+        p = jnp.asarray(rng.integers(0, 256, (6, pay), np.uint8))
+        w = np.array(modulate_frame(cfg, p), np.float32)
+        w += rng.normal(scale=0.05, size=w.shape).astype(np.float32)
+        w[5, w.shape[-1] // 2 :] = 0.0  # bad payload CRC, good header
+        wtm = jnp.asarray(w.T)
+        ref = demodulate_frame_tm(cfg, wtm, pay, use_pallas=False)
+        data = wtm[cfg.preamble_symbols * cfg.samples_per_symbol :, :]
+        words, crc_counts, qual, n_sym = decide_frame_tm(cfg, data, pay)
+        got = frame_result_from_packed(cfg, words, crc_counts, qual, n_sym, pay)
+        for f in ("payload", "magic_ok", "header_crc_ok", "payload_crc_ok", "ok"):
+            assert np.array_equal(
+                np.asarray(getattr(got, f)), np.asarray(getattr(ref, f))
+            ), f"decide_frame_tm: {f} differs"
+        assert bool(got.ok[0]) and not bool(got.ok[5])
+        np.testing.assert_allclose(
+            np.asarray(got.confidence), np.asarray(ref.confidence), rtol=2e-4
+        )
+
+    def check_probe_at():
+        from anet.kernels import probe_at_fused
+
+        tmpl = preamble_waveform(cfg).astype(jnp.bfloat16)
+        k = tmpl.shape[-1]
+        te = float(jnp.sum(tmpl.astype(jnp.float32) ** 2))
+        length = 4 * k + 1024
+        sig = rng.normal(scale=0.02, size=(8, length)).astype(np.float32)
+        pos = [2, 100, 101, 127, 128, 777, 2048 + 37, 3000]
+        tn = np.asarray(tmpl, np.float32)
+        for i, ps in enumerate(pos):
+            sig[i, ps : ps + k] += tn
+        st0 = jnp.asarray([max(ps - 2, 0) for ps in pos], jnp.int32)
+        q = np.asarray(
+            probe_at_fused(
+                jnp.asarray(sig).astype(jnp.bfloat16), st0, tmpl, te,
+                start_bound=3100,
+            )
+        )
+        want = np.asarray([min(ps, 2) for ps in pos])
+        assert (np.argmax(q, -1) == want).all(), "probe_at peak off"
+        assert (q.max(-1) > 0.9).all(), f"probe_at weak: {q.max(-1)}"
+
+    def check_blockmax_search():
+        from anet.kernels import sync_search_blockmax
+
+        tmpl = preamble_waveform(cfg).astype(jnp.bfloat16)
+        k = tmpl.shape[-1]
+        out_len = 4096
+        seg_np = rng.normal(scale=0.05, size=(6, out_len + k - 1)).astype(np.float32)
+        for i, off in enumerate((0, 777, 2048, 4095, 100, 3000)):
+            seg_np[i, off : off + k] += np.asarray(tmpl, np.float32)
+        seg = jnp.asarray(seg_np).astype(jnp.bfloat16)
+        t_e = jnp.sum(tmpl.astype(jnp.float32) ** 2)
+        corr = correlate_template(seg, tmpl, method="matmul")[..., :out_len]
+        qref = np.asarray(blockwise_match_quality(seg, corr, k, t_e))
+        bref = qref.reshape(6, out_len // 128, 128).max(-1)
+        got = np.asarray(sync_search_blockmax(seg, tmpl, out_len, t_e))
+        assert np.array_equal(
+            got.argmax(-1), bref.argmax(-1)
+        ), "best block differs"
+        np.testing.assert_allclose(got, bref, rtol=5e-3, atol=5e-3)
+
     check("decide_tones_tm (time-major fused demod)", check_decide_tm)
+    check("decide_frame_tm full fusion vs jnp parse", check_decide_frame_tm)
+    check("probe_at_fused span-DMA probe", check_probe_at)
+    check("sync_search_blockmax vs quality golden", check_blockmax_search)
     check("demodulate_frame_tm end-to-end", check_frame_tm)
     check("viterbi_trellis bit-exact vs scan", check_viterbi)
     check("correlate_fused vs block-Toeplitz", check_correlator)
@@ -285,7 +357,7 @@ def main() -> int:
     check("preamble probe (production path) vs numpy golden", check_probe)
     check("ofdm_track_decide_fused vs jnp equalizer", check_ofdm_track)
 
-    n_total = 10
+    n_total = 13
     print(f"{n_total - len(FAILURES)}/{n_total} passed")
     return 1 if FAILURES else 0
 
