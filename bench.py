@@ -123,6 +123,16 @@ def measure_stream(
     else:
         gap0, gap, nframes = 1000, 1000, 3
     per = gap + t_frame
+    # Cap the on-device capture: programs whose capture passes ~5 GB
+    # crash this runtime's remote compiler outright (tpu_compile_helper
+    # exit 1 — bisected on the coded stream, whose frames are ~2x
+    # longer). Shrink the frame count, never below 2.
+    budget = float(os.environ.get("ANET_BENCH_CAPTURE_GB", "4.8")) * 1e9
+    while nframes > 2:
+        total = -(-(gap0 - gap + nframes * per) // chunk) * chunk
+        if batch * total * 2 <= budget:  # bf16 capture
+            break
+        nframes -= 1
     total = -(-(gap0 - gap + nframes * per) // chunk) * chunk
     # Build DISTINCT streams for a small sub-batch and tile it to the full
     # batch ON DEVICE: host-side construction + tunnel transfer of the

@@ -72,6 +72,7 @@ def interpret_tpu_kernels(monkeypatch):
             "demod_at_energies_fused",
             "decide_tones_tm",
             "decide_frame_tm",
+            "ofdm_track_decide_fused",
         ):
             monkeypatch.setattr(
                 K, name, functools.partial(getattr(K, name), interpret=True)

@@ -304,6 +304,40 @@ def test_lock_stream_probe_kernel_agrees_with_golden(interpret_tpu_kernels):
     )
 
 
+def test_lock_stream_ofdm_probe_kernel_agrees_with_golden(interpret_tpu_kernels):
+    """OFDM lock-mode streaming through the TPU dispatch branches
+    (span-DMA probe + block-maxima search, interpret) decodes the same
+    frames as the CPU jnp path — the bench's stream:ofdm-fast entry runs
+    exactly this combination on the chip."""
+    ocfg = get_model("ofdm-fast").config
+    pay = 256
+    t_frame = family.frame_samples(ocfg, pay)
+    chunk = t_frame // 128 * 128  # the bench default (lane-aligned)
+    rng = np.random.default_rng(41)
+    tx = jax.jit(family.transmit_fn(ocfg))
+    n_frames = 3
+    payloads = rng.integers(0, 256, (2, n_frames, pay), dtype=np.uint8)
+    waves = np.asarray(tx(jnp.asarray(payloads.reshape(2 * n_frames, pay))))
+    waves = waves.reshape(2, n_frames, t_frame)
+    caps = []
+    for s in range(2):
+        sig = [np.zeros(500, np.float32)]
+        for i in range(n_frames):
+            sig.append(waves[s, i])
+        caps.append(np.concatenate(sig))
+    length = -(-(max(len(c) for c in caps) + t_frame + chunk) // chunk) * chunk
+    cap = np.zeros((2, length), np.float32)
+    for s, c in enumerate(caps):
+        cap[s, : len(c)] = c
+    cap += 0.01 * rng.standard_normal(cap.shape).astype(np.float32)
+    capj = jnp.asarray(cap).astype(jnp.bfloat16)
+    ref = receive_stream(ocfg, capj, chunk, pay, lock=True, compute_dtype=jnp.bfloat16)
+
+    interpret_tpu_kernels()
+    got = receive_stream(ocfg, capj, chunk, pay, lock=True, compute_dtype=jnp.bfloat16)
+    _assert_equal_results(ref, got, 2 * n_frames)
+
+
 def test_probe_kernel_matches_golden_interpret():
     from anet.kernels import preamble_probe_fused
 
