@@ -331,6 +331,7 @@ def _decide_frame_tm_kernel(
     crc_ref,
     qual_ref,
     bits_scr,
+    words8_scr,
     *,
     num_tones: int,
     sps: int,
@@ -360,7 +361,6 @@ def _decide_frame_tm_kernel(
 
     @pl.when(i == 0)
     def _init():
-        words_ref[...] = jnp.zeros_like(words_ref)
         crc_ref[...] = jnp.zeros_like(crc_ref)
         qual_ref[...] = jnp.zeros_like(qual_ref)
 
@@ -393,11 +393,15 @@ def _decide_frame_tm_kernel(
         conf_acc = conf_acc + best / jnp.maximum(total, 1e-20)
         best_acc = best_acc + best
         total_acc = total_acc + total
-    # the words output is one full-height [n_tiles, Bt] column block
-    # (kept resident in VMEM across the symbol-tile axis — Mosaic rejects
-    # sublane-1 blocks); row i is selected by a masked write
-    rsel = jax.lax.broadcasted_iota(jnp.int32, words_ref.shape, 0) == i
-    words_ref[...] = jnp.where(rsel, word[None, :], words_ref[...])
+    # words land in an 8-row scratch (row i % 8 by masked write — Mosaic
+    # rejects sublane-1 output blocks and dynamic sublane stores) that
+    # shadows the (8, Bt) output block; the block flushes when its index
+    # advances (every 8 tiles), at which point all 8 rows are current.
+    rsel = jax.lax.broadcasted_iota(jnp.int32, words8_scr.shape, 0) == jax.lax.rem(
+        i, 8
+    )
+    words8_scr[...] = jnp.where(rsel, word[None, :], words8_scr[...])
+    words_ref[...] = words8_scr[...]
     # two CRCs at once: P slab columns 0..31 = header table rows (zero
     # outside bits [0, 48)), 32..63 = payload table rows (zero outside the
     # payload byte span)
@@ -496,13 +500,14 @@ def decide_frame_tm(
     p = jnp.asarray(p_np)
 
     grid = (bp // bt, n_tiles)
+    nt8 = -(-n_tiles // 8) * 8
     words, crc, qual = pl.pallas_call(
         functools.partial(
             _decide_frame_tm_kernel,
             num_tones=m, sps=sps, sb=sb, bps=bps, n_tiles=n_tiles,
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((n_tiles, bp), jnp.int32),
+            jax.ShapeDtypeStruct((nt8, bp), jnp.int32),
             jax.ShapeDtypeStruct((64, bp), jnp.float32),
             jax.ShapeDtypeStruct((8, bp), jnp.float32),
         ),
@@ -516,14 +521,17 @@ def decide_frame_tm(
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((n_tiles, bt), lambda j, i: (0, j),
+            pl.BlockSpec((8, bt), lambda j, i: (i // 8, j),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((64, bt), lambda j, i: (0, j),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((8, bt), lambda j, i: (0, j),
                          memory_space=pltpu.VMEM),
         ),
-        scratch_shapes=[pltpu.VMEM((nb, bt), jnp.float32)],
+        scratch_shapes=[
+            pltpu.VMEM((nb, bt), jnp.float32),
+            pltpu.VMEM((8, bt), jnp.int32),
+        ],
         cost_estimate=pl.CostEstimate(
             flops=2 * sp * sps * 2 * m * bp,
             bytes_accessed=sp * sps * bp * w.dtype.itemsize + n_tiles * bp * 4,
@@ -531,7 +539,7 @@ def decide_frame_tm(
         ),
         interpret=interpret,
     )(basis, p, w)
-    return words[:, :b], crc[:, :b], qual[:, :b], s
+    return words[:n_tiles, :b], crc[:, :b], qual[:, :b], s
 
 
 # --- Viterbi trellis kernels -------------------------------------------------
