@@ -626,7 +626,19 @@ def _equalized_llrs_fused(
 
 
 def _use_fused_track() -> bool:
-    return jax.default_backend() == "tpu"
+    """Whether demodulate_frame routes through ofdm_track_decide_fused.
+
+    OFF by default everywhere as of round 4: the kernel is golden-equal
+    (tools/tpu_validate.py) but MEASURED ~2000x SLOWER than the jnp
+    equalizer on this chip (10,065 ms vs 5.34 ms per iteration, tracked
+    ofdm-fast at B=16384 — tools/exp_ofdm2.py; round 3 auto-dispatched it
+    without a perf number, which dragged every OFDM bench entry down).
+    The jnp tracker path measures 14.7 Gsamp/s tracked / 24.2 untracked
+    at B=16384. Set ANET_OFDM_FUSED=1 to re-enable for experiments.
+    """
+    import os
+
+    return bool(os.environ.get("ANET_OFDM_FUSED")) and jax.default_backend() == "tpu"
 
 
 def demodulate_frame(

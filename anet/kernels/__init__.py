@@ -42,6 +42,7 @@ __all__ = [
     "demod_at_fused",
     "demod_at_energies_fused",
     "demod_at_buffer_pad",
+    "demod_probe_fused",
     "ofdm_track_decide_fused",
     "viterbi_trellis",
     "correlate_fused",
@@ -1973,6 +1974,297 @@ def demod_at_fused(
     return _unpack(tone), _unpack(best), _unpack(total)
 
 
+def _demod_probe_kernel(
+    st_ref,
+    stv_ref,
+    x_hbm,
+    tband_ref,
+    bbase_ref,
+    corr_ref,
+    en_ref,
+    tone_ref,
+    best_ref,
+    total_ref,
+    slab_scr,
+    sem,
+    *,
+    bs: int,
+    sv: int,
+    pv: int,
+    pp: int,
+    pw_e: int,
+    r_syms: int,
+    m: int,
+    pre_rows: int,
+    n_lags: int,
+    ncells: int,
+):
+    """MERGED frame-lock probe + align+demod cell — the locked stream's
+    whole per-chunk signal work in one kernel, one span DMA, one slab
+    shift. The separate probe and demod kernels each paid their own
+    per-stream DMA issue and lane-alignment one-hot passes (~13 ms each
+    at the bench geometry — the round-4 lock bisection); here the span
+    starts at the PROBE base (st0 // 128, one preamble ahead of the
+    demod-only kernel's base) so the probe reads the slab's prefix rows
+    IN PLACE:
+
+    - probe: 8-way row select (no lane shift needed — the correlation is
+      computed at all 128 lags of the base row via the shared banded
+      template, then the per-stream 5-lag window is one one-hot lane
+      extract), superset window energy, off = in-block argmax of |corr|
+      (the normalization scale is one value per stream, so this IS the
+      argmax of quality);
+    - demod: the usual shift-the-slab one-hot pair, built from the
+      REFINED offset st0 + off + pre, then the (pre_rows+9)-way row
+      select and the shared basis contraction + decisions epilogue.
+
+    Emits raw corr [bs, n_lags] and window energy [bs, 1] (the caller
+    normalizes — tiny XLA elementwise) plus the demod triple at
+    st0 + off.
+    """
+    i = pl.program_id(0)
+    sl = jax.lax.rem(i, 2)
+    nsl = jax.lax.rem(i + 1, 2)
+    dtype = bbase_ref.dtype
+    r2m = 2 * m * r_syms
+
+    def _issue(cell, slot):
+        for s in range(bs):
+            hi = st_ref[cell * bs + s] // 128
+            hi8 = pl.multiple_of((hi // 8) * 8, 8)
+            pltpu.make_async_copy(
+                x_hbm.at[cell * bs + s, pl.ds(hi8, sv), :],
+                slab_scr.at[slot, s],
+                sem.at[slot, s],
+            ).start()
+
+    @pl.when(i == 0)
+    def _first():
+        _issue(i, sl)
+
+    @pl.when(i + 1 < ncells)
+    def _next():
+        _issue(i + 1, nsl)
+
+    for s in range(bs):
+        hi = st_ref[i * bs + s] // 128
+        hi8 = pl.multiple_of((hi // 8) * 8, 8)
+        pltpu.make_async_copy(
+            x_hbm.at[i * bs + s, pl.ds(hi8, sv), :],
+            slab_scr.at[sl, s],
+            sem.at[sl, s],
+        ).wait()
+    slab = slab_scr[sl]  # [bs, sv, 128]
+
+    stv = stv_ref[...].astype(jnp.int32)  # [bs, 1]
+    lo0 = jax.lax.rem(stv, 128).reshape(bs, 1, 1)
+    delta0 = jax.lax.rem(jax.lax.div(stv, 128), 8).reshape(bs, 1, 1)
+
+    # --- probe: row-aligned 128-lag correlation + per-stream lane pick ---
+    prows = jnp.zeros((bs, pw_e, 128), slab.dtype)
+    for r in range(8):
+        prows = jnp.where(delta0 == r, slab[:, r : r + pw_e, :], prows)
+    corr128 = jnp.zeros((bs, 128), jnp.float32)
+    for r in range(pw_e):
+        corr128 = corr128 + jax.lax.dot_general(
+            prows[:, r, :],
+            tband_ref[r * 128 : (r + 1) * 128, :],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    # per-stream 5-lag window at lane lo0: one-hot lane extract
+    l_io = jax.lax.broadcasted_iota(jnp.int32, (bs, 128, n_lags), 1)
+    o_io = jax.lax.broadcasted_iota(jnp.int32, (bs, 128, n_lags), 2)
+    sel = (l_io == o_io + lo0).astype(jnp.float32)  # [bs, 128, n_lags]
+    corr5 = jax.lax.dot_general(
+        corr128.reshape(bs, 1, 128),
+        sel,
+        (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ).reshape(bs, n_lags)
+    corr_ref[...] = corr5
+    pf = prows.astype(jnp.float32)
+    sq = pf * pf
+    en_ref[...] = jnp.sum(jnp.sum(sq, axis=2), axis=1).reshape(bs, 1)
+    off = jnp.argmax(jnp.abs(corr5), axis=-1).astype(jnp.int32)  # [bs]
+
+    # --- demod at st0 + off: shift-the-slab with the refined offset ---
+    fine = stv + off[:, None] + pre_rows * 128  # [bs, 1] absolute offset
+    lo1 = jax.lax.rem(fine, 128).reshape(bs, 1, 1)
+    j_io = jax.lax.broadcasted_iota(jnp.int32, (bs, 128, 128), 1)
+    c_io = jax.lax.broadcasted_iota(jnp.int32, (bs, 128, 128), 2)
+    sh_lo = (j_io == c_io + lo1).astype(dtype)
+    sh_hi = (j_io == c_io + lo1 - 128).astype(dtype)
+    shifted = (
+        jax.lax.dot_general(
+            slab[:, : sv - 1, :], sh_lo,
+            (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        + jax.lax.dot_general(
+            slab[:, 1:sv, :], sh_hi,
+            (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+    ).astype(slab.dtype)  # [bs, sv-1, 128]
+    # row of the refined data start within the slab:
+    # div(st0+off+pre,128) - hb8 = delta0 + pre_rows + carry(lo0+off)
+    rowv = (
+        jax.lax.rem(jax.lax.div(stv, 128), 8)
+        + pre_rows
+        + jax.lax.div(jax.lax.rem(stv, 128) + off[:, None], 128)
+    ).reshape(bs, 1, 1)  # in [pre_rows, pre_rows + 8]
+    srows = jnp.zeros((bs, pv, 128), slab.dtype)
+    for r in range(pre_rows, pre_rows + 9):
+        srows = jnp.where(rowv == r, shifted[:, r : r + pv, :], srows)
+
+    iq = jax.lax.dot_general(
+        srows.reshape(bs * pv, 128),
+        bbase_ref[...],
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).reshape(bs, pv, r2m)
+    for u in range(r_syms):
+        iqu = iq[:, :, u * 2 * m : (u + 1) * 2 * m]
+        i_part = iqu[:, :, :m]
+        q_part = iqu[:, :, m:]
+        e = i_part * i_part + q_part * q_part
+        tone_ref[:, u * pp : u * pp + pv] = jnp.argmax(e, axis=-1).astype(
+            jnp.int32
+        )
+        best_ref[:, u * pp : u * pp + pv] = jnp.max(e, axis=-1)
+        total_ref[:, u * pp : u * pp + pv] = jnp.sum(e, axis=-1)
+        if pp > pv:
+            tone_ref[:, u * pp + pv : (u + 1) * pp] = jnp.zeros(
+                (bs, pp - pv), jnp.int32
+            )
+            best_ref[:, u * pp + pv : (u + 1) * pp] = jnp.zeros(
+                (bs, pp - pv), jnp.float32
+            )
+            total_ref[:, u * pp + pv : (u + 1) * pp] = jnp.zeros(
+                (bs, pp - pv), jnp.float32
+            )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnums=(0, 3),
+    static_argnames=("n_lags", "start_bound", "batch_tile", "interpret"),
+)
+def demod_probe_fused(
+    config: ModemConfig,
+    buffer: jnp.ndarray,
+    st0: jnp.ndarray,
+    n_symbols: int,
+    template: jnp.ndarray,
+    *,
+    n_lags: int = 5,
+    start_bound: int | None = None,
+    batch_tile: int | None = None,
+    interpret: bool = False,
+):
+    """Merged frame-lock probe + align+demod (see _demod_probe_kernel).
+
+    Returns (corr f32 [..., n_lags], energy f32 [...], tone, best, total)
+    where corr is the RAW preamble correlation at lags st0..st0+n_lags-1,
+    energy the row-aligned superset window energy (normalize outside:
+    q = |corr| * rsqrt(te * max(energy, 1e-4 te)) — same semantics as
+    sync.preamble_quality_probe's blockwise form), and the demod triple
+    is evaluated at start = st0 + argmax|corr| — the drift-servo-refined
+    position the locked stream demodulates anyway.
+
+    Requires 128 %% sps == 0, preamble_samples %% 128 == 0, n_lags <= 8.
+    The stream carry's demod_at_buffer_pad covers this kernel's span (it
+    budgets the extra preamble rows); foreign buffers fall back to an
+    in-call pad copy.
+    """
+    pre = config.preamble_symbols * config.samples_per_symbol
+    if pre % 128:
+        raise ValueError("demod_probe_fused needs preamble_samples % 128 == 0")
+    if not 1 <= n_lags <= 8:
+        raise ValueError("n_lags must be in [1, 8]")
+    (batch_shape, xr, st, b, bs, sv0, pv, pp, r_syms, m, _pre, blocks) = (
+        _demod_at_setup(config, buffer, st0, n_symbols, start_bound, batch_tile)
+    )
+    pre_rows = pre // 128
+    sv = sv0 + pre_rows + 8
+    k = template.shape[-1]
+    pw_e = -(-(k + n_lags - 1) // 128) + 1
+    # extra span rows past _demod_at_setup's budget: exactly 8 more (the
+    # probe base sits up to 8 rows before the demod base; pre % 128 == 0
+    # makes the rest cancel). demod_at_buffer_pad budgets these, so the
+    # stream's carry buffer triggers no copy here.
+    if start_bound is not None:
+        need = max(int(start_bound), 0) // 128 + sv
+        pad_rows = max(0, need - xr.shape[1])
+    else:
+        pad_rows = 8
+    if pad_rows:
+        xr = jnp.pad(xr, ((0, 0), (0, pad_rows), (0, 0)))
+
+    tnp_j = jnp.arange(pw_e * 128)[:, None]
+    tnp_c = jnp.arange(128)[None, :]
+    tj = tnp_j - tnp_c
+    tband = jnp.where(
+        (tj >= 0) & (tj < k),
+        template[jnp.clip(tj, 0, k - 1)],
+        jnp.zeros((), template.dtype),
+    ).astype(xr.dtype)
+
+    bbase = jnp.concatenate(blocks, axis=1).astype(xr.dtype)  # [128, r2m]
+    ncells = xr.shape[0] // bs
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(ncells,),
+        in_specs=[
+            pl.BlockSpec((bs, 1), lambda i, st: (i, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((pw_e * 128, 128), lambda i, st: (0, 0)),
+            pl.BlockSpec((128, 2 * m * r_syms), lambda i, st: (0, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((bs, n_lags), lambda i, st: (i, 0)),
+            pl.BlockSpec((bs, 1), lambda i, st: (i, 0)),
+            pl.BlockSpec((bs, r_syms * pp), lambda i, st: (i, 0)),
+            pl.BlockSpec((bs, r_syms * pp), lambda i, st: (i, 0)),
+            pl.BlockSpec((bs, r_syms * pp), lambda i, st: (i, 0)),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, bs, sv, 128), xr.dtype),
+            pltpu.SemaphoreType.DMA((2, bs)),
+        ],
+    )
+    corr, en, tone, best, total = pl.pallas_call(
+        functools.partial(
+            _demod_probe_kernel,
+            bs=bs, sv=sv, pv=pv, pp=pp, pw_e=pw_e, r_syms=r_syms, m=m,
+            pre_rows=pre_rows, n_lags=n_lags, ncells=ncells,
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((xr.shape[0], n_lags), jnp.float32),
+            jax.ShapeDtypeStruct((xr.shape[0], 1), jnp.float32),
+            jax.ShapeDtypeStruct((xr.shape[0], r_syms * pp), jnp.int32),
+            jax.ShapeDtypeStruct((xr.shape[0], r_syms * pp), jnp.float32),
+            jax.ShapeDtypeStruct((xr.shape[0], r_syms * pp), jnp.float32),
+        ),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(st, st.reshape(-1, 1), xr, tband, bbase)
+
+    def _unpack(o):
+        o3 = o[:b].reshape(b, r_syms, pp)
+        o3 = jnp.moveaxis(o3, 1, 2).reshape(b, pp * r_syms)[:, :n_symbols]
+        return o3.reshape(batch_shape + (n_symbols,))
+
+    return (
+        corr[:b].reshape(batch_shape + (n_lags,)),
+        en[:b, 0].reshape(batch_shape),
+        _unpack(tone),
+        _unpack(best),
+        _unpack(total),
+    )
+
+
 def demod_at_buffer_pad(
     config: ModemConfig, n_symbols: int, start_bound: int, live_length: int
 ) -> int:
@@ -1991,7 +2283,10 @@ def demod_at_buffer_pad(
     lane_pad = -live_length % 128
     rows_total = (live_length + lane_pad) // 128
     hi_max = (start_bound + pre) // 128
-    pad_rows = max(0, hi_max + sv - rows_total)
+    # +8 rows: the merged probe+demod kernel (demod_probe_fused) DMAs
+    # from the PROBE base (st0 // 128, before the preamble) with a span
+    # that ends up to 8 rows past the demod-only kernel's
+    pad_rows = max(0, hi_max + sv + 8 - rows_total)
     return lane_pad + pad_rows * 128
 
 

@@ -144,7 +144,12 @@ def _check_carry_geometry(
         + chunk_size
         + _track_margin(config, track)
     )
-    if length not in (expected, legacy):
+    # accepted: the current padded length, the round-3 pad formula's
+    # (1024 samples / 8 rows smaller — before the merged probe+demod
+    # kernel's span budget), or the unpadded legacy length. Older
+    # checkpoints then demod through an in-step pad copy, slower but
+    # identical.
+    if length not in (expected, max(expected - 1024, legacy), legacy):
         raise ValueError(
             f"carry buffer {length} != expected {expected} (or legacy"
             f" {legacy}) for frame {frame_samples(config, payload_len)}"
@@ -211,6 +216,11 @@ def stream_step(
         raise ValueError("lock=True does not compose with track=True (the "
                          "clock tracker already re-times each frame)")
     _check_carry_geometry(config, carry, chunk_size, payload_len, track)
+    if lock and _merged_lock_supported(config, carry, chunk_size):
+        return _locked_step_merged(
+            config, carry, chunk, payload_len, detect_threshold, compute_dtype,
+            t_frame, template,
+        )
     margin = _track_margin(config, track)
     mid_flight = None
     if lock:
@@ -472,9 +482,8 @@ def _search_best(
     seg_c = seg.astype(compute_dtype)
     t_energy = jnp.sum(template * template)
     if jax.default_backend() == "tpu" and chunk_size % 128 == 0:
-        best_q, best_rel = _tpu_two_phase_search(
-            buffer, seg_c, w0, chunk_size,
-            template.astype(compute_dtype), t_energy,
+        best_q, best_rel = _tpu_search(
+            seg_c, chunk_size, template.astype(compute_dtype), t_energy
         )
     else:
         corr = correlate_template(seg_c, template.astype(compute_dtype), method="matmul")
@@ -484,29 +493,20 @@ def _search_best(
     return buffer, samples_seen, w0, buffer_abs0, best_q, best_rel
 
 
-def _tpu_two_phase_search(buffer, seg_c, w0, chunk_size, t_c, t_energy):
-    """Two-phase TPU search (round 4): the block-maxima kernel emits one
-    quality value per 128-lag block (no in-kernel argmax/fold — the fused
-    epilogue serialized against the band matmuls, the measured 3x gap vs
-    the bare correlator sweep, docs/PERF.md), XLA folds the tiny [B, nb]
-    result, and the span-DMA probe recovers the exact lag within the
-    winning block. The blockwise normalization scale is constant within a
-    block, so the in-block argmax of |corr| IS the argmax of quality;
-    best_q keeps the blockwise-normalized value, same as the fused
-    form's. Returns (best_q f32 [...], best_rel i32 [...])."""
-    from anet.kernels import probe_at_fused, sync_search_blockmax
+def _tpu_search(seg_c, chunk_size, t_c, t_energy):
+    """The TPU acquisition search: the fused correlate+quality+argmax
+    kernel. A round-4 two-phase variant (sync_search_blockmax + a 128-lag
+    probe refine) tested the round-3 hypothesis that the fused max/argmax
+    epilogue serialized against the band matmuls — measured NULL: the
+    block-maxima kernel costs the same 30.7 vs 30.9 ms/step in-scan at
+    chunk 36352, B=8192 (tools/exp_search2.py), and its probe refine adds
+    11 ms on top. The search cost is the band matmuls themselves (the 5x
+    input re-read + M=128 MXU fill/drain — docs/PERF.md), so the single
+    fused kernel stays. Returns (best_q, best_rel)."""
+    from anet.kernels import sync_search_fused
 
-    bm = sync_search_blockmax(seg_c, t_c, chunk_size, t_energy)
-    bidx = jnp.argmax(bm, axis=-1).astype(jnp.int32)
-    best_q = jnp.max(bm, axis=-1)
-    st0 = w0 + bidx * 128
-    buf_c = buffer if buffer.dtype == seg_c.dtype else buffer.astype(seg_c.dtype)
-    q128 = probe_at_fused(
-        buf_c, st0, t_c, t_energy, n_lags=128,
-        start_bound=w0 + chunk_size - 128,
-    )
-    best_rel = bidx * 128 + jnp.argmax(q128, axis=-1).astype(jnp.int32)
-    return best_q, best_rel
+    bq, br = sync_search_fused(seg_c, t_c, chunk_size, t_energy)
+    return bq, br.astype(jnp.int32)
 
 
 def _slide_and_quality(
@@ -589,6 +589,138 @@ def _find_candidate(
 
 
 PROBE_LAGS = 5  # frame-lock probe lags: ±2 samples of clock-drift servo
+
+
+def _merged_lock_supported(config, carry, chunk_size: int) -> bool:
+    """The merged probe+demod kernel (anet.kernels.demod_probe_fused)
+    applies on the uncoded MFSK bf16 lock hot path: TPU backend, fused
+    demod geometry, preamble a whole number of 128-lane rows, and a
+    lane-aligned chunk (the acquisition search kernel's contract)."""
+    from anet.dsp.family import is_ofdm
+
+    return (
+        jax.default_backend() == "tpu"
+        and not is_ofdm(config)
+        and getattr(config, "fec", "none") == "none"
+        and 128 % config.samples_per_symbol == 0
+        and (config.preamble_symbols * config.samples_per_symbol) % 128 == 0
+        and carry.buffer.dtype == jnp.bfloat16
+        and chunk_size % 128 == 0
+    )
+
+
+def _locked_step_merged(
+    config,
+    carry: StreamCarry,
+    chunk: jnp.ndarray,
+    payload_len: int,
+    detect_threshold: float,
+    compute_dtype,
+    t_frame: int,
+    template: jnp.ndarray,
+) -> Tuple[StreamCarry, StreamStepOutput]:
+    """The locked stream step through ONE kernel: the merged probe +
+    align+demod (anet.kernels.demod_probe_fused) replaces the separate
+    probe and demod kernels, whose independent span DMAs and per-stream
+    lane-alignment one-hot passes each cost ~13 ms/step at the bench
+    geometry (round-4 lock bisection, tools/exp_stream2.py). Acquisition
+    still runs the full search under ``lax.cond`` — plus one demod at
+    the searched starts — exactly when some stream needs it; decoded
+    frames are identical to the unmerged lock path (CPU interpret
+    equality: tests/test_stream_lock.py)."""
+    from anet.dsp.frame import (
+        data_symbols_for_payload,
+        frame_result_from_tone_decisions,
+    )
+    from anet.kernels import demod_at_fused, demod_probe_fused
+
+    chunk_size = chunk.shape[-1]
+    k = template.shape[-1]
+    t_c = template.astype(compute_dtype)
+    t_energy = jnp.sum(t_c.astype(jnp.float32) ** 2)
+    n_symbols = data_symbols_for_payload(config, payload_len)
+    buffer, samples_seen, w0, buffer_abs0 = _slide_buffer(carry, chunk, t_frame, 0)
+    length = t_frame + chunk_size
+
+    pred_idx = carry.next_start - buffer_abs0
+    in_win = carry.locked & (pred_idx >= w0) & (pred_idx < w0 + chunk_size)
+    mid_flight = carry.locked & (pred_idx >= w0 + chunk_size)
+
+    probe_at = jnp.clip(pred_idx, 0, length - t_frame)
+    st0 = jnp.clip(
+        probe_at - PROBE_LAGS // 2,
+        0,
+        buffer.shape[-1] - k - PROBE_LAGS + 1,
+    )
+    corr5, energy, tone_p, best_p, total_p = demod_probe_fused(
+        config, buffer, st0, n_symbols, t_c,
+        n_lags=PROBE_LAGS, start_bound=length - t_frame,
+    )
+    floored = jnp.maximum(energy, 1e-4 * t_energy)
+    q5 = jnp.abs(corr5) * jax.lax.rsqrt(t_energy * floored)[..., None]
+    probe_q = jnp.max(q5, axis=-1)
+    # same winner as the kernel's internal refinement: the normalization
+    # scale is one positive value per stream, so argmax(q) == argmax|corr|
+    probe_off = jnp.argmax(q5, axis=-1).astype(jnp.int32)
+    refined_idx = st0 + probe_off
+    pred_valid = in_win & (probe_q >= detect_threshold)
+
+    need_search = jnp.any(~(pred_valid | mid_flight))
+
+    def do_search(buf):
+        seg = jax.lax.dynamic_slice_in_dim(buf, w0, chunk_size + k - 1, axis=-1)
+        bq, br = _tpu_search(seg.astype(compute_dtype), chunk_size, t_c, t_energy)
+        sel_idx = jnp.where(pred_valid, refined_idx, w0 + br)
+        tone_s, best_s, total_s = demod_at_fused(
+            config, buf, sel_idx, n_symbols, start_bound=chunk_size
+        )
+        return bq, br, tone_s, best_s, total_s
+
+    def skip_search(buf):
+        shape = carry.samples_seen.shape
+        zf = jnp.zeros(shape, jnp.float32)
+        zi = jnp.zeros(shape, jnp.int32)
+        zs = jnp.zeros(shape + (n_symbols,), jnp.float32)
+        return zf, zi, jnp.zeros(shape + (n_symbols,), jnp.int32), zs, zs
+
+    bq, br, tone_s, best_s, total_s = jax.lax.cond(
+        need_search, do_search, skip_search, buffer
+    )
+    start_idx = jnp.where(pred_valid, refined_idx, w0 + br)
+    start_abs = buffer_abs0 + start_idx
+    quality = jnp.where(pred_valid, probe_q, bq)
+    searched_ok = (bq >= detect_threshold) & (
+        (buffer_abs0 + w0 + br) >= carry.last_frame_end
+    )
+    candidate = pred_valid | (~mid_flight & searched_ok)
+
+    pv_s = pred_valid[..., None]
+    frame = frame_result_from_tone_decisions(
+        config,
+        jnp.where(pv_s, tone_p, tone_s),
+        jnp.where(pv_s, best_p, best_s),
+        jnp.where(pv_s, total_p, total_s),
+        payload_len,
+    )
+    detected = candidate & frame.magic_ok & frame.header_crc_ok
+    frame = frame._replace(ok=frame.ok & detected)
+    locked_new = detected | mid_flight
+    next_start_new = jnp.where(detected, start_abs + t_frame, carry.next_start)
+    new_carry = StreamCarry(
+        buffer=buffer,
+        samples_seen=samples_seen,
+        last_frame_end=jnp.where(detected, start_abs + t_frame, carry.last_frame_end),
+        frames_detected=carry.frames_detected + detected.astype(jnp.int32),
+        frames_ok=carry.frames_ok + frame.ok.astype(jnp.int32),
+        decode_errors=carry.decode_errors
+        + (detected & ~frame.ok).astype(jnp.int32),
+        locked=locked_new,
+        next_start=next_start_new,
+    )
+    out = StreamStepOutput(
+        frame=frame, detected=detected, quality=quality, frame_start=start_abs
+    )
+    return new_carry, out
 
 
 def _find_candidate_locked(
@@ -675,9 +807,7 @@ def _find_candidate_locked(
         seg = jax.lax.dynamic_slice_in_dim(buf, w0, chunk_size + k - 1, axis=-1)
         seg_c = seg.astype(compute_dtype)
         if jax.default_backend() == "tpu" and chunk_size % 128 == 0:
-            return _tpu_two_phase_search(
-                buf, seg_c, w0, chunk_size, t_c, t_energy
-            )
+            return _tpu_search(seg_c, chunk_size, t_c, t_energy)
         corr = correlate_template(seg_c, t_c, method="matmul")
         quality = blockwise_match_quality(seg_c, corr, k, t_energy)
         return jnp.max(quality, axis=-1), jnp.argmax(quality, axis=-1).astype(

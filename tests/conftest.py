@@ -70,6 +70,7 @@ def interpret_tpu_kernels(monkeypatch):
             "probe_at_fused",
             "demod_at_fused",
             "demod_at_energies_fused",
+            "demod_probe_fused",
             "decide_tones_tm",
             "decide_frame_tm",
             "ofdm_track_decide_fused",

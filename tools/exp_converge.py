@@ -36,7 +36,10 @@ def main():
     print("backend:", jax.default_backend(), flush=True)
     cfg = get_model("mfsk16-fast").config
     payload_len = 256
-    batch = int(os.environ.get("EXP_BATCH", "8192"))
+    # 2048 keeps the longest capture (50 frames) under the remote
+    # compiler's ~5 GB cliff and off the HBM limit (the 8192-batch run
+    # OOMed at 12 frames/stream)
+    batch = int(os.environ.get("EXP_BATCH", "2048"))
     t_frame = family.frame_samples(cfg, payload_len)
     chunk = t_frame // 128 * 128  # the bench default geometry
     rng = np.random.default_rng(0)

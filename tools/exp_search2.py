@@ -126,9 +126,7 @@ def main():
     def step_search_best(c, ch):
         buffer, seen, w0, abs0 = stream._slide_buffer(c, ch, t_frame, 0)
         seg = jax.lax.dynamic_slice_in_dim(buffer, w0, chunk + k - 1, axis=-1)
-        bq, br = stream._tpu_two_phase_search(
-            buffer, seg, w0, chunk, t_c, t_energy
-        )
+        bq, br = stream._tpu_search(seg, chunk, t_c, t_energy)
         return c._replace(buffer=buffer, samples_seen=seen), bq.sum() + br.sum()
 
     def step_old_fused(c, ch):
@@ -140,9 +138,7 @@ def main():
     def step_search_demod(c, ch):
         buffer, seen, w0, abs0 = stream._slide_buffer(c, ch, t_frame, 0)
         seg = jax.lax.dynamic_slice_in_dim(buffer, w0, chunk + k - 1, axis=-1)
-        bq, br = stream._tpu_two_phase_search(
-            buffer, seg, w0, chunk, t_c, t_energy
-        )
+        bq, br = stream._tpu_search(seg, chunk, t_c, t_energy)
         start_idx = jnp.clip(w0 + br, 0, chunk)
         tone, best, tot = demod_at_fused(
             cfg, buffer, start_idx, n_symbols, start_bound=chunk

@@ -343,8 +343,49 @@ def main() -> int:
         ), "best block differs"
         np.testing.assert_allclose(got, bref, rtol=5e-3, atol=5e-3)
 
+    def check_demod_probe():
+        """Merged probe+demod: corr/energy match the separate probe's
+        semantics class and the demod triple matches demod_at_fused at
+        the refined start."""
+        from anet.dsp.frame import data_symbols_for_payload
+        from anet.kernels import demod_at_fused, demod_probe_fused
+
+        pay = 64
+        s = data_symbols_for_payload(cfg, pay)
+        t_frame = (cfg.preamble_symbols + s) * cfg.samples_per_symbol
+        tmpl = preamble_waveform(cfg).astype(jnp.bfloat16)
+        k = tmpl.shape[-1]
+        te = float(jnp.sum(tmpl.astype(jnp.float32) ** 2))
+        chunkb = 2048
+        buf_np = rng.normal(scale=0.05, size=(16, t_frame + chunkb + 4096)).astype(
+            np.float32
+        )
+        starts = rng.integers(2, chunkb, 16).astype(np.int32)
+        p = jnp.asarray(rng.integers(0, 256, (16, pay), np.uint8))
+        w = np.asarray(modulate_frame(cfg, p), np.float32)
+        for i in range(16):
+            buf_np[i, starts[i] : starts[i] + t_frame] += w[i]
+        buf = jnp.asarray(buf_np).astype(jnp.bfloat16)
+        st0 = jnp.asarray(starts - 2)
+        corr, en, tone, best, total = demod_probe_fused(
+            cfg, buf, st0, s, tmpl, start_bound=chunkb
+        )
+        q = np.abs(np.asarray(corr)) / np.sqrt(
+            te * np.maximum(np.asarray(en)[:, None], 1e-4 * te)
+        )
+        assert (np.argmax(q, -1) == 2).all(), "merged probe peak off-center"
+        assert (q.max(-1) > 0.9).all(), f"merged probe weak: {q.max(-1)}"
+        # demod at the refined start == demod_at_fused at the true start
+        rt, rb, rtot = demod_at_fused(cfg, buf, jnp.asarray(starts), s,
+                                      start_bound=chunkb + 2)
+        assert np.array_equal(np.asarray(tone), np.asarray(rt)), "tones differ"
+        np.testing.assert_allclose(
+            np.asarray(best), np.asarray(rb), rtol=1e-5, atol=1e-3
+        )
+
     check("decide_tones_tm (time-major fused demod)", check_decide_tm)
     check("decide_frame_tm full fusion vs jnp parse", check_decide_frame_tm)
+    check("demod_probe_fused merged probe+demod", check_demod_probe)
     check("probe_at_fused span-DMA probe", check_probe_at)
     check("sync_search_blockmax vs quality golden", check_blockmax_search)
     check("demodulate_frame_tm end-to-end", check_frame_tm)
@@ -357,7 +398,7 @@ def main() -> int:
     check("preamble probe (production path) vs numpy golden", check_probe)
     check("ofdm_track_decide_fused vs jnp equalizer", check_ofdm_track)
 
-    n_total = 13
+    n_total = 14
     print(f"{n_total - len(FAILURES)}/{n_total} passed")
     return 1 if FAILURES else 0
 
