@@ -297,14 +297,17 @@ def preamble_quality_probe(
     bounded start can reach, instead of the whole buffer twice (at the
     streaming bench geometry the unbounded form cost 16 ms/step: a
     full-buffer pad copy inside aligned_gather plus a full-buffer
-    one-hot read, for a ~1 KB answer). ``mode="fused"`` forces the Pallas kernel
-    (anet.kernels.preamble_probe_fused) — interpret-validated but NOT in
-    auto: its Mosaic lowering SIGABRTs this runtime's remote compiler
-    (round-3 measurement; see docs/PERF.md). "auto" takes the jnp form
-    below everywhere, whose probe ops are themselves MXU-native:
-    row-aligned span slab once, lane-shift out of the span (not a second
-    full-buffer gather), and all n_lags correlations as ONE
-    shifted-template matmul — no minor-axis index gather anywhere.
+    one-hot read, for a ~1 KB answer). ``mode="fused"`` forces the
+    span-DMA Pallas kernel (anet.kernels.probe_at_fused — the round-4
+    restructuring of the retired batch-dot probe kernel whose lowering
+    SIGABRTed this runtime's Mosaic); its window-energy superset is
+    st0-aligned rather than row-aligned, the same under-report bound
+    class. "auto" takes the jnp form below, whose probe ops are
+    themselves MXU-native: row-aligned span slab once, lane-shift out of
+    the span (not a second full-buffer gather), and all n_lags
+    correlations as ONE shifted-template matmul — no minor-axis index
+    gather anywhere. (The TPU streaming hot paths dispatch their own
+    kernels in anet.stream and don't come through here.)
     """
     k = template.shape[-1]
     length = buffer.shape[-1]
@@ -314,10 +317,16 @@ def preamble_quality_probe(
     t_c = template.astype(compute_dtype) if compute_dtype else template
     te = jnp.asarray(template_energy, jnp.float32)
     if mode == "fused":
-        from anet.kernels import preamble_probe_fused
+        from anet.kernels import probe_at_fused
 
         buf_c = buffer.astype(compute_dtype) if compute_dtype else buffer
-        return preamble_probe_fused(buf_c, st0, t_c, te, n_lags), st0
+        return (
+            probe_at_fused(
+                buf_c, st0, t_c, te, n_lags,
+                start_bound=start_bound,
+            ),
+            st0,
+        )
     span_rows = -(-(k + n_lags - 1) // _LANE) + 1
     row0 = st0 // _LANE
     if start_bound is not None:

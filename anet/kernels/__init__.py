@@ -47,7 +47,6 @@ __all__ = [
     "viterbi_trellis",
     "correlate_fused",
     "gather_rows_fused",
-    "preamble_probe_fused",
     "probe_at_fused",
     "sync_search_fused",
     "sync_search_blockmax",
@@ -1497,7 +1496,7 @@ def _probe_at_kernel(
 ):
     """Frame-lock probe cell: per-stream span DMA (the _demod_at_front
     machinery — proven on this runtime's Mosaic, unlike the batch-dot
-    preamble_probe_fused form it replaces) + the n_lags correlation as
+    retired batch-dot probe form it replaces) + the n_lags correlation as
     pw row-dots against a static banded template, + the superset window
     energy. Raw |corr| and energy come out; the caller normalizes
     (tiny [B, lanes] elementwise in XLA)."""
@@ -2545,159 +2544,3 @@ def ofdm_track_decide_fused(
         evm2.reshape(batch_shape),
     )
 
-
-# --- preamble quality probe (frame-lock verify + timing refine) ---------------
-
-# streams per grid cell: the sh5 one-hot intermediate is
-# [bs, 384, n_lags*128] bf16 (~0.5 MB per stream at n_lags=5), so 8 keeps
-# the cell's VMEM footprint ~5 MB with the buffer-rows block
-PRB_STREAM_TILE = 8
-
-
-def _probe_kernel(te_ref, st_ref, x_ref, dlo_ref, dhi_ref, jd5_ref, s_ref,
-                  q_ref, *, bs: int, sr: int, n_lags: int, rows_total: int):
-    """One cell of the preamble probe: bs streams, everything in VMEM.
-
-    The span one-hot row selection reuses demod_at_fused's constant
-    compare-matrix trick (dlo/dhi are [sr, rows_total] inputs, no in-kernel
-    3-D iotas); the n_lags shifted template copies come out of ONE one-hot
-    matmul against the stacked row pairs (jd5 encodes all lags), so the
-    only per-stream work is elementwise multiply-reduce."""
-    st0 = st_ref[...].astype(jnp.int32)  # [bs, 1] clipped probe starts
-    hi = jax.lax.div(st0, 128).reshape(bs, 1, 1)
-    d0 = jax.lax.rem(st0, 128).reshape(bs, 1, 1)
-
-    # span slab: rows [hi, hi + sr) of the stream's buffer (rows >= 18 of
-    # the compare matrices never match -> zero rows; harmless in sums)
-    oh = ((hi >= dlo_ref[...][None]) & (hi <= dhi_ref[...][None])).astype(
-        x_ref.dtype
-    )  # [bs, sr, rows_total]
-    slab = jax.lax.dot_general(
-        oh, x_ref[...], (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    ).astype(x_ref.dtype)  # [bs, sr, 128] — exact move of the samples
-
-    # all-lag shifted templates in one one-hot matmul: sh5[s, j, o*128+c]
-    # matches when j == c + 256 - (d0 + o) (a THREE-row stacked window —
-    # d0 + o reaches 127 + n_lags-1 > 128, past what a row pair covers);
-    # tsh5[s, r, o, c] = template value under span lane c of row r at lag o
-    sh5 = (jd5_ref[...][None] == (256 - d0)).astype(s_ref.dtype)
-    tsh5 = jax.lax.dot_general(
-        s_ref[...], sh5, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # [sr, bs, n_lags*128]
-    tsh5 = jnp.moveaxis(tsh5, 0, 1).reshape(bs, sr, n_lags, 128)
-
-    sf = slab.astype(jnp.float32)
-    # single-axis reduces only: multi-axis jnp.sum SIGABRTs this
-    # runtime's remote Mosaic compiler (round-3 bisection)
-    corr = jnp.sum(
-        jnp.sum(sf[:, :, None, :] * tsh5, axis=3), axis=1
-    )  # [bs, n_lags]
-    energy = jnp.sum(jnp.sum(sf * sf, axis=2), axis=1).reshape(bs, 1)
-    te = te_ref[0]
-    scale = jax.lax.rsqrt(te * jnp.maximum(energy, 1e-4 * te))
-    out = jnp.abs(corr) * scale  # [bs, n_lags]
-    pad = q_ref.shape[-1] - n_lags
-    if pad:
-        out = jnp.concatenate([out, jnp.zeros((bs, pad), jnp.float32)], axis=1)
-    q_ref[...] = out
-
-
-@functools.partial(
-    jax.jit, static_argnames=("n_lags", "batch_tile", "interpret")
-)
-def preamble_probe_fused(
-    buffer: jnp.ndarray,
-    probe_start: jnp.ndarray,
-    template: jnp.ndarray,
-    template_energy,
-    n_lags: int = 5,
-    *,
-    batch_tile: int | None = None,
-    interpret: bool = False,
-) -> jnp.ndarray:
-    """Normalized preamble match quality at ``n_lags`` consecutive lags
-    from per-stream ``probe_start`` — the frame-lock verify/refine probe
-    (see anet.dsp.sync.preamble_quality_probe for the golden model and the
-    energy-window semantics). q[..., o] scores buffer index
-    probe_start + o. Callers pass probe_start already clipped to
-    [0, length - k - n_lags + 1] with k + n_lags + 131 samples of margin
-    before the buffer end (frames are far longer than preambles).
-
-    Unlike the full search (sync_search_fused: every lag in the chunk),
-    this reads the buffer rows once and does O(n_lags) work per stream —
-    the steady-state replacement for the search when the stream is locked.
-
-    STATUS: interpret-validated (tests/test_stream_lock.py) but NOT
-    dispatched in production — this runtime's remote Mosaic compiler
-    rejects it (originally a SIGABRT from the multi-axis jnp.sum, which
-    the round-3 bisection fixed kernel-wide; after that fix it still
-    fails with a compile error the remote helper scrubs — suspects: the
-    batch-dim dot_generals or the [sr, bs, n_lags*128] moveaxis+
-    reshape). The production probe is the MXU-native jnp form in
-    anet.dsp.sync.preamble_quality_probe, which reads the buffer the
-    same number of times; revisit if the toolchain updates.
-    """
-    k = template.shape[-1]
-    batch_shape = buffer.shape[:-1]
-    x = buffer.reshape(-1, buffer.shape[-1])
-    st = probe_start.reshape(-1, 1).astype(jnp.int32)
-    b, length = x.shape
-    if length % 128:
-        x = jnp.pad(x, ((0, 0), (0, (-length) % 128)))
-    rows_total = x.shape[-1] // 128
-    span_rows = -(-(k + n_lags - 1) // 128) + 1
-    sr = -(-span_rows // 8) * 8  # sublane-tile the span
-    bs = batch_tile or PRB_STREAM_TILE
-    bs = min(bs, b) if b >= bs else b
-    pad_b = -b % bs
-    if pad_b:
-        x = jnp.pad(x, ((0, pad_b), (0, 0)))
-        st = jnp.pad(st, ((0, pad_b), (0, 0)))
-    xr = x.reshape(x.shape[0], rows_total, 128)
-
-    rr = jnp.arange(sr)[:, None]
-    cc = jnp.arange(rows_total)[None, :]
-    big = jnp.int32(2**30)
-    dlo = jnp.where(rr < span_rows, cc - rr, big).astype(jnp.int32)
-    dhi = jnp.where(rr < span_rows, cc - rr, -big).astype(jnp.int32)
-    jj = jnp.arange(384)[:, None]
-    oo = jnp.arange(n_lags * 128)[None, :] // 128
-    c2 = jnp.arange(n_lags * 128)[None, :] % 128
-    jd5 = (jj - c2 + oo).astype(jnp.int32)  # match when == 256 - d0
-    # stacked three-row windows: s_mat[r, q] = template[r*128 + q - 256]
-    # (zero outside [0, k)) — tsh5[r, c] = s_mat[r, 256 + c - (d0 + o)]
-    tdt = x.dtype if x.dtype != jnp.float32 else jnp.float32
-    tmpl_c = template.astype(tdt)
-    qq = jnp.arange(384)[None, :]
-    rr2 = jnp.arange(sr)[:, None]
-    tidx = rr2 * 128 + qq - 256
-    s_mat = jnp.where(
-        (tidx >= 0) & (tidx < k),
-        tmpl_c[jnp.clip(tidx, 0, k - 1)],
-        jnp.zeros((), tdt),
-    )  # [sr, 384]
-    te = jnp.asarray(template_energy, jnp.float32).reshape(1)
-
-    out_lanes = -(-n_lags // 128) * 128 if n_lags > 8 else 8
-    grid = (x.shape[0] // bs,)
-    q = pl.pallas_call(
-        functools.partial(
-            _probe_kernel, bs=bs, sr=sr, n_lags=n_lags, rows_total=rows_total
-        ),
-        out_shape=jax.ShapeDtypeStruct((x.shape[0], out_lanes), jnp.float32),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((bs, 1), lambda i: (i, 0)),
-            pl.BlockSpec((bs, rows_total, 128), lambda i: (i, 0, 0)),
-            pl.BlockSpec((sr, rows_total), lambda i: (0, 0)),
-            pl.BlockSpec((sr, rows_total), lambda i: (0, 0)),
-            pl.BlockSpec((384, n_lags * 128), lambda i: (0, 0)),
-            pl.BlockSpec((sr, 384), lambda i: (0, 0)),
-        ],
-        out_specs=pl.BlockSpec((bs, out_lanes), lambda i: (i, 0)),
-        interpret=interpret,
-    )(te, st, xr, dlo, dhi, jd5, s_mat)
-    return q[:b, :n_lags].reshape(batch_shape + (n_lags,))

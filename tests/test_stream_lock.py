@@ -338,28 +338,6 @@ def test_lock_stream_ofdm_probe_kernel_agrees_with_golden(interpret_tpu_kernels)
     _assert_equal_results(ref, got, 2 * n_frames)
 
 
-def test_probe_kernel_matches_golden_interpret():
-    from anet.kernels import preamble_probe_fused
-
-    rng = np.random.default_rng(9)
-    tmpl = preamble_waveform(CFG).astype(jnp.bfloat16)
-    k = tmpl.shape[-1]
-    te = float(jnp.sum(tmpl.astype(jnp.float32) ** 2))
-    length = 3 * k + 640
-    buf = jnp.asarray(
-        rng.standard_normal((16, length)).astype(np.float32)
-    ).astype(jnp.bfloat16)
-    starts = jnp.asarray(
-        np.concatenate([[0, 1, 2, 127, 128], rng.integers(0, length - k - 300, 11)]),
-        jnp.int32,
-    )
-    q_ref, st0 = preamble_quality_probe(buf, starts, tmpl, te, mode="jnp")
-    q_k = preamble_probe_fused(buf, st0, tmpl, te, interpret=True)
-    np.testing.assert_allclose(
-        np.asarray(q_k), np.asarray(q_ref), rtol=2e-4, atol=2e-5
-    )
-
-
 def _build_dynamic_capture(rng, gaps_per_stream, lens_per_stream, chunk,
                            max_payload, noise=0.02):
     """Mixed-length capture: per-stream frames of varying payload length
