@@ -1979,13 +1979,15 @@ def _demod_probe_kernel(
     x_hbm,
     tband_ref,
     bbase_ref,
-    corr_ref,
+    cmax_ref,
+    off_ref,
     en_ref,
     tone_ref,
     best_ref,
     total_ref,
     slab_scr,
     sem,
+    pw_scr,
     *,
     bs: int,
     sv: int,
@@ -2056,36 +2058,38 @@ def _demod_probe_kernel(
     slab = slab_scr[sl]  # [bs, sv, 128]
 
     stv = stv_ref[...].astype(jnp.int32)  # [bs, 1]
-    lo0 = jax.lax.rem(stv, 128).reshape(bs, 1, 1)
+    lo0 = jax.lax.rem(stv, 128)  # [bs, 1]
     delta0 = jax.lax.rem(jax.lax.div(stv, 128), 8).reshape(bs, 1, 1)
 
-    # --- probe: row-aligned 128-lag correlation + per-stream lane pick ---
+    # --- probe: row-aligned 128-lag correlation, ONE wide matmul ---
+    # select the probe rows, then lay them out [bs, pw_e*128] in scratch
+    # (each store is a clean 128-lane tile) so all pw_e band rows
+    # contract in a single dot — a per-row dot loop here cost ~10 small
+    # matmuls per cell, most of the merged kernel's first-cut overhead
     prows = jnp.zeros((bs, pw_e, 128), slab.dtype)
     for r in range(8):
         prows = jnp.where(delta0 == r, slab[:, r : r + pw_e, :], prows)
-    corr128 = jnp.zeros((bs, 128), jnp.float32)
     for r in range(pw_e):
-        corr128 = corr128 + jax.lax.dot_general(
-            prows[:, r, :],
-            tband_ref[r * 128 : (r + 1) * 128, :],
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-    # per-stream 5-lag window at lane lo0: one-hot lane extract
-    l_io = jax.lax.broadcasted_iota(jnp.int32, (bs, 128, n_lags), 1)
-    o_io = jax.lax.broadcasted_iota(jnp.int32, (bs, 128, n_lags), 2)
-    sel = (l_io == o_io + lo0).astype(jnp.float32)  # [bs, 128, n_lags]
-    corr5 = jax.lax.dot_general(
-        corr128.reshape(bs, 1, 128),
-        sel,
-        (((2,), (1,)), ((0,), (0,))),
+        pw_scr[:, r * 128 : (r + 1) * 128] = prows[:, r, :]
+    corr128 = jax.lax.dot_general(
+        pw_scr[...],
+        tband_ref[...],
+        (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ).reshape(bs, n_lags)
-    corr_ref[...] = corr5
+    )  # [bs, 128]: correlation at the 128 lags of the base row
+    # per-stream servo window [lo0, lo0 + n_lags): mask, max, argmax —
+    # the normalization scale is one value per stream, so the masked
+    # argmax of |corr| IS the argmax of quality
+    lane = jax.lax.broadcasted_iota(jnp.int32, (bs, 128), 1)
+    in_window = (lane >= lo0) & (lane < lo0 + n_lags)
+    cabs = jnp.where(in_window, jnp.abs(corr128), -1.0)
+    cmax_ref[...] = jnp.max(cabs, axis=1).reshape(bs, 1)
+    offabs = jnp.argmax(cabs, axis=1).astype(jnp.int32)  # [bs]
+    off = jnp.clip(offabs - lo0[:, 0], 0, n_lags - 1)
+    off_ref[...] = off.reshape(bs, 1)
     pf = prows.astype(jnp.float32)
     sq = pf * pf
     en_ref[...] = jnp.sum(jnp.sum(sq, axis=2), axis=1).reshape(bs, 1)
-    off = jnp.argmax(jnp.abs(corr5), axis=-1).astype(jnp.int32)  # [bs]
 
     # --- demod at st0 + off: shift-the-slab with the refined offset ---
     fine = stv + off[:, None] + pre_rows * 128  # [bs, 1] absolute offset
@@ -2164,13 +2168,14 @@ def demod_probe_fused(
 ):
     """Merged frame-lock probe + align+demod (see _demod_probe_kernel).
 
-    Returns (corr f32 [..., n_lags], energy f32 [...], tone, best, total)
-    where corr is the RAW preamble correlation at lags st0..st0+n_lags-1,
-    energy the row-aligned superset window energy (normalize outside:
-    q = |corr| * rsqrt(te * max(energy, 1e-4 te)) — same semantics as
+    Returns (cmax f32 [...], off i32 [...], energy f32 [...], tone, best,
+    total): cmax is the maximum RAW |correlation| over the n_lags servo
+    window, off its winning lag (0..n_lags-1), energy the row-aligned
+    superset window energy (normalize outside: q = cmax * rsqrt(te *
+    max(energy, 1e-4 te)) — same bound class as
     sync.preamble_quality_probe's blockwise form), and the demod triple
-    is evaluated at start = st0 + argmax|corr| — the drift-servo-refined
-    position the locked stream demodulates anyway.
+    is evaluated at start = st0 + off — the drift-servo-refined position
+    the locked stream demodulates anyway.
 
     Requires 128 %% sps == 0, preamble_samples %% 128 == 0, n_lags <= 8.
     The stream carry's demod_at_buffer_pad covers this kernel's span (it
@@ -2222,7 +2227,8 @@ def demod_probe_fused(
             pl.BlockSpec((128, 2 * m * r_syms), lambda i, st: (0, 0)),
         ],
         out_specs=(
-            pl.BlockSpec((bs, n_lags), lambda i, st: (i, 0)),
+            pl.BlockSpec((bs, 1), lambda i, st: (i, 0)),
+            pl.BlockSpec((bs, 1), lambda i, st: (i, 0)),
             pl.BlockSpec((bs, 1), lambda i, st: (i, 0)),
             pl.BlockSpec((bs, r_syms * pp), lambda i, st: (i, 0)),
             pl.BlockSpec((bs, r_syms * pp), lambda i, st: (i, 0)),
@@ -2231,16 +2237,18 @@ def demod_probe_fused(
         scratch_shapes=[
             pltpu.VMEM((2, bs, sv, 128), xr.dtype),
             pltpu.SemaphoreType.DMA((2, bs)),
+            pltpu.VMEM((bs, pw_e * 128), xr.dtype),
         ],
     )
-    corr, en, tone, best, total = pl.pallas_call(
+    cmax, off, en, tone, best, total = pl.pallas_call(
         functools.partial(
             _demod_probe_kernel,
             bs=bs, sv=sv, pv=pv, pp=pp, pw_e=pw_e, r_syms=r_syms, m=m,
             pre_rows=pre_rows, n_lags=n_lags, ncells=ncells,
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((xr.shape[0], n_lags), jnp.float32),
+            jax.ShapeDtypeStruct((xr.shape[0], 1), jnp.float32),
+            jax.ShapeDtypeStruct((xr.shape[0], 1), jnp.int32),
             jax.ShapeDtypeStruct((xr.shape[0], 1), jnp.float32),
             jax.ShapeDtypeStruct((xr.shape[0], r_syms * pp), jnp.int32),
             jax.ShapeDtypeStruct((xr.shape[0], r_syms * pp), jnp.float32),
@@ -2256,7 +2264,8 @@ def demod_probe_fused(
         return o3.reshape(batch_shape + (n_symbols,))
 
     return (
-        corr[:b].reshape(batch_shape + (n_lags,)),
+        cmax[:b, 0].reshape(batch_shape),
+        off[:b, 0].reshape(batch_shape),
         en[:b, 0].reshape(batch_shape),
         _unpack(tone),
         _unpack(best),

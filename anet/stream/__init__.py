@@ -652,16 +652,12 @@ def _locked_step_merged(
         0,
         buffer.shape[-1] - k - PROBE_LAGS + 1,
     )
-    corr5, energy, tone_p, best_p, total_p = demod_probe_fused(
+    cmax, probe_off, energy, tone_p, best_p, total_p = demod_probe_fused(
         config, buffer, st0, n_symbols, t_c,
         n_lags=PROBE_LAGS, start_bound=length - t_frame,
     )
     floored = jnp.maximum(energy, 1e-4 * t_energy)
-    q5 = jnp.abs(corr5) * jax.lax.rsqrt(t_energy * floored)[..., None]
-    probe_q = jnp.max(q5, axis=-1)
-    # same winner as the kernel's internal refinement: the normalization
-    # scale is one positive value per stream, so argmax(q) == argmax|corr|
-    probe_off = jnp.argmax(q5, axis=-1).astype(jnp.int32)
+    probe_q = cmax * jax.lax.rsqrt(t_energy * floored)
     refined_idx = st0 + probe_off
     pred_valid = in_win & (probe_q >= detect_threshold)
 

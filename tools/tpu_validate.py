@@ -367,14 +367,14 @@ def main() -> int:
             buf_np[i, starts[i] : starts[i] + t_frame] += w[i]
         buf = jnp.asarray(buf_np).astype(jnp.bfloat16)
         st0 = jnp.asarray(starts - 2)
-        corr, en, tone, best, total = demod_probe_fused(
+        cmax, off, en, tone, best, total = demod_probe_fused(
             cfg, buf, st0, s, tmpl, start_bound=chunkb
         )
-        q = np.abs(np.asarray(corr)) / np.sqrt(
-            te * np.maximum(np.asarray(en)[:, None], 1e-4 * te)
+        q = np.asarray(cmax) / np.sqrt(
+            te * np.maximum(np.asarray(en), 1e-4 * te)
         )
-        assert (np.argmax(q, -1) == 2).all(), "merged probe peak off-center"
-        assert (q.max(-1) > 0.9).all(), f"merged probe weak: {q.max(-1)}"
+        assert (np.asarray(off) == 2).all(), "merged probe peak off-center"
+        assert (q > 0.9).all(), f"merged probe weak: {q}"
         # demod at the refined start == demod_at_fused at the true start
         rt, rb, rtot = demod_at_fused(cfg, buf, jnp.asarray(starts), s,
                                       start_bound=chunkb + 2)
