@@ -332,6 +332,7 @@ def _decide_frame_tm_kernel(
     qual_ref,
     bits_scr,
     words8_scr,
+    data_scr,
     *,
     num_tones: int,
     sps: int,
@@ -386,13 +387,18 @@ def _decide_frame_tm_kernel(
             data = data ^ (data >> shift)
             shift <<= 1
         word = word | (data << ((sb - 1 - s) * bps))
-        for k in range(bps):
-            bits_scr[s * bps + k, :] = ((data >> (bps - 1 - k)) & 1).astype(
-                jnp.float32
-            )
+        data_scr[s, :] = data
         conf_acc = conf_acc + best / jnp.maximum(total, 1e-20)
         best_acc = best_acc + best
         total_acc = total_acc + total
+    # bits in BIT-MAJOR row order (row k*sb + s = bit k of symbol s): 4
+    # [sb, Bt] stores instead of 32 sublane-1 stores — the P slab rows
+    # are permuted to match host-side (_frame_crc_tables)
+    dall = data_scr[...]
+    for k in range(bps):
+        bits_scr[k * sb : (k + 1) * sb, :] = (
+            (dall >> (bps - 1 - k)) & 1
+        ).astype(jnp.float32)
     # words land in an 8-row scratch (row i % 8 by masked write — Mosaic
     # rejects sublane-1 output blocks and dynamic sublane stores) that
     # shadows the (8, Bt) output block; the block flushes when its index
@@ -423,6 +429,11 @@ def _frame_crc_tables(payload_len: int, n_tiles: int, nb: int):
     section bytes 0..5 — frame._parse_header), columns 32..63 the payload
     checksum's (crc32 over bytes 8..8+payload_len); rows outside each
     range are zero, so padded tiles contribute nothing.
+
+    Row order is the kernel's BIT-MAJOR tile layout: within tile i, row
+    k * sb + s corresponds to message bit (i*sb + s) * bps + k (bit k of
+    symbol s) — the kernel stores bits as bps [sb, Bt] blocks instead of
+    sb*bps sublane-1 rows.
     """
     import numpy as np
 
@@ -435,6 +446,14 @@ def _frame_crc_tables(payload_len: int, n_tiles: int, nb: int):
     p_pay, c_pay = _crc32_bit_table(payload_len)
     lo = HEADER_BYTES * 8
     p[lo : lo + payload_len * 8, 32:] = p_pay
+    # permute rows from bit order to the kernel's per-tile (k, s) layout
+    sb = TM_SYMBOL_TILE
+    bps = nb // sb
+    idx = np.arange(n_tiles * nb)
+    tile, within = idx // nb, idx % nb
+    k, s = within // sb, within % sb
+    src = tile * nb + s * bps + k  # message-bit row feeding kernel row idx
+    p = p[src]
     return p, int(c_hdr), int(c_pay)
 
 
@@ -531,6 +550,7 @@ def decide_frame_tm(
         scratch_shapes=[
             pltpu.VMEM((nb, bt), jnp.float32),
             pltpu.VMEM((8, bt), jnp.int32),
+            pltpu.VMEM((sb, bt), jnp.int32),
         ],
         cost_estimate=pl.CostEstimate(
             flops=2 * sp * sps * 2 * m * bp,
