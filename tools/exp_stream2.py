@@ -69,6 +69,12 @@ def main():
     from anet.models import get_model
 
     print("backend:", jax.default_backend(), flush=True)
+    # throwaway first measurement: the FIRST timed loop of a fresh
+    # process through the tunnel reports 100-3000x the true time (lazy
+    # pool init lands inside it — docs/PERF.md sharp edge #7)
+    import jax.numpy as _jnp
+    timeit("warmup (discard)", jax.jit(lambda x: (x @ x).sum()),
+           _jnp.ones((1024, 1024), _jnp.bfloat16), iters=3)
     cfg = get_model("mfsk16-fast").config
     payload_len = 256
     batch = int(os.environ.get("EXP_BATCH", "8192"))
