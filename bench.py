@@ -56,7 +56,7 @@ import time
 
 BASELINE_MSAMPLES_S = 0.096  # reference steady-state, derived in BASELINE.md
 WATCHDOG_S = float(os.environ.get("ANET_BENCH_WATCHDOG_S", "900"))
-EXTRA_BUDGET_S = float(os.environ.get("ANET_BENCH_EXTRA_BUDGET_S", "480"))
+EXTRA_BUDGET_S = float(os.environ.get("ANET_BENCH_EXTRA_BUDGET_S", "660"))
 
 
 def _bench_loop(run, arg, iters: int):
