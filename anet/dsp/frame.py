@@ -251,7 +251,19 @@ def demodulate_frame_tm(
         if config.fec == "conv":
             llrs = bit_llrs(config, jnp.moveaxis(e, -1, 0))  # [B, S*bps]
     else:
-        if config.bits_per_symbol in (1, 2, 4) and config.num_tones <= 16:
+        if (
+            config.bits_per_symbol in (1, 2, 4)
+            and config.num_tones <= 16
+            and s == data_symbols_for_payload(config, payload_len)
+        ):
+            # The exact-window gate keeps the quality metrics consistent
+            # across branches: the fused kernel parses (and averages
+            # conf/snr over) exactly the frame's own symbols, while the
+            # paths below demodulate every symbol present in samples_tm —
+            # an oversized window would otherwise get different
+            # confidence/snr depending on which branch dispatched
+            # (payload/verdicts never differed). Oversized windows fall
+            # through to decide_tones_tm.
             # Full fusion: the frame-parse epilogue (bit unpack, byte
             # pack, both CRC contractions) runs in the kernel tail; the
             # XLA tail below it touches only KB-scale tensors

@@ -2097,14 +2097,43 @@ def _demod_probe_kernel(
         (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # [bs, 128]: correlation at the 128 lags of the base row
+    # second lag block: lags 128..255 of the base row, from the one-row-
+    # shifted probe rows. Needed whenever the per-stream servo window
+    # [lo0, lo0 + n_lags) crosses the 128-lane row boundary (residues
+    # lo0 > 128 - n_lags): the base-row correlation alone never probes
+    # those upper lags — at residues 126-127 the predicted start itself
+    # was invisible, so such streams either failed the probe every chunk
+    # (silent full-search fallback) or locked 1-2 samples early
+    # (round-4 ADVICE medium; equality test at residues 124..127 in
+    # tests/test_stream_lock.py).
+    prows2 = jnp.zeros((bs, pw_e, 128), slab.dtype)
+    for r in range(8):
+        prows2 = jnp.where(delta0 == r, slab[:, r + 1 : r + 1 + pw_e, :], prows2)
+    for r in range(pw_e):
+        pw_scr[:, r * 128 : (r + 1) * 128] = prows2[:, r, :]
+    corr256 = jax.lax.dot_general(
+        pw_scr[...],
+        tband_ref[...],
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [bs, 128]: correlation at lags 128..255 of the base row
     # per-stream servo window [lo0, lo0 + n_lags): mask, max, argmax —
     # the normalization scale is one value per stream, so the masked
-    # argmax of |corr| IS the argmax of quality
+    # argmax of |corr| IS the argmax of quality. The window is split
+    # across the two lag blocks; ties keep the earlier lag (jnp.argmax
+    # semantics), so block A wins on equality.
     lane = jax.lax.broadcasted_iota(jnp.int32, (bs, 128), 1)
-    in_window = (lane >= lo0) & (lane < lo0 + n_lags)
-    cabs = jnp.where(in_window, jnp.abs(corr128), -1.0)
-    cmax_ref[...] = jnp.max(cabs, axis=1).reshape(bs, 1)
-    offabs = jnp.argmax(cabs, axis=1).astype(jnp.int32)  # [bs]
+    in_a = (lane >= lo0) & (lane < lo0 + n_lags)
+    in_b = (lane + 128 >= lo0) & (lane + 128 < lo0 + n_lags)
+    cabs_a = jnp.where(in_a, jnp.abs(corr128), -1.0)
+    cabs_b = jnp.where(in_b, jnp.abs(corr256), -1.0)
+    max_a = jnp.max(cabs_a, axis=1)
+    max_b = jnp.max(cabs_b, axis=1)
+    arg_a = jnp.argmax(cabs_a, axis=1).astype(jnp.int32)
+    arg_b = jnp.argmax(cabs_b, axis=1).astype(jnp.int32)
+    use_b = max_b > max_a
+    cmax_ref[...] = jnp.maximum(max_a, max_b).reshape(bs, 1)
+    offabs = jnp.where(use_b, arg_b + 128, arg_a)  # [bs]
     off = jnp.clip(offabs - lo0[:, 0], 0, n_lags - 1)
     off_ref[...] = off.reshape(bs, 1)
     pf = prows.astype(jnp.float32)
@@ -2481,8 +2510,19 @@ def ofdm_track_decide_fused(
     batch_tile: int | None = None,
     interpret: bool = False,
 ):
-    """Fused OFDM clock-track + symbol decide (ofdm._phase_track + LLR
-    demap + ofdm._evm_metrics' error power, one Pallas kernel).
+    """RETIRED measured record — NOT a production alternate. Fused OFDM
+    clock-track + symbol decide (ofdm._phase_track + LLR demap +
+    ofdm._evm_metrics' error power, one Pallas kernel).
+
+    Golden-equal to the jnp equalizer but MEASURED ~2000x SLOWER on this
+    runtime's Mosaic (10,065 ms vs 5.34 ms per tracked iteration at
+    B=16384 — tools/exp_ofdm2.py; docs/PERF.md round-4 NULL #3): the
+    decision-directed iterations are elementwise-transcendental work XLA
+    already fuses well, and this kernel's per-cell serialization loses by
+    three orders of magnitude. Kept as the measured record of that
+    result. Never auto-dispatched; reachable only via ANET_OFDM_FUSED=1
+    (ofdm._use_fused_track), and its tpu_validate check is opt-in under
+    the same flag.
 
     Args:
       config: OfdmConfig (static).

@@ -144,12 +144,14 @@ def _check_carry_geometry(
         + chunk_size
         + _track_margin(config, track)
     )
-    # accepted: the current padded length, the round-3 pad formula's
-    # (1024 samples / 8 rows smaller — before the merged probe+demod
-    # kernel's span budget), or the unpadded legacy length. Older
-    # checkpoints then demod through an in-step pad copy, slower but
-    # identical.
-    if length not in (expected, max(expected - 1024, legacy), legacy):
+    # accepted: ANY length in [legacy, expected] — the unpadded legacy
+    # geometry, the current padded one, and every pad formula in between
+    # (the round-3 pre-merged-kernel pad, or a pad that happened to be 0
+    # under the old formula). Everything past `legacy` is zero tail pad
+    # by construction: _slide_buffer carries arbitrary pad through
+    # untouched, and a pad short of the current budget just means the
+    # demod falls back to an in-step pad copy — slower but identical.
+    if not (legacy <= length <= expected):
         raise ValueError(
             f"carry buffer {length} != expected {expected} (or legacy"
             f" {legacy}) for frame {frame_samples(config, payload_len)}"

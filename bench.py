@@ -55,21 +55,63 @@ import sys
 import time
 
 BASELINE_MSAMPLES_S = 0.096  # reference steady-state, derived in BASELINE.md
-WATCHDOG_S = float(os.environ.get("ANET_BENCH_WATCHDOG_S", "900"))
-EXTRA_BUDGET_S = float(os.environ.get("ANET_BENCH_EXTRA_BUDGET_S", "660"))
+# Inner-process watchdog. The round-4 driver run burned >660 s on the
+# headline phase alone (cause invisible — hence the self-diagnosis below)
+# and the absolute extras cutoff then skipped ALL 8 matrix entries; the
+# budget is now computed from the REMAINING watchdog per entry, and the
+# watchdog itself is looser because the parent now FORWARDS every
+# cumulative JSON record the moment the inner emits it — an external kill
+# at any point leaves the best-so-far record already on stdout.
+WATCHDOG_S = float(os.environ.get("ANET_BENCH_WATCHDOG_S", "1500"))
+CPU_FALLBACK_WATCHDOG_S = float(os.environ.get("ANET_BENCH_CPU_WATCHDOG_S", "600"))
+# Reserve at the tail of the watchdog: a started entry must have room to
+# finish (warm entries measure 20-90 s; a cold compile can eat 2-3x that).
+ENTRY_MARGIN_S = float(os.environ.get("ANET_BENCH_ENTRY_MARGIN_S", "120"))
+
+# --- self-diagnosis -----------------------------------------------------------
+# BENCH_r04 recorded nothing about WHERE >660 s went, so the failure
+# could not be diagnosed from the artifact (round-4 verdict, missing #1).
+# Every phase now reports its wall time into details.diag, and the jax
+# monitoring stream feeds persistent-compilation-cache hit/miss counts.
+DIAG: dict = {"cache_hits": 0, "cache_misses": 0, "compile_s": 0.0}
+
+
+def _install_cache_listeners() -> None:
+    try:
+        from jax._src import monitoring
+
+        def _on_event(event: str, **kw) -> None:
+            if "compilation_cache" in event and "hit" in event:
+                DIAG["cache_hits"] += 1
+            elif "compilation_cache" in event and "miss" in event:
+                DIAG["cache_misses"] += 1
+
+        def _on_duration(event: str, duration: float, **kw) -> None:
+            if "backend_compile" in event:
+                DIAG["compile_s"] += duration
+
+        monitoring.register_event_listener(_on_event)
+        monitoring.register_event_duration_secs_listener(_on_duration)
+    except Exception as e:  # diagnostics must never break the measurement
+        DIAG["listener_error"] = f"{type(e).__name__}: {e}"
 
 
 def _bench_loop(run, arg, iters: int):
     """Time `iters` dispatches of jitted `run`, forcing a device->host
     scalar read at the end (block_until_ready alone under-reports on the
-    remote proxy backend — see module docstring)."""
+    remote proxy backend — see module docstring). Returns
+    (measure_seconds, warmup_seconds, final_scalar) — the warmup covers
+    compile + first dispatch and is reported separately so a blown budget
+    names its cause (compile vs measurement) in the artifact."""
+    t_w = time.perf_counter()
     out = run(arg)  # warmup/compile
     int(out)
+    warmup_s = time.perf_counter() - t_w
     t0 = time.perf_counter()
     for _ in range(iters):
         out = run(arg)
     final = int(out)
-    return time.perf_counter() - t0, final
+    return time.perf_counter() - t0, warmup_s, final
 
 
 def measure_stream(
@@ -96,6 +138,7 @@ def measure_stream(
     from anet.dsp import family
     from anet.models import get_model
 
+    t_build0 = time.perf_counter()
     cfg = get_model(model_name).config
     on_cpu = jax.default_backend() == "cpu"
     batch = int(os.environ.get("ANET_BENCH_STREAM_BATCH", "64" if on_cpu else "8192"))
@@ -244,7 +287,8 @@ def measure_stream(
             return res.carry.frames_ok.sum()
 
     iters = int(os.environ.get("ANET_BENCH_STREAM_ITERS", "2" if on_cpu else "10"))
-    dt, ok_count = _bench_loop(run, capture, iters)
+    build_s = time.perf_counter() - t_build0
+    dt, warmup_s, ok_count = _bench_loop(run, capture, iters)
     msamples_s = batch * total * iters / dt / 1e6
     if dynamic:
         name = "stream-dynamic-lock" if lock else "stream-dynamic"
@@ -271,6 +315,8 @@ def measure_stream(
             "frames_ok_fraction": ok_count / (batch * nframes),
             "lock": lock,
             "warm_lock": warm_lock,
+            "build_s": round(build_s, 2),
+            "warmup_s": round(warmup_s, 2),
         },
     }
 
@@ -293,6 +339,7 @@ def measure_aligned(model_name: str, payload_len: int, *, batch: int, iters: int
     from anet.dsp.frame import demodulate_frame
     from anet.models import get_model
 
+    t_build0 = time.perf_counter()
     cfg = get_model(model_name).config
     layout = os.environ.get("ANET_BENCH_LAYOUT", "tm")
     if family.is_ofdm(cfg) and layout != "bm":
@@ -339,7 +386,8 @@ def measure_aligned(model_name: str, payload_len: int, *, batch: int, iters: int
         # transfer, not the demodulator.
         return jnp.sum(demod(w).ok.astype(jnp.int32))
 
-    dt, ok_count = _bench_loop(step, waves, iters)
+    build_s = time.perf_counter() - t_build0
+    dt, warmup_s, ok_count = _bench_loop(step, waves, iters)
     msamples_s = batch * t_frame * iters / dt / 1e6
     return {
         "metric": f"aligned:{model_name}",
@@ -357,11 +405,14 @@ def measure_aligned(model_name: str, payload_len: int, *, batch: int, iters: int
             "seconds": round(dt, 4),
             "frames_ok_fraction": ok_count / batch,
             "modem": model_name,
+            "build_s": round(build_s, 2),
+            "warmup_s": round(warmup_s, 2),
         },
     }
 
 
 def main() -> None:
+    t_start = time.perf_counter()
     import jax
 
     from anet.utils.compilecache import enable as enable_compile_cache
@@ -371,11 +422,17 @@ def main() -> None:
     # round-3 run skipped 5 of 6 extras on "time budget"); warm runs
     # measure everything.
     enable_compile_cache()
+    _install_cache_listeners()
     if os.environ.get("ANET_BENCH_CPU"):
         jax.config.update("jax_platforms", "cpu")
 
-    t_start = time.perf_counter()
+    # Backend init timed separately: claiming the remote TPU can block for
+    # MINUTES when the pool is wedged (CLAUDE.md) — if that is where the
+    # budget went, the artifact must say so.
+    t_init0 = time.perf_counter()
     backend = jax.default_backend()
+    jax.devices()
+    DIAG["backend_init_s"] = round(time.perf_counter() - t_init0, 2)
     model = os.environ.get("ANET_BENCH_MODEL", "mfsk16-fast")
     payload_len = int(os.environ.get("ANET_BENCH_PAYLOAD", "256"))
     # 16384 streams ~fills the v5e MXU pipeline (45+ Gsamples/s vs ~35 at
@@ -387,9 +444,17 @@ def main() -> None:
     if on_cpu:
         batch = min(batch, 256)
 
+    def _snap_diag(record):
+        d = dict(DIAG)
+        d["elapsed_s"] = round(time.perf_counter() - t_start, 1)
+        d["compile_s"] = round(d.get("compile_s", 0.0), 1)
+        d["watchdog_s"] = WATCHDOG_S
+        record["details"]["diag"] = d
+
     record = measure_aligned(model, payload_len, batch=batch, iters=iters)
     record["metric"] = "demod_throughput_per_chip"
     record["details"]["modem"] = model
+    _snap_diag(record)
     # Emit the headline IMMEDIATELY (and again, enriched, after every
     # completed extra): the consumer reads the LAST JSON line, so even if
     # a later compile blows the watchdog, everything measured so far is
@@ -400,7 +465,10 @@ def main() -> None:
 
     # The measured matrix: every production path as its own entry, so the
     # driver sees regressions the headline alone would hide. Guarded per
-    # entry; stops adding entries past the soft time budget.
+    # entry; budgeted against the REMAINING watchdog, not an absolute
+    # elapsed cutoff (BENCH_r04 skipped all 8 extras because the headline
+    # phase alone ate the old 660 s cutoff while ~240 s of watchdog still
+    # remained). The `stream` flagship entry is ALWAYS attempted.
     if not os.environ.get("ANET_BENCH_NO_STREAM"):
         extra_iters = int(os.environ.get("ANET_BENCH_EXTRA_ITERS", "2" if on_cpu else "8"))
         extra_batch = min(batch, 64 if on_cpu else 8192)
@@ -446,9 +514,26 @@ def main() -> None:
         ]
         extras = []
         record["extra_metrics"] = extras
+        # Per-entry deadline from the REMAINING watchdog: an entry starts
+        # only if the margin (compile-cold headroom + emission slack) still
+        # fits. The flagship `stream` entry is exempt from the margin check
+        # — it is attempted whenever ANY time remains, under the watchdog's
+        # own protection (the parent forwards the best-so-far record even
+        # if the attempt is killed). Skips name their arithmetic so a
+        # starved artifact is self-diagnosing.
+        slowest = 0.0
         for name, fn in matrix:
-            if time.perf_counter() - t_start > EXTRA_BUDGET_S:
-                extras.append({"metric": name, "skipped": "time budget"})
+            elapsed = time.perf_counter() - t_start
+            remaining = WATCHDOG_S - elapsed
+            need = max(ENTRY_MARGIN_S, 1.5 * slowest)
+            if remaining < (30.0 if name == "stream" else need):
+                extras.append(
+                    {
+                        "metric": name,
+                        "skipped": f"time budget: {remaining:.0f}s of "
+                        f"{WATCHDOG_S:.0f}s watchdog left, need ~{need:.0f}s",
+                    }
+                )
                 continue
             t_entry = time.perf_counter()
             try:
@@ -457,64 +542,98 @@ def main() -> None:
                 extras.append(
                     {"metric": name, "error": f"{type(e).__name__}: {str(e)[:200]}"}
                 )
+            entry_s = time.perf_counter() - t_entry
+            slowest = max(slowest, entry_s)
             print(
-                f"[bench] {name}: {time.perf_counter() - t_entry:.0f}s "
+                f"[bench] {name}: {entry_s:.0f}s "
                 f"(elapsed {time.perf_counter() - t_start:.0f}s)",
                 file=sys.stderr,
                 flush=True,
             )
             # re-emit the full record after every entry (see headline emit)
+            _snap_diag(record)
             print(json.dumps(record), flush=True)
+    _snap_diag(record)
     print(json.dumps(record), flush=True)
 
 
-def _last_json_line(text) -> str | None:
-    """The most complete record the inner process managed to emit — it
-    prints the full (cumulative) record after the headline and after every
-    completed extra, so the last JSON line is always the best one."""
-    if isinstance(text, bytes):
-        text = text.decode("utf-8", "replace")
-    last = None
-    for line in (text or "").splitlines():
-        if line.startswith("{"):
-            last = line
-    return last
+def _run_forwarding(cmd_env, watchdog_s: float):
+    """Run the inner measurement, FORWARDING every JSON record line to our
+    stdout the moment the inner emits it (each is a complete cumulative
+    record, so the last line on stdout is always the best one — even if
+    THIS process is killed externally before the inner finishes; the
+    round-4 artifact motivated this: the driver's environment spent the
+    old budget somewhere invisible, and any external timeout would have
+    left nothing on stdout under the old buffer-then-print design).
+
+    Returns (saw_json, rc) — rc None on watchdog kill."""
+    import selectors
+
+    proc = subprocess.Popen(
+        [sys.executable, os.path.abspath(__file__)],
+        env=cmd_env,
+        stdout=subprocess.PIPE,
+        stderr=subprocess.PIPE,
+        text=True,
+    )
+    sel = selectors.DefaultSelector()
+    sel.register(proc.stdout, selectors.EVENT_READ, "out")
+    sel.register(proc.stderr, selectors.EVENT_READ, "err")
+    deadline = time.monotonic() + watchdog_s
+    saw_json = False
+    err_tail: list = []
+    open_streams = 2
+    while open_streams and time.monotonic() < deadline:
+        for key, _ in sel.select(timeout=min(5.0, deadline - time.monotonic())):
+            line = key.fileobj.readline()
+            if not line:
+                sel.unregister(key.fileobj)
+                open_streams -= 1
+                continue
+            if key.data == "out":
+                if line.startswith("{"):
+                    print(line, end="", flush=True)
+                    saw_json = True
+            else:
+                err_tail.append(line)
+                del err_tail[:-30]
+                sys.stderr.write(line)
+    rc = None
+    if open_streams:  # watchdog expired with the inner still running
+        proc.kill()
+        print(
+            f"bench attempt exceeded {watchdog_s}s watchdog; "
+            "killed (forwarded records already on stdout)",
+            file=sys.stderr,
+        )
+    else:
+        rc = proc.wait(timeout=30)
+    try:
+        proc.stdout.close(), proc.stderr.close()
+    except Exception:
+        pass
+    if proc.poll() is None:
+        proc.kill()
+    return saw_json, rc
 
 
 def main_with_watchdog() -> None:
     """Run the measurement in a subprocess; on hang/crash, fall back to CPU.
 
-    A watchdog TIMEOUT is not a total loss: the inner process emits a
-    complete JSON record incrementally (headline first, then after every
-    extra), so the partial stdout captured at kill time still carries
-    every metric measured before the hang — rescue it rather than
-    degrading to a CPU run (the round-3 artifact's failure mode)."""
+    JSON records are forwarded to stdout AS THE INNER EMITS THEM (see
+    _run_forwarding), so neither our watchdog nor an external kill of this
+    whole process can void metrics already measured."""
     env = dict(os.environ, ANET_BENCH_INNER="1")
-    for attempt_env, label in ((env, "primary"), ({**env, "ANET_BENCH_CPU": "1"}, "cpu-fallback")):
-        try:
-            proc = subprocess.run(
-                [sys.executable, os.path.abspath(__file__)],
-                env=attempt_env,
-                capture_output=True,
-                text=True,
-                timeout=WATCHDOG_S,
-            )
-            out, err, rc = proc.stdout, proc.stderr, proc.returncode
-        except subprocess.TimeoutExpired as e:
-            print(
-                f"bench {label} attempt exceeded {WATCHDOG_S}s watchdog; "
-                "rescuing partial output",
-                file=sys.stderr,
-            )
-            out, err, rc = e.stdout, e.stderr, None
-        line = _last_json_line(out)
-        if line:
-            print(line)
+    attempts = (
+        (env, "primary", WATCHDOG_S),
+        ({**env, "ANET_BENCH_CPU": "1"}, "cpu-fallback", CPU_FALLBACK_WATCHDOG_S),
+    )
+    for attempt_env, label, watchdog in attempts:
+        saw_json, rc = _run_forwarding(attempt_env, watchdog)
+        if saw_json:
             return
-        err_txt = err if isinstance(err, str) else (err or b"").decode("utf-8", "replace")
         print(
-            f"bench {label} attempt produced no result "
-            f"(rc={rc}): {err_txt[-400:]}",
+            f"bench {label} attempt produced no result (rc={rc})",
             file=sys.stderr,
         )
     # Both attempts failed: emit a parseable failure record.

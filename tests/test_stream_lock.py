@@ -338,6 +338,90 @@ def test_lock_stream_ofdm_probe_kernel_agrees_with_golden(interpret_tpu_kernels)
     _assert_equal_results(ref, got, 2 * n_frames)
 
 
+def test_demod_probe_fused_row_boundary_residues():
+    """demod_probe_fused (interpret) at st0 residues 122..127 and 0..2:
+    the servo window [lo0, lo0 + n_lags) crosses the 128-lane row
+    boundary for lo0 > 123. The probe must find the planted preamble at
+    its true lag (off == 2 when the frame starts at st0 + 2) with ~1
+    normalized quality — pre-fix, residues 124..127 masked the upper
+    lags out entirely (at 126-127 the true lag itself), so off came out
+    0 and the quality negative."""
+    from anet.dsp.frame import data_symbols_for_payload
+    from anet.kernels import demod_probe_fused
+
+    rng = np.random.default_rng(3)
+    tx = jax.jit(family.transmit_fn(CFG))
+    tmpl = preamble_waveform(CFG)
+    te = float(jnp.sum(tmpl * tmpl))
+    n_symbols = data_symbols_for_payload(CFG, PAY)
+    starts = [124, 125, 126, 127, 128, 129, 0 + 256, 1 + 256, 2 + 256, 64 + 256]
+    b = len(starts)
+    pays = rng.integers(0, 256, (b, PAY), dtype=np.uint8)
+    waves = np.asarray(tx(jnp.asarray(pays)), np.float32)
+    length = -(-(max(starts) + T_FRAME + 2048) // 128) * 128
+    sig = np.zeros((b, length), np.float32)
+    for i, p in enumerate(starts):
+        sig[i, p : p + T_FRAME] = waves[i]
+    sig += 0.01 * rng.standard_normal(sig.shape).astype(np.float32)
+    buf = jnp.asarray(sig).astype(jnp.bfloat16)
+    st0 = jnp.asarray([p - 2 for p in starts], jnp.int32)  # lo0 = start-2
+    cmax, off, energy, tone, best, total = demod_probe_fused(
+        CFG, buf, st0, n_symbols, tmpl.astype(jnp.bfloat16),
+        start_bound=max(starts), interpret=True,
+    )
+    q = np.asarray(cmax) / np.sqrt(
+        te * np.maximum(np.asarray(energy), 1e-4 * te)
+    )
+    assert (np.asarray(off) == 2).all(), np.asarray(off)
+    assert (q > 0.9).all(), q
+    # and the demod at st0 + off decodes the planted frames
+    from anet.dsp.frame import frame_result_from_tone_decisions
+
+    fr = frame_result_from_tone_decisions(CFG, tone, best, total, PAY)
+    assert bool(np.asarray(fr.ok).all())
+    assert np.array_equal(np.asarray(fr.payload), pays)
+
+
+def test_lock_merged_kernel_row_boundary_residues(interpret_tpu_kernels):
+    """Merged probe+demod kernel at frame-start residues that push the
+    ±2-sample servo window across the 128-lane row boundary.
+
+    t_frame % 128 == 0 here, so a stream's start residue is persistent
+    for back-to-back frames. For starts at residues {124..127, 0, 1, 2}
+    mod 128 the probe base st0 = start - 2 lands at lo0 in {122..127,
+    0}; lo0 > 123 used to truncate the servo window to the base row's
+    lags alone — at residues 126-127 the prediction itself was never
+    probed, silently degrading every chunk to full search or anchoring
+    the lock 1-2 samples early (round-4 ADVICE medium). The fixed kernel
+    must decode identically to the CPU jnp lock path, with identical
+    frame starts and every prediction probe-validated."""
+    rng = np.random.default_rng(0x7E5)
+    n_frames = 4
+    gaps = []
+    for g in (124, 125, 126, 127, 0, 1, 2):
+        gaps.append([g] + [0] * (n_frames - 1))
+    b = len(gaps)
+    payloads = rng.integers(0, 256, (b, n_frames, PAY), dtype=np.uint8)
+    cap = _build_capture(rng, gaps, payloads, noise=0.02).astype(jnp.bfloat16)
+    ref = receive_stream(CFG, cap, CHUNK, PAY, lock=True, compute_dtype=jnp.bfloat16)
+
+    interpret_tpu_kernels()
+    got = receive_stream(
+        CFG, cap, CHUNK, PAY, lock=True, compute_dtype=jnp.bfloat16,
+        resident=False,
+    )
+    _assert_equal_results(ref, got, b * n_frames)
+    np.testing.assert_array_equal(
+        np.asarray(ref.steps.frame_start), np.asarray(got.steps.frame_start)
+    )
+    # every frame decoded exactly once (streams unlock at the noise tail
+    # after the last frame, as in test_lock_unlocks_on_stream_end; the
+    # probe-failure symptom itself is pinned by the direct kernel test
+    # above)
+    assert int(np.asarray(got.carry.frames_detected).sum()) == b * n_frames
+    assert int(np.asarray(got.carry.decode_errors).sum()) == 0
+
+
 def _build_dynamic_capture(rng, gaps_per_stream, lens_per_stream, chunk,
                            max_payload, noise=0.02):
     """Mixed-length capture: per-stream frames of varying payload length

@@ -396,9 +396,17 @@ def main() -> int:
     check("sync_search_fused vs quality golden", check_sync_search)
     check("demod_at_fused vs gather+demod", check_demod_at)
     check("preamble probe (production path) vs numpy golden", check_probe)
-    check("ofdm_track_decide_fused vs jnp equalizer", check_ofdm_track)
+    n_total = 13
+    # Retired-kernel check, opt-in: ofdm_track_decide_fused is a measured
+    # record (never dispatched — ~2000x slower than the jnp equalizer,
+    # docs/PERF.md round-4 NULL #3); validating it costs real chip+compile
+    # time on every pass, so it runs only when the experiment flag that
+    # re-enables the kernel is set.
+    import os
 
-    n_total = 14
+    if os.environ.get("ANET_OFDM_FUSED"):
+        check("ofdm_track_decide_fused vs jnp equalizer (retired)", check_ofdm_track)
+        n_total += 1
     print(f"{n_total - len(FAILURES)}/{n_total} passed")
     return 1 if FAILURES else 0
 
