@@ -74,6 +74,7 @@ class StreamCarry(NamedTuple):
     decode_errors: jnp.ndarray  # int32 — preamble locked but integrity failed
     locked: jnp.ndarray  # bool — frame-lock mode: next frame start predicted
     next_start: jnp.ndarray  # int32 — absolute predicted start of next frame
+    drift: jnp.ndarray  # float32 — clock-drift estimate, samples per frame
 
 
 class StreamStepOutput(NamedTuple):
@@ -186,6 +187,55 @@ def init_carry(
         decode_errors=zi,
         locked=jnp.zeros(batch_shape, jnp.bool_),
         next_start=zi,
+        drift=jnp.zeros(batch_shape, jnp.float32),
+    )
+
+
+# Frame-lock clock-drift servo limits: a per-frame start offset of up to
+# DRIFT_MAX_OBS samples relative to the previous frame's nominal end is
+# treated as TX/RX sample-clock drift and folded into the carry's
+# per-stream drift estimate (an EMA with gain DRIFT_EMA); larger gaps are
+# real TX pauses and never bias the estimate. 64 samples/frame is
+# ~1760 ppm at the bench frame length — comfortably past real crystal
+# skew (the reference absorbs the same skew with its adaptive queue
+# timeout, playback.cpp:90,125-130); the ±2-sample probe servo then only
+# has to cover the RESIDUAL prediction error, not the raw drift.
+DRIFT_MAX_OBS = 64
+DRIFT_EMA = 0.5
+
+# Dedupe-cursor slack: the cursor rejects candidates overlapping the last
+# accepted frame to suppress double-detections of the SAME frame — but a
+# fast RX clock COMPRESSES frames, so a genuine back-to-back successor
+# starts up to drift-per-frame samples before the previous frame's
+# NOMINAL end (at +500 ppm every other frame was rejected this way). A
+# true duplicate overlaps by ~a whole frame, so a DRIFT_MAX_OBS-sample
+# slack keeps the dedupe property while admitting compressed successors.
+DEDUPE_SLACK = DRIFT_MAX_OBS
+
+
+def _drift_round(drift: jnp.ndarray) -> jnp.ndarray:
+    """The integer prediction offset implied by the drift estimate."""
+    return jnp.round(drift).astype(jnp.int32)
+
+
+def _drift_update(
+    carry: StreamCarry, detected: jnp.ndarray, start_abs: jnp.ndarray
+) -> jnp.ndarray:
+    """Fold this frame's observed start offset into the drift estimate.
+
+    ``start_abs - last_frame_end`` is the cumulative clock slip since the
+    previous frame's nominal end — exactly the per-frame drift for
+    back-to-back frames. Only detections continuing an existing chain
+    (last_frame_end > 0) within DRIFT_MAX_OBS update the estimate; a real
+    TX gap leaves it untouched."""
+    obs = (start_abs - carry.last_frame_end).astype(jnp.float32)
+    valid = (
+        detected
+        & (carry.last_frame_end > 0)
+        & (jnp.abs(obs) <= DRIFT_MAX_OBS)
+    )
+    return jnp.where(
+        valid, carry.drift + DRIFT_EMA * (obs - carry.drift), carry.drift
     )
 
 
@@ -341,12 +391,23 @@ def stream_step(
     if lock:
         # a detection (re)locks the stream; a mid-flight prediction keeps
         # its lock; everything else (probe failed, expired, searched and
-        # missed) re-acquires by full search next chunk
+        # missed) re-acquires by full search next chunk. Detections that
+        # continue a frame chain also update the drift estimate, so the
+        # next prediction absorbs clock skew beyond the ±2-sample servo.
         locked_new = detected | mid_flight
-        next_start_new = jnp.where(detected, start_abs + t_frame, carry.next_start)
+        drift_new = _drift_update(carry, detected, start_abs)
+        # next_start is the PREDICTED absolute start of the next frame:
+        # nominal end plus the (updated) drift estimate, so stored
+        # predictions — including warm seeds and checkpoints — are used
+        # verbatim at probe time.
+        next_start_new = jnp.where(
+            detected, start_abs + t_frame + _drift_round(drift_new),
+            carry.next_start,
+        )
     else:
         locked_new = carry.locked
         next_start_new = carry.next_start
+        drift_new = carry.drift
     new_carry = StreamCarry(
         buffer=buffer,
         samples_seen=samples_seen,
@@ -357,6 +418,7 @@ def stream_step(
         + (detected & ~frame.ok).astype(jnp.int32),
         locked=locked_new,
         next_start=next_start_new,
+        drift=drift_new,
     )
     out = StreamStepOutput(
         frame=frame, detected=detected, quality=best_q, frame_start=start_abs
@@ -402,7 +464,7 @@ def load_carry(path) -> StreamCheckpoint:
     with np.load(path) as z:
         # lock fields default (pre-lock checkpoints resume unlocked — the
         # next chunk re-acquires by full search, bit-identical behavior)
-        optional = {"locked", "next_start"}
+        optional = {"locked", "next_start", "drift"}
         missing = [
             f for f in StreamCarry._fields if f not in z and f not in optional
         ]
@@ -412,6 +474,7 @@ def load_carry(path) -> StreamCheckpoint:
         ref = fields["samples_seen"]
         fields.setdefault("locked", jnp.zeros(ref.shape, jnp.bool_))
         fields.setdefault("next_start", jnp.zeros_like(ref))
+        fields.setdefault("drift", jnp.zeros(ref.shape, jnp.float32))
         carry = StreamCarry(**fields)
         if "buffer_dtype" in z:
             carry = carry._replace(
@@ -585,7 +648,7 @@ def _find_candidate(
 
     # Candidate if quality clears the threshold and the frame does not overlap
     # the previously accepted frame (dedupe against double-detection).
-    no_overlap = start_abs >= carry.last_frame_end
+    no_overlap = start_abs >= carry.last_frame_end - DEDUPE_SLACK
     candidate = (best_q >= detect_threshold) & no_overlap
     return buffer, samples_seen, start_idx, start_abs, best_q, candidate
 
@@ -644,7 +707,7 @@ def _locked_step_merged(
     buffer, samples_seen, w0, buffer_abs0 = _slide_buffer(carry, chunk, t_frame, 0)
     length = t_frame + chunk_size
 
-    pred_idx = carry.next_start - buffer_abs0
+    pred_idx = carry.next_start - buffer_abs0  # stored drift-adjusted
     in_win = carry.locked & (pred_idx >= w0) & (pred_idx < w0 + chunk_size)
     mid_flight = carry.locked & (pred_idx >= w0 + chunk_size)
 
@@ -688,7 +751,7 @@ def _locked_step_merged(
     start_abs = buffer_abs0 + start_idx
     quality = jnp.where(pred_valid, probe_q, bq)
     searched_ok = (bq >= detect_threshold) & (
-        (buffer_abs0 + w0 + br) >= carry.last_frame_end
+        (buffer_abs0 + w0 + br) >= carry.last_frame_end - DEDUPE_SLACK
     )
     candidate = pred_valid | (~mid_flight & searched_ok)
 
@@ -703,7 +766,11 @@ def _locked_step_merged(
     detected = candidate & frame.magic_ok & frame.header_crc_ok
     frame = frame._replace(ok=frame.ok & detected)
     locked_new = detected | mid_flight
-    next_start_new = jnp.where(detected, start_abs + t_frame, carry.next_start)
+    drift_new = _drift_update(carry, detected, start_abs)
+    next_start_new = jnp.where(
+        detected, start_abs + t_frame + _drift_round(drift_new),
+        carry.next_start,
+    )
     new_carry = StreamCarry(
         buffer=buffer,
         samples_seen=samples_seen,
@@ -714,6 +781,7 @@ def _locked_step_merged(
         + (detected & ~frame.ok).astype(jnp.int32),
         locked=locked_new,
         next_start=next_start_new,
+        drift=drift_new,
     )
     out = StreamStepOutput(
         frame=frame, detected=detected, quality=quality, frame_start=start_abs
@@ -760,7 +828,7 @@ def _find_candidate_locked(
     t_c = template.astype(compute_dtype)
     t_energy = jnp.sum(t_c.astype(jnp.float32) ** 2)
 
-    pred_idx = carry.next_start - buffer_abs0  # buffer index of prediction
+    pred_idx = carry.next_start - buffer_abs0  # stored drift-adjusted
     in_win = carry.locked & (pred_idx >= w0) & (pred_idx < w0 + chunk_size)
     # a locked stream whose prediction lies BEYOND this window cannot have
     # any frame complete this chunk: such a frame would overlap the last
@@ -826,7 +894,7 @@ def _find_candidate_locked(
     start_abs = buffer_abs0 + start_idx
     quality = jnp.where(pred_valid, probe_q, best_q)
     searched_ok = (best_q >= detect_threshold) & (
-        (buffer_abs0 + w0 + best_rel) >= carry.last_frame_end
+        (buffer_abs0 + w0 + best_rel) >= carry.last_frame_end - DEDUPE_SLACK
     )
     candidate = pred_valid | (~mid_flight & searched_ok)
     return buffer, samples_seen, start_idx, start_abs, quality, candidate, mid_flight
@@ -867,7 +935,11 @@ def stream_step_dynamic(
     past their start is buffered. The dedupe cursor advances by each
     frame's actual length, so back-to-back short frames separated by at
     least one chunk both decode. init_carry with payload_len =
-    max_payload_len. Uncoded configs only.
+    max_payload_len. Coded configs (fec='conv') are supported with
+    fec_interleave == 1 (e.g. the mfsk4-coded-stream preset): the header
+    probe + masked-trellis Viterbi reads each frame's length without FEC
+    state (frame.frame_result_from_llrs_dynamic); a depth-d block
+    interleaver's length-dependent geometry is the one exclusion.
 
     ``max_frames_per_chunk``: how many non-overlapping candidates to
     extract per chunk. The default 1 costs one demod per chunk but can
@@ -946,20 +1018,28 @@ def stream_step_dynamic(
     from anet.dsp.family import is_ofdm
     from anet.dsp.frame import data_symbols_for_payload
 
-    fused = (
+    fused_geom = (
         jax.default_backend() == "tpu"
         and not is_ofdm(config)
-        and getattr(config, "fec", "none") == "none"
         and 128 % config.samples_per_symbol == 0
         and buffer.dtype == jnp.bfloat16
     )
+    fec = getattr(config, "fec", "none")
+    fused = fused_geom and fec == "none"
+    # coded dynamic fast path: the energies twin feeds soft LLRs to the
+    # header probe + masked-trellis Viterbi (frame.frame_result_from_
+    # llrs_dynamic) — same kernel pairing as the fixed-length coded
+    # stream, now on variable-length frames
+    fused_coded = fused_geom and fec == "conv" and config.fec_interleave == 1
     n_sym_max = (
-        data_symbols_for_payload(config, max_payload_len) if fused else 0
+        data_symbols_for_payload(config, max_payload_len)
+        if (fused or fused_coded)
+        else 0
     )
 
     def demod_at(start_idx):
-        """Max-window demod at a buffer index: the fused DMA-span kernel on
-        the TPU hot path (the aligned max-length frame never exists in
+        """Max-window demod at a buffer index: the fused DMA-span kernels
+        on the TPU hot paths (the aligned max-length frame never exists in
         HBM), the gather + demod golden pair elsewhere."""
         if fused:
             from anet.dsp.frame import dynamic_frame_result_from_tone_decisions
@@ -970,6 +1050,16 @@ def stream_step_dynamic(
             )
             return dynamic_frame_result_from_tone_decisions(
                 config, tone, best, total, max_payload_len
+            )
+        if fused_coded:
+            from anet.dsp.frame import dynamic_frame_result_from_energies
+            from anet.kernels import demod_at_energies_fused
+
+            energies = demod_at_energies_fused(
+                config, buffer, start_idx, n_sym_max, start_bound=chunk_size
+            )
+            return dynamic_frame_result_from_energies(
+                config, energies, max_payload_len
             )
         aligned = _batched_dynamic_slice(buffer, start_idx, t_max, compute_dtype)
         return demod(aligned)
@@ -999,7 +1089,7 @@ def stream_step_dynamic(
             candidate = candidate1
         else:
             candidate = (best_q >= detect_threshold) & (
-                start_abs >= carry.last_frame_end
+                start_abs >= carry.last_frame_end - DEDUPE_SLACK
             )
         frame = demod_at(start_idx)
         # The header gate (magic + CRC, 48 bits) also vouches for the
@@ -1041,10 +1131,14 @@ def stream_step_dynamic(
         # by full search next chunk — same semantics as stream_step's lock
         start0, end0, det0 = accepted[0]
         locked_new = det0 | mid_flight
-        next_start_new = jnp.where(det0, end0, carry.next_start)
+        drift_new = _drift_update(carry, det0, start0)
+        next_start_new = jnp.where(
+            det0, end0 + _drift_round(drift_new), carry.next_start
+        )
     else:
         locked_new = carry.locked
         next_start_new = carry.next_start
+        drift_new = carry.drift
     new_carry = StreamCarry(
         buffer=buffer,
         samples_seen=samples_seen,
@@ -1054,6 +1148,7 @@ def stream_step_dynamic(
         decode_errors=carry.decode_errors + err_n,
         locked=locked_new,
         next_start=next_start_new,
+        drift=drift_new,
     )
     if max_frames_per_chunk == 1:
         return new_carry, outs[0]
@@ -1319,7 +1414,7 @@ def _receive_stream_resident(
 
     def step(c, i):
         w0p = i * chunk_size + 1  # padded index of the window's first start
-        pred_p = c.next_start + t_frame
+        pred_p = c.next_start + t_frame  # stored drift-adjusted
         in_win = c.locked & (pred_p >= w0p) & (pred_p < w0p + chunk_size)
         mid_flight = c.locked & (pred_p >= w0p + chunk_size)
 
@@ -1368,7 +1463,7 @@ def _receive_stream_resident(
         start_abs = start_p - t_frame
         quality = jnp.where(pred_valid, probe_q, best_q)
         searched_ok = (best_q >= detect_threshold) & (
-            (w0p + best_rel - t_frame) >= c.last_frame_end
+            (w0p + best_rel - t_frame) >= c.last_frame_end - DEDUPE_SLACK
         )
         candidate = pred_valid | (~mid_flight & searched_ok)
 
@@ -1383,7 +1478,11 @@ def _receive_stream_resident(
         frame = frame._replace(ok=frame.ok & detected)
 
         locked_new = detected | mid_flight
-        next_start_new = jnp.where(detected, start_abs + t_frame, c.next_start)
+        drift_new = _drift_update(c, detected, start_abs)
+        next_start_new = jnp.where(
+            detected, start_abs + t_frame + _drift_round(drift_new),
+            c.next_start,
+        )
         new_c = StreamCarry(
             buffer=c.buffer,  # placeholder scalar; materialized at the end
             samples_seen=c.samples_seen + chunk_size,
@@ -1396,6 +1495,7 @@ def _receive_stream_resident(
             + (detected & ~frame.ok).astype(jnp.int32),
             locked=locked_new,
             next_start=next_start_new,
+            drift=drift_new,
         )
         out = StreamStepOutput(
             frame=frame, detected=detected, quality=quality,

@@ -115,9 +115,14 @@ def test_stream_batched_streams():
 def test_stream_rejects_bad_geometry():
     with pytest.raises(ValueError, match="multiple of chunk_size"):
         receive_stream(CFG, jnp.zeros(1000), 512, PAYLOAD_LEN)
-    carry = init_carry(CFG, 256, PAYLOAD_LEN)
+    # buffers SHORTER than frame + chunk (the legacy unpadded minimum)
+    # cannot hold a live window and are rejected; anything in
+    # [legacy, padded] is accepted (excess = zero tail pad — round-4
+    # ADVICE widened the acceptance from three exact lengths)
+    carry = init_carry(CFG, 512, PAYLOAD_LEN)
+    short = carry._replace(buffer=carry.buffer[..., : 6400 - 128])
     with pytest.raises(ValueError, match="carry buffer"):
-        receive_stream(CFG, jnp.zeros(1024), 512, PAYLOAD_LEN, carry=carry)
+        receive_stream(CFG, jnp.zeros(1024), 512, PAYLOAD_LEN, carry=short)
 
 
 # --- mesh / sharding ---------------------------------------------------------
