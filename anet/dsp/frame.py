@@ -232,10 +232,21 @@ def demodulate_frame_tm(
         use_pallas = jax.default_backend() == "tpu"
     sps = config.samples_per_symbol
     m = config.num_tones
-    data = samples_tm[config.preamble_symbols * sps :, :]
+    pre = config.preamble_symbols * sps
+    data = samples_tm[pre:, :]
     s = data.shape[0] // sps
     b = data.shape[1]
     llrs = None
+    if jnp.dtype(compute_dtype) == jnp.dtype(jnp.int8) and (
+        config.fec == "conv"
+        or not use_pallas
+        or config.bits_per_symbol not in (1, 2, 4)
+        or config.num_tones > 16
+    ):
+        raise ValueError(
+            "int8 compute is the full-fusion kernel's quantized-ingest "
+            "path only (uncoded, bps in {1,2,4}, <=16 tones, TPU)"
+        )
     if config.fec == "conv" or not use_pallas:
         # Golden jnp path (any backend); also the coded path: full
         # energies in time-major, then one small transpose for the LLRs.
@@ -271,9 +282,15 @@ def demodulate_frame_tm(
             # epilogue residual of docs/PERF.md's roofline section).
             from anet.kernels import decide_frame_tm
 
+            # Whole frames go in with the preamble offset folded into the
+            # kernel's BlockSpec index map — slicing `data` here instead
+            # fed the Pallas operand a materialized COPY of the data
+            # section (~3.5 ms at B=16384, the round-5 headline
+            # bisection; see decide_frame_tm's docstring).
             words, crc_counts, qual, n_sym = decide_frame_tm(
-                config, data, payload_len,
+                config, samples_tm, payload_len,
                 compute_dtype=compute_dtype, interpret=interpret,
+                preamble_offset=pre,
             )
             return frame_result_from_packed(
                 config, words, crc_counts, qual, n_sym, payload_len
@@ -459,15 +476,107 @@ def frame_result_from_bits_dynamic(
     TPU formulation: demodulate a max-length window (static shapes), parse
     the 2-byte length field, verify the payload CRC over exactly ``length``
     bytes with the masked-scan CRC, and gather the 4 trailer bytes at their
-    dynamic offset. Uncoded frames only: with FEC the interleaver block
-    geometry depends on the total section length, so the header cannot be
-    read before the length is known.
+    dynamic offset. Uncoded (hard-decision) bits only; coded configs use
+    frame_result_from_llrs_dynamic (the header probe + masked-trellis
+    Viterbi), which calls the shared parse below.
     """
     if getattr(config, "fec", "none") != "none":
         raise ValueError(
-            "dynamic payload length requires fec='none' (the FEC interleaver"
-            " span depends on the section length the header declares)"
+            "hard-bit dynamic parse requires fec='none'; coded configs "
+            "decode through frame_result_from_llrs_dynamic"
         )
+    return _parse_dynamic_section(
+        bits, max_payload_len, confidence=confidence, snr_db=snr_db
+    )
+
+
+HEADER_PROBE_DATA_BITS = 96  # header's 64 bits + 32 bits of traceback margin
+
+
+def frame_result_from_llrs_dynamic(
+    config,
+    llrs: jnp.ndarray,
+    max_payload_len: int,
+    *,
+    confidence: jnp.ndarray,
+    snr_db: jnp.ndarray,
+) -> DynamicFrameResult:
+    """Variable-length CODED frame parse: soft LLRs for a max-length
+    window in, payload + declared length out — the coded twin of
+    frame_result_from_bits_dynamic, closing the round-4 capability hole
+    (robust presets could not stream variable-length frames at all).
+
+    The blocker was circular: the Viterbi trellis length depends on the
+    payload length the header declares, and the header is itself inside
+    the coded section. Two-stage decode breaks the circle — the
+    reference's length-prefixed framing is the behavioral anchor
+    (network.cpp:409-430: the frame tells the receiver its own size):
+
+    1. **Header probe** (the 48-bit mini-Viterbi of the round-4 verdict,
+       widened to the full 64-bit header): the convolutional code is
+       sequential, so the first HEADER_PROBE_DATA_BITS data bits decode
+       from the static LLR prefix alone — every frame (even payload 0)
+       carries at least that many data bits, and the 32-bit margin past
+       the header covers traceback convergence from an unflushed state.
+    2. **Masked full trellis**: LLRs beyond the declared coded length are
+       zeroed (a traced elementwise mask — no dynamic shapes), then ONE
+       max-length Viterbi decodes the section. Zero LLRs tie every
+       branch metric, so path metrics are frozen past the true tail
+       flush: state 0 stays the strict minimum through the padded
+       region, the traceback (which starts at state 0) rides it back to
+       the true flush, and the decode of the REAL span is exactly the
+       ML decode of the true-length trellis. A wrong probe length (noise)
+       mis-masks the tail; the full decode's header+payload CRCs then
+       reject the frame — the probe is only ever a mask hint, never an
+       integrity input.
+
+    Requires fec='conv' with fec_interleave == 1: a depth-d block
+    interleaver's geometry (rows = ceil(coded_len / d)) depends on the
+    total length, so the header's coded bits have no static positions to
+    probe — a fundamentally length-coupled permutation, documented as the
+    one dynamic-coded exclusion (the `mfsk4-coded-stream` preset is the
+    interleave-free robust rung for variable-length streaming).
+    """
+    if getattr(config, "fec", "none") != "conv":
+        raise ValueError("frame_result_from_llrs_dynamic needs fec='conv'")
+    if config.fec_interleave > 1:
+        raise ValueError(
+            "dynamic coded frames need fec_interleave == 1: a block "
+            "interleaver's geometry depends on the section length the "
+            "header declares (use the mfsk4-coded-stream preset)"
+        )
+    from anet.dsp.fec import CONV_TAIL_BITS, conv_encoded_bits, viterbi_decode_soft
+
+    # 1. header probe on the static prefix
+    n_probe = HEADER_PROBE_DATA_BITS
+    probe_bits = viterbi_decode_soft(llrs[..., : conv_encoded_bits(n_probe)], n_probe)
+    probe_hdr = bits_to_bytes(probe_bits[..., : HEADER_BYTES * 8])
+    probe_len = jnp.clip(
+        _be16(probe_hdr[..., 4:6]), 0, max_payload_len
+    ).astype(jnp.int32)
+
+    # 2. masked max-length trellis (exact ML of the true-length decode)
+    n_bytes_max = data_section_bytes(max_payload_len)
+    coded_len = 2 * (
+        8 * (OVERHEAD_BYTES + probe_len) + jnp.int32(CONV_TAIL_BITS)
+    )
+    lane = jnp.arange(llrs.shape[-1], dtype=jnp.int32)
+    masked = jnp.where(lane < coded_len[..., None], llrs, 0.0)
+    bits = viterbi_decode_soft(masked, 8 * n_bytes_max)
+    return _parse_dynamic_section(
+        bits, max_payload_len, confidence=confidence, snr_db=snr_db
+    )
+
+
+def _parse_dynamic_section(
+    bits: jnp.ndarray,
+    max_payload_len: int,
+    *,
+    confidence: jnp.ndarray,
+    snr_db: jnp.ndarray,
+) -> DynamicFrameResult:
+    """Shared dynamic-length parse of decoded section bits (uncoded path
+    and post-Viterbi coded path)."""
     n_bytes = data_section_bytes(max_payload_len)
     section = bits_to_bytes(bits[..., : n_bytes * 8])
 
@@ -534,6 +643,33 @@ def dynamic_frame_result_from_tone_decisions(
     )
 
 
+def dynamic_frame_result_from_energies(
+    config: ModemConfig,
+    energies: jnp.ndarray,
+    max_payload_len: int,
+) -> DynamicFrameResult:
+    """Variable-length CODED parse from full tone energies [..., S, M] —
+    the streaming receiver's coded-dynamic tail: soft LLRs feed the header
+    probe + masked-trellis Viterbi (frame_result_from_llrs_dynamic), and
+    quality metrics use the overhead-symbol span exactly like the uncoded
+    dynamic paths. This is what demod_at_energies_fused's output plugs
+    into (the aligned max-length frame never exists in HBM)."""
+    from anet.dsp.demod import bit_llrs
+
+    s_min = data_symbols_for_payload(config, 0)
+    e = energies[..., :s_min, :]
+    best = jnp.max(e, axis=-1)
+    total = jnp.sum(e, axis=-1)
+    confidence = jnp.mean(best / jnp.maximum(total, 1e-20), axis=-1)
+    snr_db = estimate_snr_db(config, e)
+    llrs = bit_llrs(config, energies)[
+        ..., : data_section_coded_bits(config, max_payload_len)
+    ]
+    return frame_result_from_llrs_dynamic(
+        config, llrs, max_payload_len, confidence=confidence, snr_db=snr_db
+    )
+
+
 def demodulate_frame_dynamic(
     config: ModemConfig,
     samples: jnp.ndarray,
@@ -552,14 +688,23 @@ def demodulate_frame_dynamic(
     sps = config.samples_per_symbol
     data = samples[..., config.preamble_symbols * sps :]
     energies = tone_energies(config, data, compute_dtype=compute_dtype)
-    symbols = decide_symbols(config, energies)
-    bits = unpack_symbols(symbols, config.bits_per_symbol)
     s_min = data_symbols_for_payload(config, 0)  # overhead-only span
     e = energies[..., :s_min, :]
     best = jnp.max(e, axis=-1)
     total = jnp.sum(e, axis=-1)
     confidence = jnp.mean(best / jnp.maximum(total, 1e-20), axis=-1)
     snr_db = estimate_snr_db(config, e)
+    if getattr(config, "fec", "none") == "conv":
+        from anet.dsp.demod import bit_llrs
+
+        llrs = bit_llrs(config, energies)[
+            ..., : data_section_coded_bits(config, max_payload_len)
+        ]
+        return frame_result_from_llrs_dynamic(
+            config, llrs, max_payload_len, confidence=confidence, snr_db=snr_db
+        )
+    symbols = decide_symbols(config, energies)
+    bits = unpack_symbols(symbols, config.bits_per_symbol)
     return frame_result_from_bits_dynamic(
         config, bits, max_payload_len, confidence=confidence, snr_db=snr_db
     )
@@ -576,6 +721,13 @@ def dynamic_frame_samples(config, payload_len) -> jnp.ndarray:
     n_bits = 8 * (OVERHEAD_BYTES + jnp.asarray(payload_len).astype(jnp.int32))
     from anet.dsp.family import is_ofdm
 
+    if getattr(config, "fec", "none") == "conv":
+        # air bits after rate-1/2 coding + tail flush (the dynamic coded
+        # path requires fec_interleave == 1, so no interleaver pad term —
+        # mirrors coded_bits_for_data_bits for that geometry)
+        from anet.dsp.fec import CONV_TAIL_BITS
+
+        n_bits = 2 * (n_bits + CONV_TAIL_BITS)
     syms = (n_bits + config.bits_per_symbol - 1) // config.bits_per_symbol
     if is_ofdm(config):
         return config.preamble_samples + (1 + syms) * config.symbol_samples

@@ -136,7 +136,10 @@ def receive_frame_dynamic(
     max-length window, masked CRC over the declared length) — the caller
     only bounds it. ``capture`` must be at least
     frame_samples(config, max_payload_len) long; pad short captures with
-    zeros. Uncoded configs only (see frame_result_from_bits_dynamic).
+    zeros. Coded configs (fec='conv', fec_interleave <= 1) decode through
+    the header probe + masked-trellis Viterbi
+    (frame.frame_result_from_llrs_dynamic); a depth-d block interleaver is
+    the one exclusion (length-dependent geometry).
     """
     from anet.dsp.family import (
         aligned_demod_dynamic_fn,

@@ -67,6 +67,9 @@ OPERATING_SNR_DB = {
     "fsk2-robust": -6.0,
     "mfsk4-voice": 2.0,
     "mfsk4-coded": -4.0,
+    # same code/geometry as mfsk4-coded minus the interleaver: identical
+    # AWGN threshold (the interleaver only helps bursts)
+    "mfsk4-coded-stream": -4.0,
     "mfsk8-audible": 1.0,
     "mfsk16-fast": 0.0,
     "mfsk16-ultra": 6.0,
@@ -187,6 +190,27 @@ register(
         "4-FSK with rate-1/2 K=7 convolutional coding (soft Viterbi) and a "
         "depth-24 block interleaver; 1.5 kbps net, ~4 dB coding gain at the "
         "frame-error cliff plus burst-error immunity.",
+    )
+)
+
+register(
+    ModemModel(
+        "mfsk4-coded-stream",
+        ModemConfig(
+            sample_rate_hz=48_000,
+            symbol_rate_hz=1_500,
+            num_tones=4,
+            base_freq_hz=3_000.0,
+            preamble_symbols=32,
+            fec="conv",
+            fec_interleave=1,
+        ),
+        "mfsk4-coded without the block interleaver: the robust rung for "
+        "VARIABLE-LENGTH streaming — a depth-d interleaver's geometry "
+        "depends on the section length the header declares, so dynamic "
+        "coded frames (stream.receive_stream_dynamic, fec='conv') need "
+        "interleave-free framing; same AWGN coding gain, no burst "
+        "dispersion.",
     )
 )
 

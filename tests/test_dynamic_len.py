@@ -109,12 +109,122 @@ def test_corrupted_length_field_fails_header_crc():
     assert not bool(bad.ok)
 
 
-def test_dynamic_requires_uncoded():
-    cfg = ModemConfig(fec="conv")
-    with pytest.raises(ValueError, match="fec"):
+def test_dynamic_rejects_block_interleaver():
+    """Coded dynamic frames are supported with fec_interleave <= 1; a
+    depth-d block interleaver's geometry depends on the declared length,
+    which is the documented exclusion."""
+    cfg = ModemConfig(fec="conv", fec_interleave=24)
+    with pytest.raises(ValueError, match="interleave"):
         receive_frame_dynamic(
             cfg, jnp.zeros(frame_samples(cfg, MAX) + 100), MAX
         )
+
+
+CODED_CFG = ModemConfig(fec="conv", fec_interleave=1)
+
+
+@pytest.mark.parametrize("n", [0, 1, 100, MAX])
+def test_coded_dynamic_lengths(n):
+    """Variable-length CODED frames: header probe + masked-trellis
+    Viterbi (frame.frame_result_from_llrs_dynamic)."""
+    payload = jnp.asarray(np.random.default_rng(n).integers(0, 256, n, np.uint8))
+    r = receive_frame_dynamic(CODED_CFG, _padded_capture(CODED_CFG, payload), MAX)
+    assert bool(r.frame.ok)
+    assert int(r.frame.payload_len) == n
+    assert np.array_equal(np.asarray(r.frame.payload[:n]), np.asarray(payload))
+    assert int(np.asarray(r.frame.payload[n:]).sum()) == 0
+
+
+def test_coded_dynamic_equals_fixed_decode():
+    """The masked-trellis dynamic decode must be EXACTLY the fixed-length
+    decode of the same noisy frame (the zero-LLR pad region freezes the
+    path metrics, so the traceback reproduces the true-length ML path)."""
+    from anet.dsp.pipeline import receive_frame
+
+    rng = np.random.default_rng(99)
+    n = 57
+    payload = jnp.asarray(rng.integers(0, 256, n, np.uint8))
+    cap = _padded_capture(CODED_CFG, payload)
+    noisy = awgn(jax.random.PRNGKey(3), cap, 2.0)
+    r_dyn = receive_frame_dynamic(CODED_CFG, noisy, MAX)
+    r_fix = receive_frame(CODED_CFG, noisy[: 400 + frame_samples(CODED_CFG, n) + 200], n)
+    assert bool(r_dyn.frame.ok) and bool(r_fix.frame.ok)
+    assert np.array_equal(
+        np.asarray(r_dyn.frame.payload[:n]), np.asarray(r_fix.frame.payload)
+    )
+
+
+def test_coded_dynamic_survives_noise():
+    rng = np.random.default_rng(21)
+    payload = jnp.asarray(rng.integers(0, 256, 80, np.uint8))
+    cap = _padded_capture(CODED_CFG, payload)
+    noisy = awgn(jax.random.PRNGKey(11), cap, -2.0)
+    r = receive_frame_dynamic(CODED_CFG, noisy, MAX)
+    assert bool(r.frame.ok)
+    assert int(r.frame.payload_len) == 80
+    assert np.array_equal(np.asarray(r.frame.payload[:80]), np.asarray(payload))
+
+
+def test_stream_dynamic_coded_mixed_lengths():
+    """Mixed-length coded frames through receive_stream_dynamic — the
+    round-4 capability hole (robust presets could not stream
+    variable-length frames at all), search and lock modes both."""
+    from anet.models import get_model
+
+    cfg = get_model("mfsk4-coded-stream").config
+    rng = np.random.default_rng(31)
+    lens = (40, 200, 12)
+    pays = [rng.integers(0, 256, n, np.uint8) for n in lens]
+    t_max = frame_samples(cfg, MAX)
+    parts = []
+    for gap, p in zip((700, 900, 1100), pays):
+        parts += [np.zeros(gap, np.float32), np.asarray(transmit(cfg, jnp.asarray(p)))]
+    parts.append(np.zeros(t_max + 500, np.float32))
+    cap = np.concatenate(parts)
+    chunk = 2048
+    cap = np.concatenate([cap, np.zeros((-len(cap)) % chunk, np.float32)])
+    cap = cap + 0.01 * rng.standard_normal(cap.shape).astype(np.float32)
+    res = receive_stream_dynamic(cfg, jnp.asarray(cap), chunk, MAX)
+    assert int(res.carry.frames_ok) == 3
+    assert int(res.carry.decode_errors) == 0
+    det = np.asarray(res.steps.detected)
+    idx = np.nonzero(det)[0]
+    assert np.asarray(res.steps.frame.payload_len)[idx].tolist() == list(lens)
+    payloads = np.asarray(res.steps.frame.payload)
+    for i, p in zip(idx, pays):
+        assert np.array_equal(payloads[i, : len(p)], p)
+
+
+def test_stream_dynamic_coded_lock_back_to_back():
+    """Dynamic frame-lock on back-to-back mixed-length CODED frames: the
+    CRC-vouched header length predicts each next start."""
+    from anet.dsp.frame import dynamic_frame_samples
+    from anet.models import get_model
+
+    cfg = get_model("mfsk4-coded-stream").config
+    rng = np.random.default_rng(33)
+    lens = (64, 16, 128, 16, 64)
+    pays = [rng.integers(0, 256, n, np.uint8) for n in lens]
+    parts = [np.zeros(800, np.float32)]
+    parts += [np.asarray(transmit(cfg, jnp.asarray(p))) for p in pays]
+    t_max = frame_samples(cfg, MAX)
+    parts.append(np.zeros(t_max + 500, np.float32))
+    cap = np.concatenate(parts)
+    t_min = int(dynamic_frame_samples(cfg, min(lens)))
+    chunk = t_min // 128 * 128
+    cap = np.concatenate([cap, np.zeros((-len(cap)) % chunk, np.float32)])
+    cap = cap + 0.01 * rng.standard_normal(cap.shape).astype(np.float32)
+    res_lock = receive_stream_dynamic(cfg, jnp.asarray(cap), chunk, MAX, lock=True)
+    res_search = receive_stream_dynamic(cfg, jnp.asarray(cap), chunk, MAX)
+    for res in (res_lock, res_search):
+        assert int(res.carry.frames_ok) == len(lens)
+        assert int(res.carry.decode_errors) == 0
+    d0 = np.asarray(res_search.steps.detected)
+    d1 = np.asarray(res_lock.steps.detected)
+    assert (d0 == d1).all()
+    p0 = np.asarray(res_search.steps.frame.payload)[d0]
+    p1 = np.asarray(res_lock.steps.frame.payload)[d1]
+    assert np.array_equal(p0, p1)
 
 
 def test_stream_dynamic_mixed_lengths():
