@@ -366,15 +366,29 @@ def _decide_frame_tm_kernel(
         qual_ref[...] = jnp.zeros_like(qual_ref)
 
     b = basis_ref[...]  # [2M, sps]
+    int8_in = b.dtype == jnp.int8
     conf_acc = jnp.zeros((words_ref.shape[-1],), jnp.float32)
     best_acc = jnp.zeros_like(conf_acc)
     total_acc = jnp.zeros_like(conf_acc)
     word = jnp.zeros(words_ref.shape[-1], jnp.int32)
     for s in range(sb):
         w = w_ref[s * sps : (s + 1) * sps, :]  # [sps, Bt]
-        iq = jax.lax.dot_general(
-            b, w, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )  # [2M, Bt]
+        if int8_in:
+            # int8 x int8 -> int32 MXU path (the round-5 quantized-ingest
+            # experiment: halves the kernel's mandatory HBM read). The
+            # int32 I/Q is cast to f32 BEFORE squaring — squared int32
+            # sums overflow (|iq| <= sps*127^2 ~ 1e6; its square ~1e12).
+            # Energies then carry the (127*scale)^2 factor uniformly:
+            # argmax decisions and the conf/snr RATIOS are invariant.
+            iq = jax.lax.dot_general(
+                b, w, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            ).astype(jnp.float32)
+        else:
+            iq = jax.lax.dot_general(
+                b, w, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [2M, Bt]
         ii, q = iq[:num_tones], iq[num_tones:]
         e = ii * ii + q * q  # [M, Bt]
         tone = jnp.argmax(e, axis=0).astype(jnp.int32)  # [Bt]
@@ -460,7 +474,7 @@ def _frame_crc_tables(payload_len: int, n_tiles: int, nb: int):
 @functools.partial(
     jax.jit,
     static_argnums=(0, 2),
-    static_argnames=("compute_dtype", "interpret"),
+    static_argnames=("compute_dtype", "interpret", "preamble_offset"),
 )
 def decide_frame_tm(
     config: ModemConfig,
@@ -469,6 +483,7 @@ def decide_frame_tm(
     *,
     compute_dtype=jnp.bfloat16,
     interpret: bool = False,
+    preamble_offset: int = 0,
 ):
     """Time-major fused symbol decision WITH the frame parse folded into
     the kernel tail — the headline receiver's full-fusion form.
@@ -492,6 +507,18 @@ def decide_frame_tm(
     qual f32 [8, B], n_symbols). The xor consts live in
     _frame_crc_tables (the parser re-derives them — they cannot ride a
     jitted return without being traced into int32, which overflows).
+
+    ``preamble_offset``: static row offset of the data section within
+    ``data_tm`` — pass the preamble length to feed WHOLE frames [T, B]
+    with ZERO copies: the offset folds into the input BlockSpec's index
+    map, so the kernel simply never reads the preamble rows. Slicing the
+    data section in-jit instead materializes a full copy of it to feed
+    the Pallas operand — measured 6.27 vs 2.79 ms at B=16384 (the
+    round-5 headline bisection, tools/exp_ceiling5.py: the hidden ~3.5 ms
+    'slice tax' every prior headline measurement paid). Falls back to an
+    explicit slice when the offset/geometry padding makes the zero-copy
+    form impossible (offset not a multiple of the block height, or
+    pad rows/lanes needed anyway).
     """
     from anet.dsp.frame import data_symbols_for_payload
 
@@ -504,17 +531,44 @@ def decide_frame_tm(
     nb = sb * bps
     t, b = data_tm.shape
     s = data_symbols_for_payload(config, payload_len)
-    if t < s * sps:
-        raise ValueError(f"data_tm too short: {t} < {s} symbols x {sps}")
+    if t - preamble_offset < s * sps:
+        raise ValueError(
+            f"data_tm too short: {t} - {preamble_offset} < {s} symbols x {sps}"
+        )
     s_pad = -s % sb
     bt = TM_LANE_TILE if b >= TM_LANE_TILE else -(-b // 128) * 128
     b_pad = -b % bt
-    w = data_tm[: s * sps].astype(compute_dtype)
-    if s_pad or b_pad:
-        w = jnp.pad(w, ((0, s_pad * sps), (0, b_pad)))
+    off_blocks = 0
+    if preamble_offset and (
+        s_pad
+        or b_pad
+        or preamble_offset % (sb * sps)
+        or t != preamble_offset + s * sps
+    ):
+        # zero-copy form impossible: slice (materializes a copy)
+        data_tm = data_tm[preamble_offset:]
+        preamble_offset = 0
+        t = data_tm.shape[0]
+    if preamble_offset:
+        off_blocks = preamble_offset // (sb * sps)
+        w = data_tm.astype(compute_dtype)  # no-op cast on the hot path
+    else:
+        w = data_tm[: s * sps].astype(compute_dtype)
+        if s_pad or b_pad:
+            w = jnp.pad(w, ((0, s_pad * sps), (0, b_pad)))
     sp, bp = s + s_pad, b + b_pad
     n_tiles = sp // sb
-    basis = demod_basis(config, dtype=compute_dtype).T  # [2M, sps]
+    if jnp.dtype(compute_dtype) == jnp.int8:
+        # quantized-ingest variant: int8 basis at x127 scale (phases still
+        # f32 — see demod_basis), int8 x int8 -> int32 contraction in the
+        # kernel. Callers quantize the capture ONCE at the edge
+        # (round(x * 127 / max|x|)); energies scale uniformly so the
+        # decisions, CRC verdicts, and conf/snr ratios are unchanged.
+        basis = jnp.round(
+            demod_basis(config, dtype=jnp.float32).T * 127.0
+        ).astype(jnp.int8)
+    else:
+        basis = demod_basis(config, dtype=compute_dtype).T  # [2M, sps]
     p_np, _c_hdr, _c_pay = _frame_crc_tables(payload_len, n_tiles, nb)
     p = jnp.asarray(p_np)
 
@@ -536,8 +590,11 @@ def decide_frame_tm(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((nb, 64), lambda j, i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((sb * sps, bt), lambda j, i: (i, j),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (sb * sps, bt),
+                lambda j, i, ob=off_blocks: (i + ob, j),
+                memory_space=pltpu.VMEM,
+            ),
         ],
         out_specs=(
             pl.BlockSpec((8, bt), lambda j, i: (i // 8, j),

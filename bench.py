@@ -321,7 +321,9 @@ def measure_stream(
     }
 
 
-def measure_aligned(model_name: str, payload_len: int, *, batch: int, iters: int) -> dict:
+def measure_aligned(
+    model_name: str, payload_len: int, *, batch: int, iters: int, int8: bool = False
+) -> dict:
     """Aligned frame demod throughput for one modem preset.
 
     Layouts: "tm" (default for MFSK) demodulates TIME-MAJOR [T, B] input
@@ -352,9 +354,22 @@ def measure_aligned(model_name: str, payload_len: int, *, batch: int, iters: int
     payloads = jnp.asarray(rng.integers(0, 256, (batch, payload_len), dtype=np.uint8))
     tx = family.transmit_fn(cfg)
     waves = jax.jit(tx)(payloads)
-    if not family.is_ofdm(cfg):
+    compute_dtype = jnp.bfloat16
+    if int8:
+        # quantized ingest (round 5): one edge cast, like the bf16 cast
+        # below — the kernel's mandatory HBM read halves and the int8 x
+        # int8 -> int32 MXU path decides identically (exp_int8.py,
+        # tests/test_kernels_bench.py int8 test, tpu_validate)
+        if layout != "tm" or family.is_ofdm(cfg):
+            raise ValueError("int8 ingest is the tm MFSK kernel path only")
+        compute_dtype = jnp.int8
+        scale = 127.0 / jnp.max(jnp.abs(waves))
+        waves = jax.jit(lambda x, s: jnp.round(x.T * s).astype(jnp.int8))(
+            waves, scale
+        )
+    elif not family.is_ofdm(cfg):
         waves = waves.astype(jnp.bfloat16)
-    if layout == "tm":
+    if layout == "tm" and not int8:
         waves = jax.jit(lambda x: x.T)(waves)  # one-time ingest layout, not timed
     waves.block_until_ready()
 
@@ -371,7 +386,7 @@ def measure_aligned(model_name: str, payload_len: int, *, batch: int, iters: int
             jax.default_backend() == "tpu" and getattr(cfg, "fec", "none") == "none"
         )
         demod = lambda w: demodulate_frame_tm(
-            cfg, w, payload_len, compute_dtype=jnp.bfloat16
+            cfg, w, payload_len, compute_dtype=compute_dtype
         )
     elif use_pallas:
         demod = lambda w: demodulate_frame(
@@ -390,7 +405,7 @@ def measure_aligned(model_name: str, payload_len: int, *, batch: int, iters: int
     dt, warmup_s, ok_count = _bench_loop(step, waves, iters)
     msamples_s = batch * t_frame * iters / dt / 1e6
     return {
-        "metric": f"aligned:{model_name}",
+        "metric": f"aligned-int8:{model_name}" if int8 else f"aligned:{model_name}",
         "value": round(msamples_s, 2),
         "unit": "Msamples/s",
         "vs_baseline": round(msamples_s / BASELINE_MSAMPLES_S, 1),
@@ -511,7 +526,28 @@ def main() -> None:
                 "stream-dynamic-lock",
                 lambda: measure_stream(model, payload_len, dynamic=True, lock=True),
             ),
+            # coded variable-length streaming (round 5): header probe +
+            # masked-trellis Viterbi on the interleave-free robust preset
+            (
+                "stream-dynamic:mfsk4-coded-stream",
+                lambda: measure_stream(
+                    "mfsk4-coded-stream", payload_len, dynamic=True, lock=True
+                ),
+            ),
         ]
+        if not on_cpu:
+            # int8 quantized ingest (round 5): the headline kernel on a
+            # capture quantized once at the edge — halves the mandatory
+            # HBM read; decisions/CRC verdicts identical (exp_int8.py;
+            # kernel path only, so no CPU entry)
+            matrix.append(
+                (
+                    "aligned-int8",
+                    lambda: measure_aligned(
+                        model, payload_len, batch=batch, iters=iters, int8=True
+                    ),
+                )
+            )
         extras = []
         record["extra_metrics"] = extras
         # Per-entry deadline from the REMAINING watchdog: an entry starts
@@ -584,7 +620,9 @@ def _run_forwarding(cmd_env, watchdog_s: float):
     err_tail: list = []
     open_streams = 2
     while open_streams and time.monotonic() < deadline:
-        for key, _ in sel.select(timeout=min(5.0, deadline - time.monotonic())):
+        for key, _ in sel.select(
+            timeout=max(0.0, min(5.0, deadline - time.monotonic()))
+        ):
             line = key.fileobj.readline()
             if not line:
                 sel.unregister(key.fileobj)
@@ -606,6 +644,13 @@ def _run_forwarding(cmd_env, watchdog_s: float):
             "killed (forwarded records already on stdout)",
             file=sys.stderr,
         )
+        try:  # drain anything still buffered at kill time
+            for line in (proc.stdout.read() or "").splitlines():
+                if line.startswith("{"):
+                    print(line, flush=True)
+                    saw_json = True
+        except Exception:
+            pass
     else:
         rc = proc.wait(timeout=30)
     try:

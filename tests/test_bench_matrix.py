@@ -37,6 +37,7 @@ def bench(monkeypatch_module=None):
         dict(model_name="mfsk16-fast", dynamic=True, lock=True),
         dict(model_name="ofdm-fast", lock=True),
         dict(model_name="mfsk4-coded", lock=True),
+        dict(model_name="mfsk4-coded-stream", dynamic=True, lock=True),
     ],
     ids=lambda k: "-".join(
         [k["model_name"]]

@@ -356,6 +356,78 @@ def test_decide_frame_tm_full_fusion_matches_golden():
         )
 
 
+def test_decide_frame_tm_preamble_offset_zero_copy():
+    """decide_frame_tm(preamble_offset=pre) on WHOLE frames — the
+    zero-copy BlockSpec-offset form (both the true zero-copy branch,
+    exact geometry, and the slice fallback) equals the pre-sliced call.
+    Slicing in-jit instead fed the Pallas operand a materialized copy of
+    the data section (~3.5 ms/iter at B=16384 — the round-5 headline
+    bisection, tools/exp_ceiling5.py)."""
+    from anet.dsp import family
+    from anet.kernels import decide_frame_tm
+    from anet.models import get_model
+
+    rng = np.random.default_rng(77)
+    cfg = get_model("mfsk16-fast").config
+    pay = 256
+    pre = cfg.preamble_symbols * cfg.samples_per_symbol
+    for B in (16, 128):  # 16 -> b_pad fallback branch; 128 -> zero-copy
+        payloads = jnp.asarray(rng.integers(0, 256, (B, pay), dtype=np.uint8))
+        w = np.array(family.transmit_fn(cfg)(payloads), np.float32).T
+        w += 0.02 * rng.standard_normal(w.shape).astype(np.float32)
+        full = jnp.asarray(w).astype(jnp.bfloat16)
+        got = decide_frame_tm(cfg, full, pay, interpret=True, preamble_offset=pre)
+        ref = decide_frame_tm(cfg, full[pre:], pay, interpret=True)
+        np.testing.assert_array_equal(np.asarray(got[0]), np.asarray(ref[0]))
+        np.testing.assert_allclose(np.asarray(got[1]), np.asarray(ref[1]))
+        np.testing.assert_allclose(
+            np.asarray(got[2]), np.asarray(ref[2]), rtol=1e-5
+        )
+
+
+def test_decide_frame_tm_int8_ingest_matches_bf16():
+    """The quantized-ingest variant (int8 capture x int8 basis ->
+    int32 MXU, interpret): identical packed decisions, CRC verdicts and
+    payloads vs the bf16 kernel at operating noise levels; conf/snr
+    ratios agree to quantization tolerance (energies carry a uniform
+    scale factor the ratios cancel)."""
+    from anet.dsp import family
+    from anet.dsp.frame import frame_result_from_packed
+    from anet.kernels import decide_frame_tm
+    from anet.models import get_model
+
+    rng = np.random.default_rng(55)
+    cfg = get_model("mfsk16-fast").config
+    pay = 96
+    B = 6
+    payloads = jnp.asarray(rng.integers(0, 256, (B, pay), dtype=np.uint8))
+    waves = np.array(family.transmit_fn(cfg)(payloads), np.float32)
+    waves += 0.05 * rng.standard_normal(waves.shape).astype(np.float32)
+    data = waves[:, cfg.preamble_symbols * cfg.samples_per_symbol :].T
+    scale = 127.0 / np.abs(data).max()
+    d8 = jnp.asarray(np.round(data * scale).astype(np.int8))
+    w8, crc8, q8, n_sym = decide_frame_tm(
+        cfg, d8, pay, compute_dtype=jnp.int8, interpret=True
+    )
+    wb, crcb, qb, _ = decide_frame_tm(
+        cfg, jnp.asarray(data).astype(jnp.bfloat16), pay, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(w8), np.asarray(wb))
+    got = frame_result_from_packed(cfg, w8, crc8, q8, n_sym, pay)
+    ref = frame_result_from_packed(cfg, wb, crcb, qb, n_sym, pay)
+    for f in ("payload", "ok", "header_crc_ok", "payload_crc_ok"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(got, f)), np.asarray(getattr(ref, f)), err_msg=f
+        )
+    assert bool(np.asarray(got.ok).all())
+    np.testing.assert_allclose(
+        np.asarray(got.confidence), np.asarray(ref.confidence), rtol=2e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.snr_db), np.asarray(ref.snr_db), rtol=0.05
+    )
+
+
 def test_stream_dynamic_fused_demod_agrees_with_golden(interpret_tpu_kernels):
     """stream_step_dynamic's fused demod branch (demod_at_fused ->
     dynamic_frame_result_from_tone_decisions, interpret kernels) emits the
