@@ -112,6 +112,11 @@ def sharded_demodulate(
         out_specs=jax.tree_util.tree_map(lambda _: P(axis), _frame_result_proto()),
     )
     def _demod(w):
+        # family dispatch: MFSK takes demodulate_frame's compute_dtype
+        # surface; OFDM routes through its own aligned demod (complex
+        # equalizer — family.aligned_demod_fn)
+        if family.is_ofdm(config):
+            return family.aligned_demod_fn(config, payload_len, compute_dtype)(w)
         return demodulate_frame(config, w, payload_len, compute_dtype=compute_dtype)
 
     return jax.jit(_demod)(waves)
@@ -537,8 +542,9 @@ def sharded_receive_long_capture_dynamic(
     within a device through the stream carry, across devices by
     construction (a frame's actual extent never reaches past its
     attribution point, start + t_max), and across super-steps through
-    ``resume.last_frame_end``. Uncoded configs only (header must parse
-    without FEC state).
+    ``resume.last_frame_end``. Coded configs stream with
+    fec_interleave == 1 (see stream.stream_step_dynamic — the header
+    probe + masked-trellis Viterbi parses lengths without FEC state).
     """
     axis = mesh.axis_names[0]
     n_dev = mesh.devices.size
