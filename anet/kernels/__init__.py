@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -1467,7 +1468,12 @@ def gather_rows_fused(
 
 # --- fused align + demodulate (timing gather folded into the filterbank) -----
 
-DA_STREAM_TILE = 8  # streams per grid cell (VMEM-sized at stream bench shapes)
+# Streams per grid cell of the fused align+demod kernels. The per-cell
+# cost at stream bench shapes is dominated by fixed per-cell overhead
+# (DMA issue serialization + the one-hot shift builds), so larger tiles
+# amortize it — bounded by VMEM (the double-buffered slab scratch is
+# 2*bs*sv*128 elements). Overridable for experiments via ANET_DA_TILE.
+DA_STREAM_TILE = int(os.environ.get("ANET_DA_TILE", "8"))
 
 
 def _demod_at_front(
