@@ -59,6 +59,14 @@ __all__ = [
 
 SYMBOL_TILE = 512  # symbols per grid step; 512 x 64 f32 window tile = 128 KiB
 
+
+def _acc_dtype(dtype):
+    """MXU accumulator dtype for a given operand dtype: int8 operands
+    accumulate in int32 (the int8 x int8 -> int32 systolic path — f32
+    accumulation of integer dots is not a TPU matmul mode); float
+    operands accumulate in f32 via preferred_element_type."""
+    return jnp.int32 if jnp.dtype(dtype) == jnp.int8 else jnp.float32
+
 # Time-major kernel tiling: SB symbols x Bt streams per grid step.
 # 8 x 2048 puts a [512, 2048] bf16 window block (2 MiB) in VMEM.
 TM_SYMBOL_TILE = 8
@@ -1538,6 +1546,7 @@ def _demod_at_front(
     # reject (sharp edge #5 — the 1-row slice carries a sublane offset)
     sh_lo = (j_io == c_io + lo).astype(dtype)  # j = c + lo
     sh_hi = (j_io == c_io + lo - 128).astype(dtype)  # j + 128 = c + lo
+    pet = _acc_dtype(dtype)  # int8 slabs permute through int32
 
     for s in range(bs):
         hi = (st_ref[i * bs + s] + pre) // 128
@@ -1553,13 +1562,13 @@ def _demod_at_front(
             slab_all[:, : sv - 1, :],
             sh_lo,
             (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=pet,
         )
         + jax.lax.dot_general(
             slab_all[:, 1:sv, :],
             sh_hi,
             (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=pet,
         )
     ).astype(slab_all.dtype)  # [bs, sv-1, 128]: exact (one-hot permute)
     # group g of the frame is row delta_s + g of the span: resolve the
@@ -1747,12 +1756,18 @@ def _demod_at_kernel(
     )
     # shared contraction: every stream's rows hit the same [128, r2m]
     # basis, so the MXU sees one [bs*pv, 128] x [128, r2m] matmul
-    iq = jax.lax.dot_general(
-        srows.reshape(bs * pv, 128),
-        bbase_ref[...],
-        (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ).reshape(bs, pv, r2m)
+    # (int8 slabs take the int8 x int8 -> int32 path; the f32 cast
+    # happens BEFORE squaring, as in _decide_frame_tm_kernel's int8 form)
+    iq = (
+        jax.lax.dot_general(
+            srows.reshape(bs * pv, 128),
+            bbase_ref[...],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=_acc_dtype(bbase_ref.dtype),
+        )
+        .astype(jnp.float32)
+        .reshape(bs, pv, r2m)
+    )
 
     # decisions per in-row symbol slot; groups >= pv are zero padding
     for u in range(r_syms):
@@ -1807,12 +1822,16 @@ def _demod_at_energies_kernel(
         st_ref, stv_ref, x_hbm, slab_scr, sem, bbase_ref.dtype,
         i=i, bs=bs, sv=sv, pv=pv, pre=pre, ncells=ncells,
     )
-    iq = jax.lax.dot_general(
-        srows.reshape(bs * pv, 128),
-        bbase_ref[...],
-        (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ).reshape(bs, pv, 2 * mr)
+    iq = (
+        jax.lax.dot_general(
+            srows.reshape(bs * pv, 128),
+            bbase_ref[...],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=_acc_dtype(bbase_ref.dtype),
+        )
+        .astype(jnp.float32)
+        .reshape(bs, pv, 2 * mr)
+    )
     i_part = iq[:, :, :mr]
     q_part = iq[:, :, mr:]
     e_ref[...] = i_part * i_part + q_part * q_part
@@ -1863,16 +1882,30 @@ def _demod_at_setup(config, buffer, start, n_symbols, start_bound, batch_tile):
         st = jnp.pad(st, (0, pad_b))
     xr = x.reshape(x.shape[0], rows_total, 128)
 
-    basis = demod_basis(
-        config, dtype=x.dtype if x.dtype != jnp.float32 else jnp.float32
-    )
+    if x.dtype == jnp.int8:
+        # int8 stream-buffer variant: int8 basis at x127 scale (phases
+        # stay f32 — see demod_basis; a plain astype would truncate the
+        # ±1-scale table to zero). Energies scale uniformly by
+        # (127 * buffer_scale)^2 — decisions and conf/snr RATIOS are
+        # invariant, same contract as decide_frame_tm's quantized ingest.
+        basis = jnp.round(
+            demod_basis(config, dtype=jnp.float32) * 127.0
+        ).astype(jnp.int8)
+    else:
+        basis = demod_basis(
+            config, dtype=x.dtype if x.dtype != jnp.float32 else jnp.float32
+        )
     j0 = jnp.arange(128)
     blocks = []
     for u in range(r_syms):
         idx = j0 - u * sps
         ok = (idx >= 0) & (idx < sps)
         blocks.append(
-            jnp.where(ok[:, None], basis[jnp.clip(idx, 0, sps - 1)], 0.0)
+            jnp.where(
+                ok[:, None],
+                basis[jnp.clip(idx, 0, sps - 1)],
+                jnp.zeros((), basis.dtype),
+            )
         )
     return batch_shape, xr, st, b, bs, sv, pv, pp, r_syms, m, pre, blocks
 
@@ -2152,14 +2185,15 @@ def _demod_probe_kernel(
     prows = jnp.zeros((bs, pw_e, 128), slab.dtype)
     for r in range(8):
         prows = jnp.where(delta0 == r, slab[:, r : r + pw_e, :], prows)
+    pet = _acc_dtype(dtype)  # int8 buffers correlate/demod through int32
     for r in range(pw_e):
         pw_scr[:, r * 128 : (r + 1) * 128] = prows[:, r, :]
     corr128 = jax.lax.dot_general(
         pw_scr[...],
         tband_ref[...],
         (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # [bs, 128]: correlation at the 128 lags of the base row
+        preferred_element_type=pet,
+    ).astype(jnp.float32)  # [bs, 128]: correlation at the 128 base-row lags
     # second lag block: lags 128..255 of the base row, from the one-row-
     # shifted probe rows. Needed whenever the per-stream servo window
     # [lo0, lo0 + n_lags) crosses the 128-lane row boundary (residues
@@ -2178,8 +2212,8 @@ def _demod_probe_kernel(
         pw_scr[...],
         tband_ref[...],
         (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # [bs, 128]: correlation at lags 128..255 of the base row
+        preferred_element_type=pet,
+    ).astype(jnp.float32)  # [bs, 128]: correlation at lags 128..255
     # per-stream servo window [lo0, lo0 + n_lags): mask, max, argmax —
     # the normalization scale is one value per stream, so the masked
     # argmax of |corr| IS the argmax of quality. The window is split
@@ -2214,12 +2248,12 @@ def _demod_probe_kernel(
         jax.lax.dot_general(
             slab[:, : sv - 1, :], sh_lo,
             (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=pet,
         )
         + jax.lax.dot_general(
             slab[:, 1:sv, :], sh_hi,
             (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=pet,
         )
     ).astype(slab.dtype)  # [bs, sv-1, 128]
     # row of the refined data start within the slab:
@@ -2233,12 +2267,16 @@ def _demod_probe_kernel(
     for r in range(pre_rows, pre_rows + 9):
         srows = jnp.where(rowv == r, shifted[:, r : r + pv, :], srows)
 
-    iq = jax.lax.dot_general(
-        srows.reshape(bs * pv, 128),
-        bbase_ref[...],
-        (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ).reshape(bs, pv, r2m)
+    iq = (
+        jax.lax.dot_general(
+            srows.reshape(bs * pv, 128),
+            bbase_ref[...],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=pet,
+        )
+        .astype(jnp.float32)
+        .reshape(bs, pv, r2m)
+    )
     for u in range(r_syms):
         iqu = iq[:, :, u * 2 * m : (u + 1) * 2 * m]
         i_part = iqu[:, :, :m]
@@ -2293,6 +2331,15 @@ def demod_probe_fused(
     The stream carry's demod_at_buffer_pad covers this kernel's span (it
     budgets the extra preamble rows); foreign buffers fall back to an
     in-call pad copy.
+
+    int8 buffers (stream.quantize_int8) run the whole kernel on the
+    int8 x int8 -> int32 MXU path: the template quantizes to x127 in
+    this wrapper (cmax is rescaled back so the caller's normalization
+    against the FLOAT template energy still cancels the buffer scale),
+    the basis takes decide_frame_tm's x127 int8 form, and the one-hot
+    permutes stay exact. Servo offsets and tone decisions match the
+    bf16 kernel bit-for-bit at operating noise
+    (tests/test_stream_int8.py, tools/tpu_validate.py).
     """
     pre = config.preamble_symbols * config.samples_per_symbol
     if pre % 128:
@@ -2318,13 +2365,26 @@ def demod_probe_fused(
     if pad_rows:
         xr = jnp.pad(xr, ((0, 0), (0, pad_rows), (0, 0)))
 
+    if xr.dtype == jnp.int8:
+        # int8 stream buffer: quantize the template to int8 (x127/max)
+        # for the int8 x int8 -> int32 correlation, then undo the
+        # TEMPLATE quantization on cmax below so the caller's
+        # q = cmax * rsqrt(t_energy * energy) normalization (f32
+        # template energy, int8-buffer-unit window energy) still
+        # cancels the BUFFER scale between cmax and sqrt(energy).
+        tmax = jnp.maximum(jnp.max(jnp.abs(template.astype(jnp.float32))), 1e-20)
+        tvals = jnp.round(template.astype(jnp.float32) * (127.0 / tmax))
+        cmax_scale = tmax / 127.0
+    else:
+        tvals = template
+        cmax_scale = None
     tnp_j = jnp.arange(pw_e * 128)[:, None]
     tnp_c = jnp.arange(128)[None, :]
     tj = tnp_j - tnp_c
     tband = jnp.where(
         (tj >= 0) & (tj < k),
-        template[jnp.clip(tj, 0, k - 1)],
-        jnp.zeros((), template.dtype),
+        tvals[jnp.clip(tj, 0, k - 1)],
+        jnp.zeros((), tvals.dtype),
     ).astype(xr.dtype)
 
     bbase = jnp.concatenate(blocks, axis=1).astype(xr.dtype)  # [128, r2m]
@@ -2375,6 +2435,8 @@ def demod_probe_fused(
         o3 = jnp.moveaxis(o3, 1, 2).reshape(b, pp * r_syms)[:, :n_symbols]
         return o3.reshape(batch_shape + (n_symbols,))
 
+    if cmax_scale is not None:
+        cmax = cmax * cmax_scale
     return (
         cmax[:b, 0].reshape(batch_shape),
         off[:b, 0].reshape(batch_shape),

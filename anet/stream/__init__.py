@@ -52,6 +52,8 @@ __all__ = [
     "stream_step_dynamic",
     "receive_stream",
     "receive_stream_dynamic",
+    "quantize_int8",
+    "INT8_STREAM_SCALE",
 ]
 
 
@@ -175,7 +177,12 @@ def init_carry(
     buffer geometry). ``dtype`` is the sliding buffer's storage dtype —
     receive_stream defaults it to its compute_dtype, so a bf16 hot path
     also slides/correlates/gathers bf16 (half the HBM traffic; samples
-    are quantized once at ingest, exactly where the demod casts anyway)."""
+    are quantized once at ingest, exactly where the demod casts anyway).
+    ``dtype=jnp.int8`` halves that again: chunks quantize at the append
+    edge (fixed scale — INT8_STREAM_SCALE) and the TPU lock hot path
+    runs the int8 x int8 -> int32 MXU kernels; decisions and all
+    quality/conf/snr ratios are scale-invariant
+    (tests/test_stream_int8.py)."""
     length = _buffer_len(config, chunk_size, payload_len, track)
     zi = jnp.zeros(batch_shape, jnp.int32)
     return StreamCarry(
@@ -327,7 +334,7 @@ def stream_step(
             jax.default_backend() == "tpu"
             and not is_ofdm(config)
             and 128 % config.samples_per_symbol == 0
-            and buffer.dtype == jnp.bfloat16
+            and buffer.dtype in (jnp.bfloat16, jnp.int8)
         )
         if fused and config.fec == "conv":
             # Fused CODED path: same DMA-span alignment fold, but through
@@ -508,10 +515,17 @@ def _slide_buffer(carry: StreamCarry, chunk: jnp.ndarray, t_frame: int, margin: 
             f" + margin {margin}; init_carry with the same"
             " chunk_size/payload_len/track"
         )
+    # int8 sliding buffers: each incoming float chunk quantizes ONCE at
+    # this append edge with the FIXED scale (a per-chunk max scale would
+    # mix units across the chunk boundaries a frame span straddles);
+    # already-int8 chunks (a capture quantized at the ingest edge) pass
+    # through untouched. Every downstream quality/decision is a ratio in
+    # buffer units, so the scale cancels — see INT8_STREAM_SCALE.
+    qchunk = _ingest_cast(chunk, carry.buffer.dtype)
     buffer = jnp.concatenate(
         [
             carry.buffer[..., chunk_size:live],
-            chunk.astype(carry.buffer.dtype),
+            qchunk,
             carry.buffer[..., live:],
         ],
         axis=-1,
@@ -655,6 +669,40 @@ def _find_candidate(
 
 PROBE_LAGS = 5  # frame-lock probe lags: ±2 samples of clock-drift servo
 
+# int8 sliding-buffer quantization: round(x * SCALE) clipped to ±127,
+# applied ONCE per chunk at the _slide_buffer append edge. The scale is
+# FIXED (not per-chunk max) because a demod span straddles chunk
+# boundaries — mixed units would corrupt energies across the seam. 32
+# covers ±3.97 of waveform amplitude: the TX emits ±1-scale tones, so
+# even at 0 dB waveform SNR (noise std ~= signal rms) samples past 4.0
+# are > 5 sigma — clipping is negligible, and the 1/64-LSB quantization
+# noise sits ~36 dB under a unit tone, far below every preset's
+# operating channel noise. All probe/search qualities and demod
+# conf/snr are RATIOS in buffer units, so the scale cancels end to end
+# (tests/test_stream_int8.py pins both the cancellation and the BER).
+INT8_STREAM_SCALE = 32.0
+
+
+def _ingest_cast(samples: jnp.ndarray, buffer_dtype) -> jnp.ndarray:
+    """Cast ingest samples to the sliding-buffer dtype: quantize for
+    int8 buffers (plain astype truncates sub-unit waveforms to zero),
+    plain astype otherwise; already-int8 input passes through."""
+    if buffer_dtype == jnp.int8 and samples.dtype != jnp.int8:
+        return quantize_int8(samples)
+    return samples.astype(buffer_dtype)
+
+
+def quantize_int8(samples: jnp.ndarray) -> jnp.ndarray:
+    """Quantize float waveform samples to the int8 stream-buffer format:
+    round(x * INT8_STREAM_SCALE) clipped to ±127. Apply ONCE at the
+    ingest edge (captures) — _slide_buffer applies it automatically to
+    float chunks entering an int8 carry and passes int8 chunks through."""
+    return jnp.clip(
+        jnp.round(samples.astype(jnp.float32) * INT8_STREAM_SCALE),
+        -127.0,
+        127.0,
+    ).astype(jnp.int8)
+
 
 def _merged_lock_supported(config, carry, chunk_size: int) -> bool:
     """The merged probe+demod kernel (anet.kernels.demod_probe_fused)
@@ -669,7 +717,7 @@ def _merged_lock_supported(config, carry, chunk_size: int) -> bool:
         and getattr(config, "fec", "none") == "none"
         and 128 % config.samples_per_symbol == 0
         and (config.preamble_symbols * config.samples_per_symbol) % 128 == 0
-        and carry.buffer.dtype == jnp.bfloat16
+        and carry.buffer.dtype in (jnp.bfloat16, jnp.int8)
         and chunk_size % 128 == 0
     )
 
@@ -1193,7 +1241,7 @@ def receive_stream_dynamic(
         )
 
     num_chunks = n // chunk_size
-    cap = capture.astype(carry.buffer.dtype).reshape(
+    cap = _ingest_cast(capture, carry.buffer.dtype).reshape(
         batch_shape + (num_chunks, chunk_size)
     )
 
@@ -1283,11 +1331,13 @@ def receive_stream(
 
     # time-major chunks for scan: [num_chunks, ..., chunk_size]
     num_chunks = n // chunk_size
-    # One up-front cast to the buffer dtype (bf16 on the hot path), then
-    # scan over chunk INDICES with in-place slicing: a time-major
-    # moveaxis here materialized a full copy of the capture (4.3 GB at
-    # the bench size) before the first chunk was processed.
-    cap = capture.astype(carry.buffer.dtype).reshape(
+    # One up-front cast to the buffer dtype (bf16 on the hot path; int8
+    # buffers QUANTIZE here — a plain astype would truncate sub-unit
+    # samples to zero), then scan over chunk INDICES with in-place
+    # slicing: a time-major moveaxis here materialized a full copy of
+    # the capture (4.3 GB at the bench size) before the first chunk was
+    # processed.
+    cap = _ingest_cast(capture, carry.buffer.dtype).reshape(
         batch_shape + (num_chunks, chunk_size)
     )
 

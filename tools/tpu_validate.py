@@ -413,10 +413,53 @@ def main() -> int:
             np.asarray(best), np.asarray(rb), rtol=1e-5, atol=1e-3
         )
 
+    def check_demod_probe_int8():
+        """int8 stream buffer through the merged probe+demod kernel on
+        real Mosaic: same servo offsets and tone decisions as the bf16
+        kernel, probe quality within quantization tolerance."""
+        from anet.dsp.frame import data_symbols_for_payload
+        from anet.kernels import demod_probe_fused
+        from anet.stream import quantize_int8
+
+        pay = 64
+        s = data_symbols_for_payload(cfg, pay)
+        t_frame = (cfg.preamble_symbols + s) * cfg.samples_per_symbol
+        tmpl = preamble_waveform(cfg)
+        te = float(jnp.sum(tmpl.astype(jnp.float32) ** 2))
+        chunkb = 2048
+        buf_np = rng.normal(scale=0.05, size=(16, t_frame + chunkb + 4096)).astype(
+            np.float32
+        )
+        starts = rng.integers(2, chunkb, 16).astype(np.int32)
+        # include the 128-lane row-boundary residues the servo window crosses
+        starts[:4] = [126, 127, 128, 129]
+        p = jnp.asarray(rng.integers(0, 256, (16, pay), np.uint8))
+        w = np.asarray(modulate_frame(cfg, p), np.float32)
+        for i in range(16):
+            buf_np[i, starts[i] : starts[i] + t_frame] += w[i]
+        st0 = jnp.asarray(starts - 2)
+        buf16 = jnp.asarray(buf_np).astype(jnp.bfloat16)
+        buf8 = quantize_int8(jnp.asarray(buf_np))
+        c16, o16, e16, t16, _b16, _tt16 = demod_probe_fused(
+            cfg, buf16, st0, s, tmpl.astype(jnp.bfloat16), start_bound=chunkb
+        )
+        c8, o8, e8, t8, _b8, _tt8 = demod_probe_fused(
+            cfg, buf8, st0, s, tmpl, start_bound=chunkb
+        )
+        assert np.array_equal(np.asarray(o8), np.asarray(o16)), "servo offs differ"
+        assert np.array_equal(np.asarray(t8), np.asarray(t16)), "tones differ"
+        q8 = np.asarray(c8) / np.sqrt(te * np.maximum(np.asarray(e8), 1e-4 * te))
+        q16 = np.asarray(c16) / np.sqrt(
+            te * np.maximum(np.asarray(e16), 1e-4 * te)
+        )
+        assert (q8 > 0.9).all(), f"int8 probe weak: {q8}"
+        np.testing.assert_allclose(q8, q16, atol=0.03)
+
     check("decide_tones_tm (time-major fused demod)", check_decide_tm)
     check("decide_frame_tm full fusion vs jnp parse", check_decide_frame_tm)
     check("decide_frame_tm int8 ingest vs bf16", check_decide_frame_tm_int8)
     check("demod_probe_fused merged probe+demod", check_demod_probe)
+    check("demod_probe_fused int8 stream buffer vs bf16", check_demod_probe_int8)
     check("probe_at_fused span-DMA probe", check_probe_at)
     check("sync_search_blockmax vs quality golden", check_blockmax_search)
     check("demodulate_frame_tm end-to-end", check_frame_tm)
@@ -427,7 +470,7 @@ def main() -> int:
     check("sync_search_fused vs quality golden", check_sync_search)
     check("demod_at_fused vs gather+demod", check_demod_at)
     check("preamble probe (production path) vs numpy golden", check_probe)
-    n_total = 14
+    n_total = 15
     # Retired-kernel check, opt-in: ofdm_track_decide_fused is a measured
     # record (never dispatched — ~2000x slower than the jnp equalizer,
     # docs/PERF.md round-4 NULL #3); validating it costs real chip+compile
