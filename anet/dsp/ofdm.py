@@ -533,7 +533,32 @@ def _phase_track(
         )
         c = c + (num / den)[..., None, None]
 
-    return jnp.exp(-1j * c * phase).astype(jnp.complex64)
+    rot = jnp.exp(-1j * c * phase).astype(jnp.complex64)
+    # Identity gate (round 5): the preamble seed has heavy UNWRAPPED
+    # error tails at low SNR (measured 0.002-0.008 rad/carrier/symbol at
+    # 6 dB — 5-20x the sound-estimate tail — which preamble_phase_slope's
+    # wrap gate cannot see), and the decision-directed fit LOCKS onto a
+    # bad seed: once the seed rotation exceeds the decision region at the
+    # long-baseline corner, the hard decisions align with the rotation
+    # and the fit's fixed point reproduces the poison (measured: final c
+    # == slope0 on every corrupted frame; ofdm-coded lost 14% of frames
+    # at 4-8 dB, FER 0 with tracking off). Decide per frame whether the
+    # fitted rotation actually helps: weighted decision coherence of the
+    # tracked vs the UNROTATED constellation — a clean-clock frame with a
+    # poison seed scores ~0.90 tracked vs ~0.93 untracked, while a truly
+    # drifting frame scrambles untracked decisions and scores far lower.
+    # Ties keep the identity, so zero-drift frames are never degraded.
+    u0 = weights * z_eq * jnp.conj(_hard_decision(config, z_eq))
+    z1 = z_eq * rot
+    u1 = weights * z1 * jnp.conj(_hard_decision(config, z1))
+
+    def _coh(u):
+        return jnp.sum(jnp.real(u), axis=(-2, -1)) / jnp.maximum(
+            jnp.sum(jnp.abs(u), axis=(-2, -1)), 1e-20
+        )
+
+    keep = (_coh(u1) > _coh(u0))[..., None, None]
+    return jnp.where(keep, rot, jnp.ones((), jnp.complex64))
 
 
 def _equalized_bits(config: OfdmConfig, samples: jnp.ndarray, s_data: int):
@@ -787,7 +812,19 @@ def _phase_track_tm(
         )
         c = c + (num / den)[None, None, :]
 
-    return jnp.exp(-1j * c * phase).astype(jnp.complex64)
+    rot = jnp.exp(-1j * c * phase).astype(jnp.complex64)
+    # identity gate — see _phase_track (poison-seed lock-in at low SNR)
+    u0 = weights * z_eq * jnp.conj(_hard_decision(config, z_eq))
+    z1 = z_eq * rot
+    u1 = weights * z1 * jnp.conj(_hard_decision(config, z1))
+
+    def _coh(u):
+        return jnp.sum(jnp.real(u), axis=(0, 1)) / jnp.maximum(
+            jnp.sum(jnp.abs(u), axis=(0, 1)), 1e-20
+        )
+
+    keep = (_coh(u1) > _coh(u0))[None, None, :]
+    return jnp.where(keep, rot, jnp.ones((), jnp.complex64))
 
 
 def _equalized_bits_tm(config: OfdmConfig, samples_tm: jnp.ndarray, s_data: int):

@@ -2605,6 +2605,26 @@ def _ofdm_track_kernel(
         zr = zer * co + zei * si
         zi = zei * co - zer * si
 
+        # identity gate (mirrors ofdm._phase_track): keep the fitted
+        # rotation only where it beats the UNROTATED constellation's
+        # weighted decision coherence — a poison preamble seed locks the
+        # fit onto its own rotation at low SNR; ties keep the identity.
+        def _coh(ar, ai):
+            dre = _decide_axis(ar, bpc)
+            dim = _decide_axis(ai, bpc)
+            ure = w * (ar * dre + ai * dim)
+            uim = w * (ai * dre - ar * dim)
+            uab = jnp.sqrt(ure * ure + uim * uim)
+            s_re = jnp.sum(jnp.sum(ure * mask, axis=2), axis=1)
+            s_ab = jnp.maximum(
+                jnp.sum(jnp.sum(uab * mask, axis=2), axis=1), 1e-20
+            )
+            return s_re / s_ab
+
+        keep = (_coh(zr, zi) > _coh(zer, zei)).reshape(bs, 1, 1)
+        zr = jnp.where(keep, zr, zer)
+        zi = jnp.where(keep, zi, zei)
+
     planes = _llr_axis(zr, w, bpc) + _llr_axis(zi, w, bpc)
     for ref, p in zip(out_refs[:-1], planes):
         ref[...] = p.astype(jnp.float32)

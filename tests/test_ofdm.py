@@ -342,6 +342,39 @@ def test_drift_untracked_fails():
     assert not bool(r.frame.ok)
 
 
+def test_tracking_never_corrupts_clean_clock_low_snr():
+    """REGRESSION (round 5): at low SNR the preamble seed has heavy
+    unwrapped error tails (0.002-0.008 rad at 6 dB) that the seed's wrap
+    gate cannot see, and the decision-directed fit LOCKS onto the poison
+    (final c == slope0 on every corrupted frame) — ofdm-coded silently
+    lost ~14% of clean-clock frames at 4-8 dB (FER 0 with tracking off)
+    for several rounds while the BER table showed the pre-tracking
+    numbers. The identity gate in _phase_track (tracked vs unrotated
+    decision coherence) must make tracking a strict no-op-or-better:
+    every frame that decodes with tracking OFF must decode with it ON."""
+    from anet.channel import ChannelConfig, apply_channel
+    from anet.dsp import family
+    from anet.models import get_model
+
+    cfg = get_model("ofdm-coded").config
+    cfg_off = dataclasses.replace(cfg, clock_tracking=False)
+    rng = np.random.default_rng(3)
+    b, pay = 48, 64
+    pays = jnp.asarray(rng.integers(0, 256, (b, pay), dtype=np.uint8))
+    w = jax.jit(family.transmit_fn(cfg))(pays)
+    for snr in (4.0, 6.0, 8.0):
+        dirty = apply_channel(
+            jax.random.PRNGKey(7), w, ChannelConfig(), snr_db=jnp.full((), snr)
+        )
+        ok_off = np.asarray(ofdm.demodulate_frame(cfg_off, dirty, pay).ok)
+        ok_on = np.asarray(ofdm.demodulate_frame(cfg, dirty, pay).ok)
+        assert (ok_on | ~ok_off).all(), (
+            f"tracking corrupted {int((~ok_on & ok_off).sum())} clean-clock "
+            f"frames at {snr} dB"
+        )
+        assert ok_off.all(), f"setup: untracked should be clean at {snr} dB"
+
+
 def test_drift_estimate_ppm():
     """The Schmidl-Cox-style preamble estimator reads the clock offset
     from one aligned frame to within ~15%."""
