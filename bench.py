@@ -28,6 +28,10 @@ path, so a regression in any of them is driver-visible, not prose-only):
   stream-dynamic:mfsk16-fast   variable-length streaming receive path
   stream-dynamic-lock:...      dynamic frame-lock: header lengths predict
                                each next start, back-to-back mixed frames
+  aligned-int8                 headline kernel on int8 quantized ingest
+  stream-int8                  lock fast path on an int8 sliding buffer
+                               (quantize once at the edge; every span
+                               DMA / slab shift / slide byte halves)
 
 Baseline: the reference system's steady-state throughput is its real-time
 operating point — 96 ksamples/s (48 kHz stereo, playback.cpp:9) per
@@ -115,7 +119,12 @@ def _bench_loop(run, arg, iters: int):
 
 
 def measure_stream(
-    model_name: str, payload_len: int, *, dynamic: bool = False, lock: bool = False
+    model_name: str,
+    payload_len: int,
+    *,
+    dynamic: bool = False,
+    lock: bool = False,
+    int8: bool = False,
 ) -> dict:
     """Full streaming receive path on this backend: preamble sync +
     chunked-scan demod, batched over independent streams. This is the
@@ -230,9 +239,19 @@ def measure_stream(
     # a production ingest path would quantize once at the edge. Keeping
     # the f32->bf16 cast inside the timed loop re-read 7.5 GB of f32
     # capture per iteration (~4 ms/step of pure ingest recast).
-    capture = jax.jit(
-        lambda x: jnp.tile(x, (batch // distinct, 1)).astype(jnp.bfloat16)
-    )(jnp.asarray(cap))
+    if int8:
+        # int8 sliding-buffer variant (round 5): quantize ONCE at the
+        # ingest edge (stream.quantize_int8 — fixed scale) and run the
+        # lock fast path on an int8 carry; every span DMA / slab shift /
+        # slide byte halves and the kernels take the int8 x int8 -> int32
+        # MXU path. Measured 11.1 -> 14.6 Gsamp/s (tools/exp_stream_int8).
+        capture = jax.jit(
+            lambda x: stream.quantize_int8(jnp.tile(x, (batch // distinct, 1)))
+        )(jnp.asarray(cap))
+    else:
+        capture = jax.jit(
+            lambda x: jnp.tile(x, (batch // distinct, 1)).astype(jnp.bfloat16)
+        )(jnp.asarray(cap))
     capture.block_until_ready()
 
     # Steady-state seeding: a production receiver is locked for the life
@@ -252,7 +271,8 @@ def measure_stream(
 
     def make_warm_carry():
         c = stream.init_carry(
-            cfg, chunk, payload_len, (batch,), dtype=jnp.bfloat16
+            cfg, chunk, payload_len, (batch,),
+            dtype=jnp.int8 if int8 else jnp.bfloat16,
         )
         return c._replace(
             locked=jnp.ones((batch,), jnp.bool_),
@@ -294,11 +314,12 @@ def measure_stream(
         name = "stream-dynamic-lock" if lock else "stream-dynamic"
     else:
         name = "stream" if lock else "stream-search"
-    metric = (
-        "stream_throughput_per_chip"
-        if not dynamic and lock and model_name == "mfsk16-fast"
-        else f"{name}:{model_name}"
-    )
+    if int8:
+        metric = "stream-int8"
+    elif not dynamic and lock and model_name == "mfsk16-fast":
+        metric = "stream_throughput_per_chip"
+    else:
+        metric = f"{name}:{model_name}"
     return {
         "metric": metric,
         "value": round(msamples_s, 2),
@@ -315,6 +336,7 @@ def measure_stream(
             "frames_ok_fraction": ok_count / (batch * nframes),
             "lock": lock,
             "warm_lock": warm_lock,
+            "buffer_dtype": "int8" if int8 else "bfloat16",
             "build_s": round(build_s, 2),
             "warmup_s": round(warmup_s, 2),
         },
@@ -546,6 +568,14 @@ def main() -> None:
                     lambda: measure_aligned(
                         model, payload_len, batch=batch, iters=iters, int8=True
                     ),
+                )
+            )
+            # int8 sliding stream buffer (round 5): the lock fast path on
+            # an int8 carry — 11.1 -> 14.6 Gsamp/s (tools/exp_stream_int8)
+            matrix.append(
+                (
+                    "stream-int8",
+                    lambda: measure_stream(model, payload_len, lock=True, int8=True),
                 )
             )
         extras = []

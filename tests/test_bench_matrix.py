@@ -38,10 +38,11 @@ def bench(monkeypatch_module=None):
         dict(model_name="ofdm-fast", lock=True),
         dict(model_name="mfsk4-coded", lock=True),
         dict(model_name="mfsk4-coded-stream", dynamic=True, lock=True),
+        dict(model_name="mfsk16-fast", lock=True, int8=True),
     ],
     ids=lambda k: "-".join(
         [k["model_name"]]
-        + [n for n in ("dynamic", "lock") if k.get(n)]
+        + [n for n in ("dynamic", "lock", "int8") if k.get(n)]
     ),
 )
 def test_measure_stream_entries(bench, kwargs):
