@@ -412,6 +412,11 @@ def _cmd_modem_stream(args) -> int:
         if args.track:
             print("--track needs an explicit --len", file=sys.stderr)
             return 2
+        if args.int8:
+            print("--int8 needs an explicit --len (the dynamic-length "
+                  "header probe runs on the float/bf16 path)",
+                  file=sys.stderr)
+            return 2
         if args.lock and args.frames_per_chunk not in (None, 1):
             print("--lock needs --frames-per-chunk 1 (a locked stream "
                   "predicts exactly one next frame)", file=sys.stderr)
@@ -511,6 +516,26 @@ def _cmd_modem_stream(args) -> int:
     if track and args.lock:
         print("--lock does not compose with --track; using --track",
               file=sys.stderr)
+    if args.int8:
+        # int8 sliding stream buffer (docs/PERF.md round 5): quantize once
+        # at the append edge, halve every byte the per-stream machinery
+        # moves. Decisions and quality ratios are scale-invariant
+        # (tests/test_stream_int8.py); 11.1 -> 14.6 Gsamp/s on the locked
+        # TPU fast path. Library surface: init_carry(dtype=jnp.int8).
+        if _is_ofdm(cfg) or getattr(cfg, "fec", "none") != "none" or track:
+            print("--int8 applies to uncoded MFSK models without --track",
+                  file=sys.stderr)
+            return 2
+        if carry is not None:
+            if carry.buffer.dtype != jnp.int8:
+                print("--int8 ignored: resumed checkpoint carries a "
+                      f"{carry.buffer.dtype} buffer (the checkpoint's "
+                      "dtype governs)", file=sys.stderr)
+        else:
+            from anet.stream import init_carry
+
+            carry = init_carry(cfg, chunk, args.len, (), track=False,
+                               dtype=jnp.int8)
     res = receive_stream(
         cfg, jnp.asarray(capture), chunk, args.len, carry=carry, track=track,
         lock=args.lock and not track,
@@ -707,6 +732,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "acquisition (fastest for back-to-back frames; "
                         "with headers-from-stream mode the declared length "
                         "predicts each next start)")
+    p.add_argument("--int8", action="store_true",
+                   help="int8 sliding stream buffer (uncoded MFSK, fixed "
+                        "--len): quantized ingest halves the buffer "
+                        "traffic; decisions identical (fastest lock-mode "
+                        "path on TPU)")
     p.add_argument("--resume", metavar="STATE.npz",
                    help="continue from a saved stream checkpoint")
     p.add_argument("--save-state", metavar="STATE.npz",

@@ -269,3 +269,45 @@ def test_lock_merged_kernel_int8(interpret_tpu_kernels):
         np.asarray(r8.steps.frame_start)[det8],
         np.asarray(r32.steps.frame_start)[det32],
     )
+
+
+def test_cli_stream_rx_int8(tmp_path, capsys):
+    """`anet modem-stream-rx --int8`: the int8 sliding-buffer path through
+    the CLI recovers the same payloads as the default run, and the flag's
+    composition rules hold (--track, coded models, dynamic mode rejected)."""
+    from anet.channel import awgn
+    from anet.cli import main
+
+    rng = np.random.default_rng(0x51)
+    chunks = [rng.integers(0, 256, PAY, np.uint8) for _ in range(2)]
+    tx = jax.jit(family.transmit_fn(CFG))
+    parts = [np.zeros(500, np.float32)]
+    for c in chunks:
+        parts += [np.asarray(tx(jnp.asarray(c)[None])[0], np.float32),
+                  np.zeros(700, np.float32)]
+    cap = awgn(jax.random.PRNGKey(0), jnp.asarray(np.concatenate(parts)), 6.0)
+    path = tmp_path / "cap.f32"
+    np.asarray(cap, np.float32).tofile(path)
+    out = tmp_path / "payloads.bin"
+    rc = main([
+        "modem-stream-rx", str(path), "--len", str(PAY),
+        "--model", "mfsk16-fast", "--int8", "--out", str(out),
+    ])
+    assert rc == 0
+    assert out.read_bytes() == b"".join(c.tobytes() for c in chunks)
+    assert "2 ok" in capsys.readouterr().out
+
+    # composition gates
+    assert main([
+        "modem-stream-rx", str(path), "--len", str(PAY),
+        "--model", "mfsk16-fast", "--int8", "--track",
+    ]) == 2
+    assert main([
+        "modem-stream-rx", str(path), "--len", str(PAY),
+        "--model", "mfsk4-coded", "--int8",
+    ]) == 2
+    assert main([
+        "modem-stream-rx", str(path),
+        "--model", "mfsk16-fast", "--int8",
+    ]) == 2
+    capsys.readouterr()
